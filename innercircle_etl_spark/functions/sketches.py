@@ -1,0 +1,106 @@
+"""Hash-sketch column expressions: shingles, MinHash, SimHash, LSH.
+
+These are the scale path for deduplication and similarity: instead of
+the O(n²) pair space, candidates come from hash-bucket collisions —
+shuffle on the bucket key, compare only within buckets.
+
+Engine-parity note: every hash bottoms out in md5 (available and
+identical in Spark and DuckDB), with hex-string or hex→int
+transport, so each sketch has an exact SQL oracle. Production would
+swap md5 for xxhash64 (F.xxhash64, ~10x faster) — the operator shape
+is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def word_shingles(toks: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles of a token array (empty if < k
+    tokens)."""
+    n = F.size(toks)
+    shingle_at = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + j) for j in range(k)]
+    )
+    return F.when(
+        n >= k,
+        F.array_distinct(
+            F.transform(F.sequence(F.lit(1), n - (k - 1)), shingle_at)
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def char_ngrams(text: Column, k: int = 3) -> Column:
+    """Distinct character k-grams (empty if text shorter than k)."""
+    n = F.length(text)
+    return F.when(
+        n >= k,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - (k - 1)),
+                lambda i: F.substring(text, i, k),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def minhash_signature(shingle_arr: Column, num_hashes: int) -> list[Column]:
+    """MinHash signature: for seed s, min over shingles of
+    md5('{s}|' || shingle). Hex-string min is a valid order (binary
+    collation in both engines)."""
+    return [
+        F.array_min(
+            F.transform(
+                shingle_arr, lambda x: F.md5(F.concat(F.lit(f"{s}|"), x))
+            )
+        )
+        for s in range(num_hashes)
+    ]
+
+
+def lsh_band_keys(sigs: list[Column], bands: int) -> Column:
+    """Concatenate the signature into ``bands`` band keys (array).
+    Docs sharing ANY band key are candidate pairs."""
+    rows = len(sigs) // bands
+    return F.array(
+        *[
+            F.md5(F.concat(F.lit(f"{b}|"), *sigs[b * rows : (b + 1) * rows]))
+            for b in range(bands)
+        ]
+    )
+
+
+def word_hash32(word: Column) -> Column:
+    """32-bit word hash: first 8 md5 hex chars → BIGINT (oracle:
+    ('0x'||substr(md5(w),1,8))::BIGINT)."""
+    return F.conv(F.substring(F.md5(word), 1, 8), 16, 10).cast("long")
+
+
+def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """32-bit SimHash per document: per-bit majority vote over token
+    hashes (token multiplicity = weight). One explode + one groupBy —
+    shuffles once on the doc id; at scale the explode is map-local so
+    partial aggregation absorbs most of it."""
+    toks = F.explode(F.split(F.col(text_col), " ")).alias("__tok")
+    exploded = df.select(F.col(id_col), toks).select(
+        id_col, word_hash32(F.col("__tok")).alias("__h")
+    )
+    bit_votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("__h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"__b{b}")
+        for b in range(32)
+    ]
+    voted = exploded.groupBy(id_col).agg(*bit_votes)
+    sim = None
+    for b in range(32):
+        term = F.when(F.col(f"__b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return voted.select(id_col, sim.cast("long").alias("simhash"))
+
+
+def hamming32(a: Column, b: Column) -> Column:
+    """Hamming distance between two 32-bit hashes stored as longs."""
+    return F.bit_count(a.bitwiseXOR(b)).cast("int")

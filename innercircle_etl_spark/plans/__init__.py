@@ -1,0 +1,23 @@
+"""Query plans: the operator-inventory query registry.
+
+Each module under ``plans/`` registers named queries (Spark builder +
+DuckDB oracle SQL) covering one family of SURVEY.md §2 operators.
+Importing this package populates the registry.
+"""
+
+from innercircle_etl_spark.plans.registry import ORACLES, QUERIES, load  # noqa: F401
+
+# Import for registration side effects.
+from innercircle_etl_spark.plans import (  # noqa: F401,E402
+    aggregates,
+    dedup_queries,
+    filters,
+    joins,
+    scalar_funcs,
+    setops,
+    similarity_queries,
+    sources_queries,
+    text_queries,
+    upserts,
+    windows,
+)

@@ -1,0 +1,229 @@
+"""Aggregation operators (SURVEY §2.5 A1-A11) over the synthetic tables.
+
+Each query names the reference operator it re-expresses; oracle SQL is
+the DuckDB-dialect equivalent. Exact-sum discipline per registry.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from innercircle_etl_spark.operators.percentiles import percentile_disc
+from innercircle_etl_spark.plans.registry import (
+    davg,
+    dsum,
+    duck_davg,
+    duck_dsum,
+    load,
+    register,
+)
+
+
+@register(
+    "a1_count_distinct",
+    oracle=f"""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps,
+           CAST(COUNT(1) AS BIGINT) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def a1_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: exact count(distinct x) per group (reference:
+    update_etl.py:347-353 tokens-per-trx, :1447-1452 holders>500).
+
+    Exact distinct — `approx_count_distinct` would be the 100TB relief
+    valve but fails hash parity; Spark expands distinct aggs via
+    expand+two-phase agg, which partial-aggregates map-side."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "a3_sum_min_max_avg",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {duck_dsum('l_quantity')} AS sum_qty,
+           {duck_dsum('l_extendedprice')} AS sum_base_price,
+           {duck_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {duck_davg('l_quantity')} AS avg_qty,
+           MIN(l_shipdate) AS min_ship,
+           MAX(l_shipdate) AS max_ship,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def a3_sum_min_max_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: sum/min/max/avg battery — TPC-H Q1 shape (reference agg
+    sites update_etl.py:589,766-768,869,998,1135-1136). Flagship
+    pricing-summary query; one shuffle, partial aggregation map-side,
+    filter pushed to the parquet scan."""
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            davg("l_quantity").alias("avg_qty"),
+            F.min("l_shipdate").alias("min_ship"),
+            F.max("l_shipdate").alias("max_ship"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "a4_scalar_subquery",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > 0.9 * (SELECT MAX(o_totalprice) FROM orders)
+    """,
+)
+def a4_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: scalar-subquery aggregate as predicate (reference:
+    update_etl.py:499,551,1081 `(select max(...) from ...)`).
+
+    Spark-first: a 1-row aggregate cross-joined in (Catalyst turns it
+    into a broadcast nested loop over one row — no driver collect, so
+    the same plan works when the 'scalar' comes from a 100TB scan)."""
+    orders = load(spark, sf_dir, "orders")
+    mx = orders.agg(F.max("o_totalprice").alias("__mx"))
+    return (
+        orders.crossJoin(F.broadcast(mx))
+        .filter(F.col("o_totalprice") > 0.9 * F.col("__mx"))
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "a6_having",
+    oracle="""
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM customer
+    GROUP BY c_nationkey
+    HAVING COUNT(*) > 50
+    """,
+)
+def a6_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: HAVING on aggregate (reference: update_etl.py:849-857
+    `having sum(collection_pct_total) < 0.9`, :1451 holders>500)."""
+    cust = load(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .filter(F.col("n_customers") > 50)
+    )
+
+
+@register(
+    "a7_conditional_agg",
+    oracle=f"""
+    SELECT o_custkey,
+           {duck_dsum("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END")} AS f_total,
+           COUNT(DISTINCT CASE WHEN o_totalprice > 100000 THEN o_orderkey END) AS n_big,
+           CAST(COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS BIGINT) AS n_urgent
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def a7_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: conditional aggregation — sum(case when), count(distinct
+    case when) (reference: update_etl.py:1148-1151, :1018-1023)."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.groupBy("o_custkey").agg(
+        dsum(
+            F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))
+        ).alias("f_total"),
+        F.countDistinct(
+            F.when(F.col("o_totalprice") > 100000, F.col("o_orderkey"))
+        ).alias("n_big"),
+        F.count(
+            F.when(F.col("o_orderpriority") == "1-URGENT", F.lit(1))
+        ).alias("n_urgent"),
+    )
+
+
+@register(
+    "a8_percentile_disc",
+    oracle="""
+    SELECT l_returnflag,
+           percentile_disc(0.2) WITHIN GROUP (ORDER BY l_extendedprice)
+             AS floor_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def a8_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: exact discrete percentile — the reference's daily floor
+    price `percentile_disc(0.2) WITHIN GROUP` (update_etl.py:456-476).
+    Discrete (an actual element), NOT interpolated — see
+    operators/percentiles.py."""
+    li = load(spark, sf_dir, "lineitem")
+    return percentile_disc(
+        li, ["l_returnflag"], "l_extendedprice", 0.2, out_col="floor_price"
+    )
+
+
+@register(
+    "a9_dedup_groupby",
+    oracle="""
+    SELECT DISTINCT o_custkey, o_orderstatus, o_orderpriority
+    FROM orders
+    """,
+)
+def a9_dedup_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: deduplicating GROUP BY with no aggregates == DISTINCT
+    (reference: update_etl.py:661-671 `group by 1,..,6`)."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.select("o_custkey", "o_orderstatus", "o_orderpriority").distinct()
+
+
+@register(
+    "a11_two_phase_agg",
+    oracle=f"""
+    WITH per_cust AS (
+        SELECT o_custkey, {duck_dsum('o_totalprice')} AS cust_total
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT c.c_nationkey,
+           {duck_dsum('pc.cust_total')} AS nation_total,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           {duck_davg('pc.cust_total')} AS avg_cust_total
+    FROM per_cust pc JOIN customer c ON pc.o_custkey = c.c_custkey
+    GROUP BY c.c_nationkey
+    """,
+)
+def a11_two_phase_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11: two-level rollup — per-collection worth → per-address
+    total worth (reference: update_etl.py:542-598). One DAG of two
+    groupBys; Catalyst inserts map-side partial aggregation at each."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    per_cust = orders.groupBy("o_custkey").agg(
+        dsum("o_totalprice").alias("cust_total")
+    )
+    return (
+        per_cust.join(
+            cust, per_cust.o_custkey == cust.c_custkey, "inner"
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            dsum("cust_total").alias("nation_total"),
+            F.count(F.lit(1)).alias("n_customers"),
+            davg("cust_total").alias("avg_cust_total"),
+        )
+    )

@@ -1,0 +1,355 @@
+"""Join operators (SURVEY §2.4 J1-J11) over the synthetic tables."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from innercircle_etl_spark.operators.asof import asof_join
+from innercircle_etl_spark.operators.window_dedup import latest_per_key
+from innercircle_etl_spark.plans.registry import (
+    dsum,
+    duck_dsum,
+    load,
+    register,
+)
+
+
+@register(
+    "j1_multiway_join",
+    oracle=f"""
+    SELECT n.n_name,
+           {duck_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY n.n_name
+    """,
+)
+def j1_multiway_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: multi-way inner equi-join — transfers ⋈ contracts ⋈
+    transactions (reference: update_etl.py:309-341, hand-indexed at
+    :343). Spark-first: small dims (nation, customer at this scale)
+    are broadcast — no shuffle for them; the lineitem⋈orders join
+    shuffles once on orderkey. The reference's manual CREATE INDEX
+    becomes Catalyst's join-strategy choice."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "j2_left_enrich",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
+    FROM orders o
+    LEFT JOIN customer c
+      ON o.o_custkey = c.c_custkey AND c.c_acctbal > 5000
+    """,
+)
+def j2_left_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2+J3: left outer equi-join with an extra predicate inside the
+    ON clause — predicate-in-ON preserves left rows, unlike a WHERE
+    (reference: update_etl.py:334-337, :648-651). The dim side is
+    broadcast."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    cond = (orders.o_custkey == cust.c_custkey) & (cust.c_acctbal > 5000)
+    return orders.join(F.broadcast(cust), cond, "left").select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "j3_range_in_on",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(l.l_orderkey) AS BIGINT) AS n_shipped_within_30d,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM orders o
+    LEFT JOIN lineitem l
+      ON o.o_orderkey = l.l_orderkey
+     AND l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate < o.o_orderdate + INTERVAL 30 DAY
+    GROUP BY o.o_orderpriority
+    """,
+)
+def j3_range_in_on(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: left join with compound time-bounded ON — the reference's
+    half-open `ts >= d AND ts < d + interval '1 day'` inside the ON
+    (update_etl.py:332-339). The equi part (orderkey) still drives a
+    hash/sort-merge join; the range is a post-join filter evaluated
+    inside the join — no cartesian."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    cond = (
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate >= orders.o_orderdate)
+        & (li.l_shipdate < orders.o_orderdate + F.expr("INTERVAL 30 DAYS"))
+    )
+    return (
+        orders.join(li, cond, "left")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("l_orderkey").alias("n_shipped_within_30d"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "j4_left_anti",
+    oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+    """,
+)
+def j4_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: left anti join — the reference's `LEFT JOIN ... WHERE key
+    IS NULL` new-rows/missing detection (etl_utls.py:146-154,
+    update_etl.py:186-189)."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 200000
+    )
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "j5_left_semi",
+    oracle="""
+    SELECT c.c_custkey, c.c_acctbal
+    FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000
+    )
+    """,
+)
+def j5_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: left semi join — IN-subquery membership (reference:
+    update_etl.py:500-506, :822-833 insider filters)."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 200000
+    )
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_acctbal")
+
+
+@register(
+    "j6_double_anti",
+    oracle="""
+    SELECT p.p_partkey, p.p_brand
+    FROM part p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 45
+    )
+    AND NOT EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_partkey = p.p_partkey AND l2.l_discount > 0.09
+    )
+    """,
+)
+def j6_double_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: two stacked anti joins — the reference's `WHERE m.id IS
+    NULL AND c.address IS NULL` exclusion pattern
+    (update_etl.py:616-623, :770-776)."""
+    part = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem")
+    big = li.filter(F.col("l_quantity") >= 45).select("l_partkey")
+    disc = li.filter(F.col("l_discount") > 0.09).select("l_partkey")
+    return (
+        part.join(big, part.p_partkey == big.l_partkey, "left_anti")
+        .join(disc, part.p_partkey == disc.l_partkey, "left_anti")
+        .select("p_partkey", "p_brand")
+    )
+
+
+@register(
+    "j7_asof_join",
+    oracle="""
+    WITH ranked AS (
+        SELECT b.o_orderkey, b.o_custkey, b.o_orderdate, b.o_totalprice,
+               CASE WHEN s.o_orderdate > b.o_orderdate
+                    THEN s.o_orderkey END AS cand_key,
+               CASE WHEN s.o_orderdate > b.o_orderdate
+                    THEN s.o_orderdate END AS cand_date,
+               row_number() OVER (
+                   PARTITION BY b.o_orderkey
+                   ORDER BY (CASE WHEN s.o_orderdate > b.o_orderdate
+                                  THEN s.o_orderdate END) ASC NULLS LAST,
+                            (CASE WHEN s.o_orderdate > b.o_orderdate
+                                  THEN s.o_orderkey END) ASC NULLS LAST
+               ) AS rn
+        FROM orders b
+        LEFT JOIN orders s ON b.o_custkey = s.o_custkey
+    )
+    SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice,
+           cand_key AS next_orderkey, cand_date AS next_orderdate
+    FROM ranked WHERE rn = 1
+    """,
+)
+def j7_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: as-of / first-match range join — each buy matched to the
+    earliest strictly-later sell per key (reference:
+    update_etl.py:699-748; create_shadow_trade.sql:93-135).
+    Self as-of on orders per customer; deterministic tiebreak by
+    orderkey (reference leaves ties unpinned — documented divergence).
+    """
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    right = orders.select("o_orderkey", "o_custkey", "o_orderdate")
+    out = asof_join(
+        orders,
+        right,
+        keys=["o_custkey"],
+        left_on="o_orderdate",
+        right_on="o_orderdate",
+        direction="forward",
+        strict=True,
+        right_tiebreakers=["o_orderkey"],
+    )
+    return out.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        "o_totalprice",
+        F.col("r_o_orderkey").alias("next_orderkey"),
+        F.col("r_o_orderdate").alias("next_orderdate"),
+    )
+
+
+@register(
+    "j9_join_to_latest",
+    oracle="""
+    WITH latest AS (
+        SELECT * FROM (
+            SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+                   row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate DESC, o_orderkey DESC
+                   ) AS rn
+            FROM orders
+        ) WHERE rn = 1
+    )
+    SELECT c.c_custkey, c.c_name,
+           l.o_orderdate AS latest_orderdate,
+           l.o_totalprice AS latest_totalprice
+    FROM customer c
+    JOIN latest l ON c.c_custkey = l.o_custkey
+    """,
+)
+def j9_join_to_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9: point-in-time lookup — window-dedup to latest row per key,
+    then equi-join (reference: latest floor price
+    update_etl.py:717-731; create_shadow_trade.sql:62-75). The
+    deduped side shrinks to |keys| rows → broadcast join."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    latest = latest_per_key(
+        orders, ["o_custkey"], "o_orderdate", tiebreakers=["o_orderkey"]
+    )
+    return cust.join(
+        F.broadcast(latest), cust.c_custkey == latest.o_custkey, "inner"
+    ).select(
+        "c_custkey",
+        "c_name",
+        F.col("o_orderdate").alias("latest_orderdate"),
+        F.col("o_totalprice").alias("latest_totalprice"),
+    )
+
+
+@register(
+    "j11_pairs_jaccard",
+    oracle="""
+    WITH sp AS (
+        SELECT DISTINCT l_suppkey, l_partkey FROM lineitem
+    ),
+    sizes AS (
+        SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_parts
+        FROM sp GROUP BY l_suppkey
+    ),
+    inter AS (
+        SELECT a.l_suppkey AS supp_a, b.l_suppkey AS supp_b,
+               CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM sp a JOIN sp b
+          ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+        GROUP BY a.l_suppkey, b.l_suppkey
+    )
+    SELECT i.supp_a, i.supp_b, i.n_common,
+           CAST(i.n_common AS DOUBLE)
+             / (sa.n_parts + sb.n_parts - i.n_common) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON i.supp_a = sa.l_suppkey
+    JOIN sizes sb ON i.supp_b = sb.l_suppkey
+    WHERE CAST(i.n_common AS DOUBLE)
+             / (sa.n_parts + sb.n_parts - i.n_common) >= 0.17
+    """,
+)
+def j11_pairs_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J11+D3+D4+T3: pairwise Jaccard similarity over per-key member
+    sets — the reference's collection-collection owner-set similarity
+    (update_etl.py:1422-1478; intent-implemented, see SURVEY §2.10 D3
+    for the reference's address-string bug, which we fix).
+
+    Scale design: NOT itertools.combinations on the driver (reference
+    does n² in pandas). Intersections come from a self equi-join on
+    the member (partkey) — only pairs that actually share a member
+    materialize; set sizes join in afterward. This is the
+    inverted-index formulation that survives 100TB; the MinHash-LSH
+    variant (dedup_queries.py) is the sub-linear path."""
+    li = load(spark, sf_dir, "lineitem")
+    sp = li.select("l_suppkey", "l_partkey").distinct()
+    sizes = sp.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("n_parts"))
+    a = sp.select(
+        F.col("l_suppkey").alias("supp_a"), F.col("l_partkey").alias("pk")
+    )
+    b = sp.select(
+        F.col("l_suppkey").alias("supp_b"), F.col("l_partkey").alias("pk")
+    )
+    inter = (
+        a.join(b, (a.pk == b.pk) & (a.supp_a < b.supp_b))
+        .groupBy("supp_a", "supp_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("l_suppkey").alias("supp_a"), F.col("n_parts").alias("na")
+    )
+    sb = sizes.select(
+        F.col("l_suppkey").alias("supp_b"), F.col("n_parts").alias("nb")
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    return (
+        inter.join(F.broadcast(sa), "supp_a")
+        .join(F.broadcast(sb), "supp_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.17)
+        .select("supp_a", "supp_b", "n_common", "jaccard")
+    )

@@ -1,0 +1,102 @@
+"""Registry wiring query builders to their DuckDB oracle SQL.
+
+The driver contract (``__spark_entry__.py``) wants
+``queries() -> {name: fn(spark, sf_dir) -> DataFrame}`` and
+``oracle_sql() -> {name: ANSI SQL}``. Every relational operator we
+claim registers here with BOTH; genuinely non-SQL-expressible ops
+register with ``oracle=None`` (driver falls back to rows-only check).
+
+Exactness discipline for double aggregates: float sums are
+order-dependent, so a Spark sum and a DuckDB sum of the same doubles
+can differ in the last ulp and fail the driver's value-hash. We cast
+to DECIMAL(38,6) *before* summing (decimal addition is exact and
+associative → order-independent), then cast the final value back to
+DOUBLE. Both engines round the same way on double→decimal (ties
+can't occur: a binary double is never exactly halfway at decimal
+scale 6 unless its decimal expansion terminates there), so results
+are bit-identical. Helper: ``dsum`` below / ``DSUM`` SQL macro text.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def register(name: str, oracle: Optional[str] = None):
+    """Decorator: register a (spark, sf_dir) -> DataFrame builder."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# Columns written as parquet TIMESTAMP(NANOS), which Spark lacks: read
+# as long (see session.py nanosAsLong) and truncate to microseconds —
+# exactly what DuckDB's TIMESTAMP_NS→TIMESTAMP conversion does.
+_NANO_TS_COLS = {"events": ("ts",)}
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Read one synthetic table. Parquet scan → Catalyst gets pushdown
+    and column pruning for free; at cluster scale these would be
+    date-partitioned directories and pruning would kick in the same way."""
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    for c in _NANO_TS_COLS.get(table, ()):
+        if dict(df.dtypes).get(c) == "bigint":
+            # integer div — float division would lose precision past 2^53 ns
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def dsum(col: Column | str) -> Column:
+    """Order-independent exact sum of a double column (see module doc).
+
+    Returns DOUBLE so the schema matches the oracle's
+    ``CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE)``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast("decimal(38,6)")).cast("double")
+
+
+def davg(col: Column | str) -> Column:
+    """Order-independent mean: exact decimal sum / count, in DOUBLE.
+
+    Oracle equivalent:
+    ``CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) / COUNT(x)``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return dsum(c) / F.count(c)
+
+
+def duck_dsum(expr: str) -> str:
+    """DuckDB SQL text matching ``dsum``."""
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(38,6))) AS DOUBLE)"
+
+
+def duck_davg(expr: str) -> str:
+    """DuckDB SQL text matching ``davg``."""
+    return f"(CAST(SUM(CAST({expr} AS DECIMAL(38,6))) AS DOUBLE) / COUNT({expr}))"

@@ -1,0 +1,188 @@
+"""Similarity-search operators over the embeddings table
+(north-star extension: brute-force cosine top-k baseline + a
+random-hyperplane LSH bucketed variant as the scale path)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from innercircle_etl_spark.functions import vectors as V
+from innercircle_etl_spark.plans.registry import load, register
+
+_N_QUERIES = 10  # vec_id < 10 are the query vectors
+_TOP_K = 5
+
+_COS_SQL = """
+    list_reduce(list_transform(generate_series(1, len({a})),
+                               i -> {a}[i] * {b}[i]), (x, y) -> x + y)
+    / (sqrt(list_reduce(list_transform({a}, x -> x*x), (x,y) -> x+y))
+       * sqrt(list_reduce(list_transform({b}, x -> x*x), (x,y) -> x+y)))
+"""
+
+_BRUTE_ORACLE = f"""
+WITH e AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, v AS vq FROM e WHERE vec_id < {_N_QUERIES}),
+scored AS (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           {_COS_SQL.format(a="q.vq", b="e.v")} AS cos
+    FROM q JOIN e ON e.vec_id != q.query_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cos,
+           CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC
+           ) AS INTEGER) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, rank, cos
+FROM ranked WHERE rank <= {_TOP_K}
+"""
+
+
+@register("ann_cosine_topk", oracle=_BRUTE_ORACLE)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: the exact baseline every ANN variant
+    is judged against. Queries broadcast against the corpus scan, one
+    window per query partition for the top-k.
+
+    Scale shape: corpus-side scan is embarrassingly parallel;
+    |queries|×k rows survive. For large query sets swap the window
+    for a groupBy(query) + max_by-heap aggregator, or go to the LSH
+    variant below. Cosine folds are left-to-right → bit-identical to
+    the oracle, so rank order matches exactly."""
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", V.as_double(F.col("embedding")).alias("v"))
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("vq")
+    )
+    scored = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            V.cosine(F.col("vq"), F.col("v")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+# ---------------------------------------------------------- LSH variant
+
+_N_PLANES = 8
+_DIM = 64
+
+
+def _plane_weights() -> list[list[int]]:
+    """Deterministic integer hyperplanes (LCG-expanded). Integer
+    weights keep the projection arithmetic exactly representable →
+    identical sign bits in both engines."""
+    return [
+        [
+            ((1103515245 * (p * _DIM + i + 1) + 12345) % 2001) - 1000
+            for i in range(_DIM)
+        ]
+        for p in range(_N_PLANES)
+    ]
+
+
+def _bucket_sql(v: str) -> str:
+    """DuckDB expression: 8-bit hyperplane-sign bucket of list col."""
+    terms = []
+    for p, w in enumerate(_plane_weights()):
+        wl = "[" + ", ".join(str(x) for x in w) + "]"
+        proj = (
+            f"list_reduce(list_transform(generate_series(1, {_DIM}),"
+            f" i -> {v}[i] * ({wl})[i]), (x, y) -> x + y)"
+        )
+        terms.append(f"(CASE WHEN {proj} >= 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+_LSH_ORACLE = f"""
+WITH e AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+b AS (
+    SELECT vec_id, v, CAST({_bucket_sql('v')} AS INTEGER) AS bucket FROM e
+),
+q AS (SELECT vec_id AS query_id, v AS vq, bucket FROM b
+      WHERE vec_id < {_N_QUERIES}),
+scored AS (
+    SELECT q.query_id, c.vec_id AS neighbor_id, c.bucket,
+           {_COS_SQL.format(a="q.vq", b="c.v")} AS cos
+    FROM q JOIN b c ON q.bucket = c.bucket AND c.vec_id != q.query_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, bucket, cos,
+           CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC
+           ) AS INTEGER) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, bucket, rank, cos
+FROM ranked WHERE rank <= 3
+"""
+
+
+@register("ann_lsh_bucketed", oracle=_LSH_ORACLE)
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN: 8 deterministic integer hyperplanes → 8-bit
+    sign bucket; candidates = same-bucket vectors; exact cosine
+    re-rank, top-3 per query.
+
+    This is the sub-linear scale path: the bucket column becomes the
+    shuffle/partition key, each query probes ~n/256 of the corpus.
+    Recall tunes with #planes (fewer planes → bigger buckets) and
+    multi-probe (also search buckets at Hamming distance 1 from the
+    query's). An IVF (k-means coarse quantizer) variant swaps the
+    bucket function for nearest-centroid; the join/re-rank stays
+    identical."""
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", V.as_double(F.col("embedding")).alias("v"))
+
+    bucket = None
+    for p, w in enumerate(_plane_weights()):
+        warr = F.array(*[F.lit(float(x)) for x in w])
+        proj = V.dot(F.col("v"), warr)
+        term = F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = term if bucket is None else bucket + term
+    b = e.withColumn("bucket", bucket.cast("int"))
+
+    q = b.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("vq"),
+        F.col("bucket").alias("qbucket"),
+    )
+    scored = (
+        b.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("qbucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "bucket",
+            V.cosine(F.col("vq"), F.col("v")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "bucket", "rank", "cos")
+    )

@@ -1,0 +1,115 @@
+"""Source/sink operators (SURVEY §2.1 S1-S10).
+
+The reference's sources are BigQuery SQL pulls, CSV COPYs, JSON
+document globs and a high-watermark checkpoint read. Here: parquet is
+the 'warehouse scan' (S1), and we exercise real CSV (S2/S3) and NDJSON
+(S6) round-trips through a scratch directory, proving schema-explicit
+(never inferred — SURVEY §1.3) load paths. Oracles read the original
+parquet: the round-trip must be lossless to pass.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from innercircle_etl_spark.plans.registry import (
+    dsum,
+    duck_davg,
+    duck_dsum,
+    davg,
+    load,
+    register,
+)
+
+SCRATCH = os.environ.get("SPARK_GRAFT_SCRATCH", "/root/repo/.scratch")
+
+
+@register(
+    "s2_s3_csv_roundtrip",
+    oracle=f"""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {duck_dsum('l_extendedprice')} AS sum_price,
+           {duck_davg('l_discount')} AS avg_disc
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def s2_s3_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2+S3: CSV export + bulk load (etl_utls.py:86-97 COPY FROM,
+    :177-181 COPY TO). Schema is explicit on read — the reference's
+    pandas CSV type-inference fragility (etl_utls.py:121) is exactly
+    what we eliminate. Doubles survive because Spark writes
+    shortest-round-trip representations."""
+    path = f"{SCRATCH}/csv_roundtrip_{os.path.basename(sf_dir)}"
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    li.write.mode("overwrite").option("header", True).csv(path)
+    schema = T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_returnflag", T.StringType()),
+            T.StructField("l_extendedprice", T.DoubleType()),
+            T.StructField("l_discount", T.DoubleType()),
+        ]
+    )
+    back = spark.read.schema(schema).option("header", True).csv(path)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("l_extendedprice").alias("sum_price"),
+        davg("l_discount").alias("avg_disc"),
+    )
+
+
+@register(
+    "s6_json_source",
+    oracle=f"""
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           {duck_dsum('n_chars')} AS total_chars
+    FROM documents GROUP BY lang, source
+    """,
+)
+def s6_json_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6: newline-delimited JSON document source with explicit
+    schema (update_etl.py:1290-1319 glob+parse, :1408 NDJSON). The
+    reference parses nested JSON field-by-field in Python; Spark does
+    schema-on-read and the nested access is a column expression."""
+    path = f"{SCRATCH}/json_docs_{os.path.basename(sf_dir)}"
+    docs = load(spark, sf_dir, "documents")
+    docs.write.mode("overwrite").json(path)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    back = spark.read.schema(schema).json(path)
+    return back.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        dsum(F.col("n_chars").cast("double")).alias("total_chars"),
+    )
+
+
+@register(
+    "s10_watermark",
+    oracle="""
+    SELECT MAX(ts) AS watermark, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    """,
+)
+def s10_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10: high-watermark checkpoint read — `select max(ts)`
+    (etl_utls.py:328-338), the primitive behind incremental extract
+    I1 (update_etl.py:413,435)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.agg(
+        F.max("ts").alias("watermark"), F.count(F.lit(1)).alias("n_events")
+    )

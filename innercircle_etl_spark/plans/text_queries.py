@@ -1,0 +1,121 @@
+"""Text-analysis queries over the documents table (north-star
+extension family: language-ID, quality scoring, token counting,
+fingerprinting)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from innercircle_etl_spark.functions import text as TX
+from innercircle_etl_spark.plans.registry import load, register
+
+
+@register(
+    "text_token_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+           CAST(length(text) AS INTEGER) AS n_chars_actual,
+           CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+             / len(string_split(text, ' ')) AS avg_token_len
+    FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + mean token length, pure
+    column arithmetic (no explode, no UDF)."""
+    docs = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        TX.token_count(t).alias("n_tokens"),
+        F.length(t).cast("int").alias("n_chars_actual"),
+        TX.avg_token_len(t).alias("avg_token_len"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS DOUBLE) AS n,
+               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS nd,
+               CAST(len(list_filter(string_split(text, ' '),
+                    t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE) AS sw
+        FROM documents
+    )
+    SELECT doc_id,
+           0.4 * (CASE WHEN n >= 20 AND n <= 400 THEN 1.0 ELSE 0.5 END)
+           + 0.4 * (nd / n) + 0.2 * (sw / n) AS quality
+    FROM s
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length band + lexical diversity + stopword
+    ratio composite (functions/text.py::quality_score)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.quality_score(F.col("text")).alias("quality"))
+
+
+@register(
+    "text_lang_id",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    c AS (
+        SELECT doc_id,
+               len(list_filter(toks, t -> t IN ('the','a','of','and','to'))) AS c_en,
+               len(list_filter(toks, t -> t IN ('der','die','das','und','zu'))) AS c_de,
+               len(list_filter(toks, t -> t IN ('le','la','et','de','un'))) AS c_fr,
+               len(list_filter(toks, t -> t IN ('el','la','y','de','un'))) AS c_es
+        FROM s
+    )
+    SELECT doc_id,
+           CASE WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
+                WHEN c_de >= c_fr AND c_de >= c_es THEN 'de'
+                WHEN c_fr >= c_es THEN 'fr'
+                ELSE 'es' END AS pred_lang
+    FROM c
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: stopword-hit argmax with a fixed
+    preference order (en > de > fr > es) for ties — deterministic by
+    construction. (The synthetic corpus shares one vocabulary across
+    its `lang` labels, so this checks the operator, not classifier
+    accuracy.)"""
+    docs = load(spark, sf_dir, "documents")
+    s = TX.lang_scores(F.col("text"))
+    pred = (
+        F.when(
+            (s["en"] >= s["de"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["es"]),
+            "en",
+        )
+        .when((s["de"] >= s["fr"]) & (s["de"] >= s["es"]), "de")
+        .when(s["fr"] >= s["es"], "fr")
+        .otherwise("es")
+    )
+    return docs.select("doc_id", pred.alias("pred_lang"))
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(array_to_string(
+               list_sort(list_distinct(string_split(text, ' '))), ' '))
+             AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 over the sorted distinct token set —
+    order/repetition-invariant canonical hash used as a cheap
+    first-pass dedup key."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", TX.fingerprint(F.col("text")).alias("fingerprint")
+    )

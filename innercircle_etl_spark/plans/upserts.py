@@ -1,0 +1,184 @@
+"""Upsert/merge-family queries (SURVEY §2.2 U1-U6) exercising
+operators/upsert.py against the synthetic tables.
+
+Each query stages a 'target' and 'source' from deterministic slices
+of one table, applies the merge operator, and returns the post-merge
+state (or a compact aggregate of it) so the oracle can recompute the
+same state in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from innercircle_etl_spark.operators.upsert import (
+    conditional_flag_update,
+    date_gaps,
+    insert_if_absent,
+    merge_update,
+    partition_delete_reload,
+)
+from innercircle_etl_spark.plans.registry import dsum, duck_dsum, load, register
+
+
+@register(
+    "u1_insert_if_absent",
+    oracle=f"""
+    WITH target AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    source AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+    ),
+    merged AS (
+        SELECT * FROM target
+        UNION ALL
+        SELECT s.* FROM source s
+        WHERE NOT EXISTS (
+            SELECT 1 FROM target t WHERE t.o_orderkey = s.o_orderkey)
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {duck_dsum('o_totalprice')} AS total
+    FROM merged GROUP BY o_orderstatus
+    """,
+)
+def u1_insert_if_absent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: insert-if-absent upsert — staging + anti-join insert
+    (etl_utls.py:141-155). Idempotent: re-applying the same source is
+    a no-op (tests assert this property)."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    target = orders.filter(F.col("o_orderkey") % 3 == 0)
+    source = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+    ).select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    merged = insert_if_absent(target, source, ["o_orderkey"])
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("o_totalprice").alias("total"),
+    )
+
+
+@register(
+    "u2_merge_update",
+    oracle="""
+    WITH source AS (
+        SELECT c_custkey, c_acctbal * 2 AS c_acctbal
+        FROM customer WHERE c_mktsegment = 'BUILDING'
+    )
+    SELECT t.c_custkey,
+           coalesce(s.c_acctbal, t.c_acctbal) AS c_acctbal,
+           t.c_mktsegment
+    FROM customer t LEFT JOIN source s ON t.c_custkey = s.c_custkey
+    """,
+)
+def u2_merge_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2: merge-update — `UPDATE t SET c = s.c FROM s WHERE key=key`
+    with columns discovered dynamically (etl_utls.py:157-175)."""
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    source = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey", (F.col("c_acctbal") * 2).alias("c_acctbal"))
+    )
+    return merge_update(cust, source, ["c_custkey"], ["c_acctbal"])
+
+
+@register(
+    "u3_partition_delete_reload",
+    oracle=f"""
+    WITH reloaded AS (
+        SELECT event_id, ts, user_id, event_type, value + 100 AS value
+        FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-05'
+    ),
+    merged AS (
+        SELECT event_id, ts, user_id, event_type, value FROM events
+        WHERE NOT (CAST(ts AS DATE) = DATE '2024-01-05')
+        UNION ALL
+        SELECT * FROM reloaded
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {duck_dsum('value')} AS total_value
+    FROM merged GROUP BY event_type
+    """,
+)
+def u3_partition_delete_reload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3: day-partition delete+reload, the idempotent re-run
+    primitive (etl_utls.py:303-313, update_etl.py:306). At scale this
+    is `partitionOverwriteMode=dynamic` + insertInto — only the
+    touched date directory rewrites; this query checks the resulting
+    state."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    fresh = ev.filter(F.to_date("ts") == F.lit("2024-01-05")).withColumn(
+        "value", F.col("value") + 100
+    )
+    merged = partition_delete_reload(
+        ev, fresh, F.to_date(F.col("ts")), "2024-01-05"
+    )
+    return merged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value").alias("total_value"),
+    )
+
+
+@register(
+    "u5_conditional_flag",
+    oracle="""
+    SELECT c.c_custkey,
+           CASE WHEN EXISTS (
+               SELECT 1 FROM orders o
+               WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 250000
+           ) THEN TRUE ELSE FALSE END AS is_whale
+    FROM customer c
+    """,
+)
+def u5_conditional_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5: conditional flag update — `UPDATE ... SET is_nft = true
+    FROM (subquery)` (update_etl.py:150-174)."""
+    cust = (
+        load(spark, sf_dir, "customer")
+        .select("c_custkey")
+        .withColumn("is_whale", F.lit(False))
+    )
+    matches = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 250000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return conditional_flag_update(
+        cust, matches, ["c_custkey"], "is_whale", True
+    )
+
+
+@register(
+    "u6_date_gaps",
+    oracle="""
+    SELECT CAST(d AS DATE) AS missing_date
+    FROM (SELECT unnest(generate_series(
+            DATE '2024-01-01', DATE '2024-01-30', INTERVAL 1 DAY)) AS d)
+    WHERE CAST(d AS DATE) NOT IN (
+        SELECT DISTINCT CAST(ts AS DATE) FROM events
+        WHERE day(CAST(ts AS DATE)) % 3 != 0
+    )
+    ORDER BY missing_date
+    """,
+)
+def u6_date_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U6: gap detection — expected dates EXCEPT loaded dates
+    (etl_utls.py:340-357, dim_dates.csv driver). 'Loaded' is a
+    deterministic subset (days not divisible by 3) so gaps exist in
+    the fixture."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.dayofmonth(F.to_date("ts")) % 3 != 0
+    )
+    return date_gaps(ev, "ts", "2024-01-01", "2024-01-30")

@@ -1,0 +1,151 @@
+"""Window-function operators (SURVEY §2.6 W1-W5, §2.7 O1)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from innercircle_etl_spark.operators.window_dedup import (
+    first_per_key,
+    latest_per_key,
+    top_n_per_group,
+)
+from innercircle_etl_spark.plans.registry import load, register
+
+
+@register(
+    "w1_latest_per_key",
+    oracle="""
+    SELECT l_partkey, l_orderkey, l_linenumber, l_shipdate, l_extendedprice
+    FROM (
+        SELECT l_partkey, l_orderkey, l_linenumber, l_shipdate, l_extendedprice,
+               row_number() OVER (
+                   PARTITION BY l_partkey
+                   ORDER BY l_shipdate DESC, l_orderkey DESC, l_linenumber DESC
+               ) AS rn
+        FROM lineitem
+    ) WHERE rn = 1
+    """,
+)
+def w1_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: latest-row-per-key dedup — the reference's ownership
+    snapshot / latest-contract idiom (update_etl.py:129-140,
+    :491-507, schema.sql:392-408). Tiebreakers pinned for
+    determinism."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice"
+    )
+    return latest_per_key(
+        li, ["l_partkey"], "l_shipdate", tiebreakers=["l_orderkey", "l_linenumber"]
+    )
+
+
+@register(
+    "w2_first_per_key",
+    oracle="""
+    SELECT o_custkey, o_orderkey AS first_orderkey,
+           o_orderdate AS first_orderdate,
+           o_totalprice AS first_totalprice
+    FROM (
+        SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+               row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate ASC, o_orderkey ASC
+               ) AS rn
+        FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def w2_first_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: first-row-per-key — first acquisition
+    (update_etl.py:430-437, first_acquisition.sql:16-22)."""
+    orders = load(spark, sf_dir, "orders")
+    out = first_per_key(
+        orders, ["o_custkey"], "o_orderdate", tiebreakers=["o_orderkey"]
+    )
+    return out.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("first_orderkey"),
+        F.col("o_orderdate").alias("first_orderdate"),
+        F.col("o_totalprice").alias("first_totalprice"),
+    )
+
+
+@register(
+    "w3_topn_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey ASC
+               ) AS rn
+        FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def w3_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: top-N per group — top-3 insights per collection
+    (update_etl.py:1186-1193), collection rank in portfolio (:578)."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    return top_n_per_group(
+        orders,
+        ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        3,
+    )
+
+
+@register(
+    "w4_global_rank",
+    oracle="""
+    SELECT c_custkey, c_acctbal,
+           CAST(rank() OVER (ORDER BY c_acctbal DESC) AS INTEGER) AS wealth_rank
+    FROM customer
+    """,
+)
+def w4_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4: global (unpartitioned) rank — whale ranking by net worth
+    (update_etl.py:596).
+
+    Scale hazard (SURVEY §4 X11): an unpartitioned window shuffles
+    everything to ONE partition. Fine at dim-table cardinality; for a
+    100TB fact table the scalable form is a two-phase rank: sort by a
+    range-partitioned orderBy (Spark's range partitioner samples
+    bounds), compute per-partition ranks + partition offsets, then
+    add. Kept single-window here because the rank input is already an
+    aggregate (per-address), orders of magnitude smaller than raw
+    facts."""
+    cust = load(spark, sf_dir, "customer")
+    w = Window.orderBy(F.col("c_acctbal").desc())
+    return cust.select(
+        "c_custkey",
+        "c_acctbal",
+        F.rank().over(w).cast("int").alias("wealth_rank"),
+    )
+
+
+@register(
+    "o1_global_topk",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 200
+    """,
+)
+def o1_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1: ORDER BY ... LIMIT k — top-200 whales/traders
+    (update_etl.py:858-879). Spark plans TakeOrderedAndProject: each
+    partition keeps its local top-k, only k rows per partition reach
+    the driver — no global sort, scales to any input size. Tiebreak
+    by orderkey pins the boundary row deterministically."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(200)
+    )
