@@ -46,17 +46,34 @@ def char_ngrams(text: Column, k: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-def minhash_signature(shingle_arr: Column, num_hashes: int) -> list[Column]:
-    """MinHash signature: for seed s, min over shingles of
-    md5('{s}|' || shingle). Hex-string min is a valid order (binary
-    collation in both engines)."""
+# Prime just below 2^32 for the double-hashing minhash family
+# h_i = (h1 + i*h2) mod P. With h1,h2 < 2^32 and i < ~64 the products
+# stay < 2^38 — no BIGINT overflow in either engine.
+MINHASH_P = 4294967291
+
+
+def shingle_hashes(shingle_arr: Column) -> tuple[Column, Column]:
+    """Two independent 32-bit hash arrays from ONE md5 per shingle
+    (first/second 8 hex chars). Materialize these as columns before
+    deriving the signature so md5 runs once, not num_hashes times."""
+    mh = F.transform(shingle_arr, F.md5)
+    h1 = F.transform(
+        mh, lambda s: F.conv(F.substring(s, 1, 8), 16, 10).cast("long")
+    )
+    h2 = F.transform(
+        mh, lambda s: F.conv(F.substring(s, 9, 8), 16, 10).cast("long")
+    )
+    return h1, h2
+
+
+def minhash_from_hashes(h1: Column, h2: Column, num_hashes: int) -> list[Column]:
+    """MinHash signature via double hashing: min over shingles of
+    (h1 + i*h2) mod P for each of the num_hashes derived functions.
+    One md5 per shingle total — the classic cost reduction vs. one
+    full hash per (shingle, function)."""
     return [
-        F.array_min(
-            F.transform(
-                shingle_arr, lambda x: F.md5(F.concat(F.lit(f"{s}|"), x))
-            )
-        )
-        for s in range(num_hashes)
+        F.array_min(F.zip_with(h1, h2, lambda a, b: (a + i * b) % MINHASH_P))
+        for i in range(num_hashes)
     ]
 
 
@@ -66,7 +83,11 @@ def lsh_band_keys(sigs: list[Column], bands: int) -> Column:
     rows = len(sigs) // bands
     return F.array(
         *[
-            F.md5(F.concat(F.lit(f"{b}|"), *sigs[b * rows : (b + 1) * rows]))
+            F.concat_ws(
+                "|",
+                F.lit(str(b)),
+                *[s.cast("string") for s in sigs[b * rows : (b + 1) * rows]],
+            )
             for b in range(bands)
         ]
     )

@@ -51,13 +51,21 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _NUM_HASHES, _BANDS = 16, 4
 _ROWS = _NUM_HASHES // _BANDS
+_P = 4294967291  # keep in sync with sketches.MINHASH_P
 
 _mh_list = ", ".join(
-    f"list_min([md5('{s}|' || x) for x in sh])" for s in range(_NUM_HASHES)
+    f"list_min([(h1[j] + {i} * h2[j]) % {_P} "
+    f"for j in generate_series(1, len(h1))])"
+    for i in range(_NUM_HASHES)
 )
 _band_list = ", ".join(
-    "md5('%d|' || %s)"
-    % (b, " || ".join(f"m[{b * _ROWS + r + 1}]" for r in range(_ROWS)))
+    "'%d|' || %s"
+    % (
+        b,
+        " || '|' || ".join(
+            f"CAST(m[{b * _ROWS + r + 1}] AS VARCHAR)" for r in range(_ROWS)
+        ),
+    )
     for b in range(_BANDS)
 )
 
@@ -76,8 +84,17 @@ sh AS (
                           for i in generate_series(1, len(w) - 2)]) AS sh
     FROM tok WHERE len(w) >= 3
 ),
+hashed AS (
+    SELECT doc_id, sh, [md5(x) for x in sh] AS mh FROM sh
+),
+hh AS (
+    SELECT doc_id, sh,
+           [('0x' || substr(m, 1, 8))::BIGINT for m in mh] AS h1,
+           [('0x' || substr(m, 9, 8))::BIGINT for m in mh] AS h2
+    FROM hashed
+),
 sig AS (
-    SELECT doc_id, sh, [{_mh_list}] AS m FROM sh
+    SELECT doc_id, sh, [{_mh_list}] AS m FROM hh
 ),
 bands AS (
     SELECT doc_id, sh, unnest([{_band_list}]) AS band_key FROM sig
@@ -121,8 +138,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = corpus.select("doc_id", SK.word_shingles(toks, 3).alias("sh")).filter(
         F.size("sh") > 0
     )
-    sigs = SK.minhash_signature(F.col("sh"), _NUM_HASHES)
-    banded = sh.select(
+    # materialize the per-shingle hash arrays in their own projection
+    # so md5 evaluates once per shingle, not once per hash function
+    h1, h2 = SK.shingle_hashes(F.col("sh"))
+    hashed = sh.select("doc_id", "sh", h1.alias("h1"), h2.alias("h2"))
+    sigs = SK.minhash_from_hashes(F.col("h1"), F.col("h2"), _NUM_HASHES)
+    banded = hashed.select(
         "doc_id",
         "sh",
         F.explode(SK.lsh_band_keys(sigs, _BANDS)).alias("band_key"),
