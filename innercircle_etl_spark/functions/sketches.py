@@ -19,17 +19,27 @@ from pyspark.sql import functions as F
 
 def word_shingles(toks: Column, k: int = 3) -> Column:
     """Distinct k-word shingles of a token array (empty if < k
-    tokens)."""
-    n = F.size(toks)
-    shingle_at = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(toks, i + j) for j in range(k)]
-    )
-    return F.when(
-        n >= k,
-        F.array_distinct(
-            F.transform(F.sequence(F.lit(1), n - (k - 1)), shingle_at)
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    tokens).
+
+    The token expression is let-bound through a 1-element transform()
+    so it evaluates ONCE per row: higher-order functions are
+    interpreted (no codegen CSE), so referencing `toks` directly in
+    the per-shingle lambda would re-evaluate it — typically a full
+    split(text) — once per shingle."""
+
+    def _shingles(t: Column) -> Column:
+        n = F.size(t)
+        return F.when(
+            n >= k,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), n - (k - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(t, i, k)),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return F.element_at(F.transform(F.array(toks), _shingles), 1)
 
 
 def char_ngrams(text: Column, k: int = 3) -> Column:

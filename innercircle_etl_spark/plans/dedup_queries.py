@@ -132,20 +132,33 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 100000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
     )
-    corpus = docs.unionByName(near)
+    # Filter on a cheap token-count proxy BEFORE building shingle
+    # arrays: filtering on size(sh) makes Catalyst inline the whole
+    # shingle expression into the pushed-down predicate and evaluate
+    # it twice per row.
+    corpus = (
+        docs.unionByName(near)
+        .filter(F.size(F.split(F.col("text"), " ")) >= 3)
+        # tiny parquet => 1-2 input splits; spread the hash-heavy
+        # compute across all cores. At 100TB the scan already yields
+        # thousands of splits and this shuffle is skipped.
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
 
     toks = F.split(F.col("text"), " ")
-    sh = corpus.select("doc_id", SK.word_shingles(toks, 3).alias("sh")).filter(
-        F.size("sh") > 0
-    )
-    # materialize the per-shingle hash arrays in their own projection
-    # so md5 evaluates once per shingle, not once per hash function
+    sh = corpus.select("doc_id", SK.word_shingles(toks, 3).alias("sh"))
     h1, h2 = SK.shingle_hashes(F.col("sh"))
-    hashed = sh.select("doc_id", "sh", h1.alias("h1"), h2.alias("h2"))
+    # cache HERE, after the md5/hash projection: it feeds candidate
+    # generation AND both sides of the verify join, and the cache
+    # boundary stops ProjectCollapse from inlining h1/h2 into all 16
+    # signature expressions (higher-order funcs are interpreted — no
+    # CSE — so inlining would run the md5 pass 32x per row).
+    hashed = sh.select(
+        "doc_id", "sh", h1.alias("h1"), h2.alias("h2")
+    ).cache()
     sigs = SK.minhash_from_hashes(F.col("h1"), F.col("h2"), _NUM_HASHES)
     banded = hashed.select(
         "doc_id",
-        "sh",
         F.explode(SK.lsh_band_keys(sigs, _BANDS)).alias("band_key"),
     )
     a = banded.select(
@@ -159,8 +172,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    sa = hashed.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
+    )
+    sb = hashed.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
+    )
     jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
         F.array_union("sh_a", "sh_b")
     )
@@ -297,43 +314,104 @@ WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) >= 0.9
 """
 
 
+_NGRAM_T = 0.9
+
+
 @register("dedup_ngram_jaccard", oracle=_NGRAM_ORACLE)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Char-trigram Jaccard near-dup at 0.9, candidates via inverted
-    index (explode grams → equi-join on gram → count per pair):
-    only pairs sharing ≥1 gram materialize, set sizes join in via
-    inclusion-exclusion — no arrays shipped through the shuffle,
-    no O(n²). This is the exact (non-sketch) member of the dedup
-    family."""
+    """Char-trigram Jaccard near-dup at t=0.9 with **prefix
+    filtering** (AllPairs/PPJoin): index only each doc's
+    ``n - ceil(t*n) + 1`` rarest grams (global ascending-frequency
+    order). Any pair with J >= t MUST collide on both prefixes —
+    lossless pruning — so a naive inverted index's blowup on
+    hyper-frequent grams ('the', ' an', ...) never happens: at t=0.9
+    the index is ~10% of the grams, all rare ones. Candidates then
+    verify with exact array_intersect/array_union.
+
+    This is the exact (non-sketch) member of the dedup family;
+    contrast dedup_minhash_lsh (probabilistic candidates, same
+    verify)."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     near = docs.filter(F.col("doc_id") % 25 == 0).select(
         (F.col("doc_id") + 100000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
     )
-    corpus = docs.unionByName(near).filter(F.length("text") >= 3)
-    grams = corpus.select(
-        "doc_id", SK.char_ngrams(F.col("text"), 3).alias("g")
+    corpus = (
+        docs.unionByName(near)
+        .filter(F.length("text") >= 3)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
-    sizes = grams.select("doc_id", F.size("g").alias("n"))
-    inv = grams.select("doc_id", F.explode("g").alias("gram"))
-    a = inv.select(F.col("doc_id").alias("doc_a"), "gram")
-    b = inv.select(F.col("doc_id").alias("doc_b"), "gram")
-    inter = (
+    # grams as xxhash64 ints for everything downstream: candidate
+    # keys and verify intersections move 8-byte longs, not 3-char
+    # strings. Jaccard over hashed sets == Jaccard over grams unless
+    # two distinct grams of one pair collide (P ~ n^2/2^64, ~1e-15
+    # per pair — below any realistic corpus size).
+    grams = corpus.select(
+        "doc_id",
+        F.transform(
+            SK.char_ngrams(F.col("text"), 3), lambda g: F.xxhash64(g)
+        ).alias("g"),
+    ).cache()
+    inv = grams.select(
+        "doc_id", F.size("g").alias("n"), F.explode("g").alias("gram")
+    )
+
+    # global gram document-frequency -> a total order (df, gram)
+    df_tbl = inv.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("df", "gram")
+    prefix = (
+        inv.join(df_tbl, "gram")
+        .withColumn("pos", F.row_number().over(w))
+        # prefix length = n - ceil(t*n) + 1; ceil(9n/10) in exact
+        # integer arithmetic ((9n+9) div 10) — float ceil(0.9*n)
+        # rounds wrong at e.g. n=10 and would drop true pairs
+        .filter(
+            F.col("pos")
+            <= F.col("n") - F.floor((F.col("n") * 9 + 9) / 10) + 1
+        )
+        .select("doc_id", "n", "pos", "gram")
+    )
+    a = prefix.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("n").alias("na"),
+        F.col("pos").alias("pa"),
+        "gram",
+    )
+    b = prefix.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("n").alias("nb"),
+        F.col("pos").alias("pb"),
+        "gram",
+    )
+    # PPJoin positional/length pruning (lossless): a true pair's
+    # smallest common gram g has every other common gram after g in
+    # both docs, so overlap <= 1 + min(na-pa, nb-pb); overlap must
+    # reach alpha = ceil(t/(1+t)*(na+nb)) = ceil(9(na+nb)/19).
+    alpha = F.floor((9 * (F.col("na") + F.col("nb")) + 18) / 19)
+    cand = (
         a.join(b, ["gram"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("nb") * 10 >= F.col("na") * 9)
+        .filter(F.col("na") * 10 >= F.col("nb") * 9)
+        .filter(
+            1 + F.least(F.col("na") - F.col("pa"), F.col("nb") - F.col("pb"))
+            >= alpha
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = F.col("n_common").cast("double") / (
-        F.col("na") + F.col("nb") - F.col("n_common")
+    sa = grams.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("g_a"))
+    sb = grams.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("g_b"))
+    jac = F.size(F.array_intersect("g_a", "g_b")).cast("double") / F.size(
+        F.array_union("g_a", "g_b")
     )
     return (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= 0.9)
+        .filter(F.col("jaccard") >= _NGRAM_T)
         .select("doc_a", "doc_b", "jaccard")
     )
 
@@ -366,22 +444,58 @@ SELECT vec_a, vec_b, cos FROM pairs WHERE cos >= 0.99
 @register("dedup_embedding_cosine", oracle=_EMB_ORACLE)
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup: pairs with cosine ≥ 0.99 (planted scaled
-    copies have cosine exactly ~1). Brute-force pair generation here
-    (500 vecs); the LSH-bucketed variant in similarity_queries.py is
-    the same verify over hyperplane-bucket candidates — that's the
-    form that scales. Double folds are left-to-right → bit-identical
-    to the oracle."""
+    copies have cosine exactly ~1).
+
+    Two-phase: (1) vectorized numpy GEMM prune inside mapInPandas —
+    each partition multiplies its rows against the broadcast full
+    matrix and keeps pairs with cos >= threshold - 1e-9; (2) exact
+    re-verify of the survivors with the left-fold column expression,
+    which is bit-identical to the oracle's list_reduce (numpy's
+    pairwise/SIMD summation is NOT, so phase 1 alone would hash-
+    mismatch at the last ulp). The pruned pair count is ~|dups|, so
+    phase 2 is negligible. At 100TB phase 1's broadcast becomes an
+    IVF/LSH bucket join (see ann_lsh_bucketed) — the verify contract
+    is unchanged."""
+    import numpy as np
+    import pandas as pd
+
     emb = load(spark, sf_dir, "embeddings")
     base = emb.select("vec_id", V.as_double(F.col("embedding")).alias("v"))
     planted = emb.filter(F.col("vec_id") % 50 == 0).select(
         (F.col("vec_id") + 100000).alias("vec_id"),
         F.transform("embedding", lambda x: x.cast("double") * 1.5).alias("v"),
     )
-    corpus = base.unionByName(planted)
+    corpus = base.unionByName(planted).repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    ).cache()
+
+    rows = corpus.toPandas()
+    ids = rows["vec_id"].to_numpy()
+    mat = np.stack(rows["v"].to_numpy())
+    mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((ids, mat_n))
+
+    def prune(batches):
+        all_ids, all_mat = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            my_ids = pdf["vec_id"].to_numpy()
+            my = np.stack(pdf["v"].to_numpy())
+            my = my / np.linalg.norm(my, axis=1, keepdims=True)
+            sims = my @ all_mat.T  # |part| x N
+            ii, jj = np.nonzero(sims >= 0.99 - 1e-9)
+            va, vb = my_ids[ii], all_ids[jj]
+            keep = va < vb
+            yield pd.DataFrame({"vec_a": va[keep], "vec_b": vb[keep]})
+
+    cand = corpus.mapInPandas(prune, "vec_a long, vec_b long")
     a = corpus.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
     b = corpus.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
-    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
     cos = V.cosine(F.col("va"), F.col("vb"))
-    return pairs.select("vec_a", "vec_b", cos.alias("cos")).filter(
-        F.col("cos") >= 0.99
+    return (
+        cand.join(a, "vec_a")
+        .join(b, "vec_b")
+        .select("vec_a", "vec_b", cos.alias("cos"))
+        .filter(F.col("cos") >= 0.99)
     )
