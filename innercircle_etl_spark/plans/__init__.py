@@ -10,9 +10,11 @@ from innercircle_etl_spark.plans.registry import ORACLES, QUERIES, load  # noqa:
 # Import for registration side effects.
 from innercircle_etl_spark.plans import (  # noqa: F401,E402
     aggregates,
+    decode_queries,
     dedup_queries,
     filters,
     joins,
+    multimodal_queries,
     scalar_funcs,
     setops,
     similarity_queries,
