@@ -19,6 +19,7 @@ from innercircle_etl_spark.plans import (  # noqa: F401,E402
     setops,
     similarity_queries,
     sources_queries,
+    streaming_queries,
     text_queries,
     upserts,
     windows,

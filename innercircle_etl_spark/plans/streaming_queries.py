@@ -1,0 +1,234 @@
+"""Streaming/incremental queries (SURVEY §2.11 I1-I5).
+
+Each query drives a REAL checkpointed stream over scratch files in
+two arrival waves, then returns a batch-queryable result whose oracle
+is plain SQL over the same rows — proving exactly-once processing
+(double-processing would double counts and hash-mismatch).
+
+Scratch state is wiped at query start so runs are self-contained and
+deterministic.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from innercircle_etl_spark.plans.registry import load, register
+from innercircle_etl_spark.streaming import (
+    run_available_now,
+    stream_ndjson_dir,
+)
+
+SCRATCH = os.environ.get("SPARK_GRAFT_SCRATCH", "/root/repo/.scratch")
+
+_EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+# Split point between the two arrival waves: first half of events by
+# id lands before the first poll, the rest before the second.
+_WAVE_SQL = "event_id % 2"
+
+
+def _wave(col) -> F.Column:
+    return col % 2
+
+
+def _events_slim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+
+def _fresh(path: str) -> str:
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+def _two_wave_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    foreach_batch=None,
+) -> tuple[str, str]:
+    """Write events as NDJSON in two waves, draining the checkpointed
+    stream after each (the daemon's poll loop, two cycles). Returns
+    (sink_path, checkpoint) — with foreach_batch, sink is unused."""
+    base = _fresh(f"{SCRATCH}/stream_{name}_{os.path.basename(sf_dir)}")
+    src = f"{base}/in"
+    sink = f"{base}/out"
+    ckpt = f"{base}/ckpt"
+    ev = _events_slim(spark, sf_dir)
+
+    for wave in (0, 1):
+        ev.filter(_wave(F.col("event_id")) == wave).write.mode(
+            "append"
+        ).json(src)
+        stream = stream_ndjson_dir(spark, src, _EVENT_SCHEMA)
+        run_available_now(
+            stream,
+            ckpt,
+            sink_path=sink,
+            foreach_batch=foreach_batch,
+        )
+    return sink, ckpt
+
+
+_I4_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("i4_file_stream_exactly_once", oracle=_I4_ORACLE)
+def i4_file_stream_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I4/S7: the polling JSON daemon as a checkpointed file-source
+    stream (load_metadata_json_daemon.py:13-37 → readStream +
+    Trigger.AvailableNow). Two arrival waves, two drains, one
+    checkpoint: the second drain must skip wave-0 files — any
+    reprocessing doubles counts and fails the oracle, which
+    aggregates the full events table in one batch pass."""
+    sink, _ = _two_wave_stream(spark, sf_dir, "i4")
+    out = spark.read.schema(_EVENT_SCHEMA).parquet(sink)
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+_I3_ORACLE = """
+SELECT user_id, event_id AS last_event_id, event_type AS last_event_type
+FROM (
+    SELECT user_id, event_id, event_type,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY event_id DESC) AS rnk
+    FROM events
+) WHERE rnk = 1
+"""
+
+
+@register("i3_streaming_snapshot", oracle=_I3_ORACLE)
+def i3_streaming_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I3: stateful snapshot maintenance (nft_ownership,
+    update_etl.py:480-534) as foreachBatch merge: each micro-batch
+    window-dedups union(snapshot, delta) to latest-per-key and
+    atomically rewrites the snapshot. Restart-safe: the checkpoint
+    replays unprocessed files only; the merge is idempotent. Oracle =
+    latest event per user over the whole table in one batch pass."""
+    base = f"{SCRATCH}/stream_i3_{os.path.basename(sf_dir)}"
+    snap = f"{base}/snapshot"
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        cols = ["user_id", "event_id", "event_type"]
+        delta = batch_df.select(*cols)
+        try:
+            current = sp.read.parquet(snap)
+        except Exception:
+            current = sp.createDataFrame([], delta.schema)
+        w = Window.partitionBy("user_id").orderBy(F.col("event_id").desc())
+        merged = (
+            current.unionByName(delta)
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") == 1)
+            .drop("rnk")
+        )
+        # atomic swap: write new snapshot, then move into place
+        tmp = f"{snap}_tmp_{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(snap, ignore_errors=True)
+        os.rename(tmp, snap)
+
+    _two_wave_stream(spark, sf_dir, "i3", foreach_batch=merge)
+    return spark.read.parquet(snap).select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+    )
+
+
+_I1_ORACLE = """
+WITH target AS (
+    SELECT * FROM events WHERE event_id % 2 = 0
+),
+watermark AS (
+    SELECT MAX(event_id) AS hw FROM target
+),
+increment AS (
+    SELECT e.* FROM events e, watermark w WHERE e.event_id > w.hw
+)
+SELECT CAST((SELECT COUNT(*) FROM target) AS BIGINT) AS n_loaded,
+       CAST((SELECT COUNT(*) FROM increment) AS BIGINT) AS n_new,
+       (SELECT MAX(event_id) FROM increment) AS new_hw
+"""
+
+
+@register("i1_highwatermark_increment", oracle=_I1_ORACLE)
+def i1_highwatermark_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I1: high-watermark incremental extract (update_etl.py:413,435,
+    499; get_terminal_ts etl_utls.py:328-338): watermark = max(key)
+    of the loaded target, pull only source rows beyond it. The
+    watermark is a 1-row aggregate crossJoined into the source filter
+    — no driver round-trip, stays one DAG."""
+    ev = load(spark, sf_dir, "events")
+    target = ev.filter(_wave(F.col("event_id")) == 0)
+    hw = target.agg(F.max("event_id").alias("hw"))
+    inc = ev.crossJoin(F.broadcast(hw)).filter(F.col("event_id") > F.col("hw"))
+    return (
+        target.agg(F.count(F.lit(1)).alias("n_loaded"))
+        .crossJoin(inc.agg(F.count(F.lit(1)).alias("n_new")))
+        .crossJoin(inc.agg(F.max("event_id").alias("new_hw")))
+    )
+
+
+_I5_ORACLE = """
+WITH versions AS (
+    SELECT user_id, event_id AS version_id, event_type AS segment
+    FROM events WHERE event_id % 5 < 4          -- prior runs
+    UNION ALL
+    SELECT user_id, event_id, event_type
+    FROM events WHERE event_id % 5 = 4          -- this run's insert
+)
+SELECT user_id, version_id, segment,
+       (version_id = MAX(version_id) OVER (PARTITION BY user_id))
+         AS is_current
+FROM versions
+"""
+
+
+@register("i5_scd_flag_flip", oracle=_I5_ORACLE)
+def i5_scd_flag_flip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I5: SCD-2-lite flag flip (insider_to_circle_mapping,
+    update_etl.py:906-920, schema.sql:450-460): append the new
+    version rows, then recompute is_current as 'is this the latest
+    version for the key' — one window max, no UPDATE statement."""
+    ev = load(spark, sf_dir, "events")
+    history = ev.filter(F.col("event_id") % 5 < 4).select(
+        "user_id",
+        F.col("event_id").alias("version_id"),
+        F.col("event_type").alias("segment"),
+    )
+    fresh = ev.filter(F.col("event_id") % 5 == 4).select(
+        "user_id",
+        F.col("event_id").alias("version_id"),
+        F.col("event_type").alias("segment"),
+    )
+    versions = history.unionByName(fresh)
+    w = Window.partitionBy("user_id")
+    return versions.withColumn(
+        "is_current", F.col("version_id") == F.max("version_id").over(w)
+    )
