@@ -19,9 +19,11 @@ from innercircle_etl_spark.plans import ORACLES, QUERIES
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001: the multiway
-    join + exact-sum aggregation (J1+A3 — the nft_trx_union shape)."""
-    return QUERIES["j1_multiway_join"](spark, "/root/testdata/sf0.001")
+    """Flagship query on /root/testdata/sf0.001: the full ROI
+    cascade (SURVEY §3 entry point 3) — floor percentile, window
+    dedup, as-of buy/sell match, broadcast floor fallback,
+    two-level rollup, top-K — as one DataFrame DAG."""
+    return QUERIES["ep3_roi_cascade"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

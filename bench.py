@@ -31,11 +31,16 @@ HEADLINE = [
     "u1_insert_if_absent",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
     "dedup_simhash",
+    "dedup_embedding_cosine",
     "ann_cosine_topk",
     "ann_lsh_bucketed",
     "text_quality_score",
     "f6_json_extract",
+    "d12_trade_decode_pipeline",
+    "mm_image_features",
+    "ep3_roi_cascade",
 ]
 
 
@@ -46,15 +51,20 @@ def main() -> None:
 
     spark = get_spark(app_name="bench")
 
+    # JVM/codegen warm-up on the smallest SF so the first measured
+    # query doesn't absorb JIT + executor spin-up noise.
+    QUERIES["a3_sum_min_max_avg"](spark, "/root/testdata/sf0.001").count()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        # one warm-up pass builds plans/caches file listings; measured
-        # pass reflects steady-state execution.
         t0 = time.time()
         n = fn(spark, sf_dir).count()
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        # drop caches a query built for itself: queries are timed
+        # cold and can't interfere with each other's memory
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")

@@ -15,6 +15,7 @@ from innercircle_etl_spark.plans import (  # noqa: F401,E402
     filters,
     joins,
     multimodal_queries,
+    roi_cascade,
     scalar_funcs,
     setops,
     similarity_queries,

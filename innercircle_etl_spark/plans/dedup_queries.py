@@ -182,8 +182,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_union("sh_a", "sh_b")
     )
     return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        cand.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= 0.8)
         .select("doc_a", "doc_b", "jaccard")
@@ -402,18 +402,40 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    sa = grams.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("g_a"))
-    sb = grams.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("g_b"))
-    jac = F.size(F.array_intersect("g_a", "g_b")).cast("double") / F.size(
-        F.array_union("g_a", "g_b")
-    )
-    return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= _NGRAM_T)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    # Verify: numpy merge-intersect over a broadcast {doc: sorted
+    # grams} dict — array_intersect/array_union cost ~600us/pair
+    # interpreted (hash-set build + boxing per call); np.intersect1d
+    # on sorted unique arrays is ~10us. |A∪B| = na + nb - |A∩B|, so
+    # one intersect per pair. Same double division as the oracle →
+    # bit-identical jaccard. At 100TB the dict becomes a shuffle
+    # join on doc id; the per-pair math is unchanged.
+    import numpy as np
+    import pandas as pd
+
+    gmap = {
+        r["doc_id"]: np.sort(np.asarray(r["g"], dtype=np.int64))
+        for r in grams.collect()
+    }
+    bc = spark.sparkContext.broadcast(gmap)
+
+    def verify(batches):
+        m = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            jac = np.empty(len(pdf), dtype=np.float64)
+            for i, (da, db) in enumerate(
+                zip(pdf["doc_a"].to_numpy(), pdf["doc_b"].to_numpy())
+            ):
+                ga, gb = m[da], m[db]
+                c = np.intersect1d(ga, gb, assume_unique=True).size
+                jac[i] = c / (ga.size + gb.size - c)
+            out = pd.DataFrame(
+                {"doc_a": pdf["doc_a"], "doc_b": pdf["doc_b"], "jaccard": jac}
+            )
+            yield out[out["jaccard"] >= _NGRAM_T]
+
+    return cand.mapInPandas(verify, "doc_a long, doc_b long, jaccard double")
 
 
 # ----------------------------------------------------- embedding cosine

@@ -1,0 +1,259 @@
+"""Entry point 3 end-to-end: the trading-ROI cascade (SURVEY §3,
+update_etl.py:635-834) as ONE lazily-built DataFrame DAG.
+
+The reference materializes six Postgres temp tables with manual
+indexes (trx_with_floor_price → cet_buy/cet_sell → trade_roi_flat →
+cet_roi → past_90_days_trading_roi → insider filter). Here the whole
+cascade is a single plan: Catalyst fuses the projections, the as-of
+join shuffles once on (wallet, collection), the deduped latest-floor
+side broadcasts, and the only global sort is the final top-K —
+TakeOrderedAndProject, not a full sort.
+
+Mapping onto the synthetic lineitem fact table:
+  wallet = l_suppkey, collection = l_partkey, event date =
+  l_shipdate, price = l_extendedprice; 'R'-flag rows are the sell
+  leg, others the buy leg (J8: two projections of one fact).
+Stages exercised: A8 floor percentile → W1 latest floor → J7 as-of
+buy→sell → J9 floor fallback → A3/A7 rollup → W3 top-collections →
+A11 wallet rollup → O1 global top-K.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from innercircle_etl_spark.operators.asof import asof_join
+from innercircle_etl_spark.operators.percentiles import percentile_disc
+from innercircle_etl_spark.operators.window_dedup import latest_per_key
+from innercircle_etl_spark.plans.registry import dsum, load, register
+
+_TOP_WALLETS = 100
+
+_EP3_ORACLE = """
+WITH fact AS (
+    SELECT l_suppkey AS wallet, l_partkey AS coll, l_shipdate AS ev_date,
+           l_extendedprice AS price, l_returnflag AS flag,
+           l_orderkey AS okey, l_linenumber AS line
+    FROM lineitem
+),
+floor_daily AS (
+    SELECT coll, ev_date,
+           percentile_disc(0.2) WITHIN GROUP (ORDER BY price) AS floor_price
+    FROM fact GROUP BY coll, ev_date
+),
+latest_floor AS (
+    SELECT coll, floor_price FROM (
+        SELECT coll, floor_price,
+               row_number() OVER (PARTITION BY coll
+                                  ORDER BY ev_date DESC) AS rn
+        FROM floor_daily
+    ) WHERE rn = 1
+),
+buys AS (
+    SELECT wallet, coll, ev_date AS buy_date, price AS buy_price
+    FROM fact WHERE flag <> 'R'
+),
+sells AS (
+    SELECT wallet, coll, ev_date AS sell_date, price AS sell_price,
+           okey AS s_okey, line AS s_line
+    FROM fact WHERE flag = 'R'
+),
+-- as-of at (wallet, coll, buy_date) granularity: the first-sell
+-- match depends only on those three, and the synthetic fact table
+-- has no unique row key to anchor a per-row window on
+buy_keys AS (
+    SELECT DISTINCT wallet, coll, buy_date FROM buys
+),
+matched AS (
+    SELECT wallet, coll, buy_date, m_sell_price FROM (
+        SELECT b.*,
+               CASE WHEN s.sell_date >= b.buy_date
+                    THEN s.sell_price END AS m_sell_price,
+               row_number() OVER (
+                   PARTITION BY b.wallet, b.coll, b.buy_date
+                   ORDER BY (CASE WHEN s.sell_date >= b.buy_date
+                                  THEN s.sell_date END) ASC NULLS LAST,
+                            (CASE WHEN s.sell_date >= b.buy_date
+                                  THEN s.s_okey END) ASC NULLS LAST,
+                            (CASE WHEN s.sell_date >= b.buy_date
+                                  THEN s.s_line END) ASC NULLS LAST,
+                            (CASE WHEN s.sell_date >= b.buy_date
+                                  THEN s.sell_price END) ASC NULLS LAST
+               ) AS rn
+        FROM buy_keys b
+        LEFT JOIN sells s ON b.wallet = s.wallet AND b.coll = s.coll
+    ) WHERE rn = 1
+),
+gains AS (
+    SELECT b.wallet, b.coll, b.buy_date,
+           coalesce(m.m_sell_price, f.floor_price) - b.buy_price AS gain,
+           (m.m_sell_price IS NOT NULL) AS realized
+    FROM buys b
+    JOIN matched m ON b.wallet = m.wallet AND b.coll = m.coll
+                  AND b.buy_date = m.buy_date
+    JOIN latest_floor f ON b.coll = f.coll
+),
+cet_roi AS (
+    SELECT wallet, coll,
+           CAST(COUNT(*) AS BIGINT) AS n_buys,
+           CAST(SUM(CASE WHEN realized THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_realized,
+           MIN(buy_date) AS first_buy_date,
+           CAST(SUM(CAST(gain AS DECIMAL(38,6))) AS DOUBLE) AS coll_gain
+    FROM gains GROUP BY wallet, coll
+),
+ranked AS (
+    SELECT *, CAST(row_number() OVER (
+               PARTITION BY wallet
+               ORDER BY coll_gain DESC, coll ASC) AS INTEGER) AS coll_rank
+    FROM cet_roi
+),
+wallet_tot AS (
+    SELECT wallet,
+           CAST(SUM(CAST(coll_gain AS DECIMAL(38,6))) AS DOUBLE)
+             AS wallet_gain
+    FROM cet_roi GROUP BY wallet
+),
+top_wallets AS (
+    SELECT wallet, wallet_gain,
+           CAST(row_number() OVER (ORDER BY wallet_gain DESC, wallet ASC)
+                AS INTEGER) AS wallet_rank
+    FROM wallet_tot
+    ORDER BY wallet_rank LIMIT %(k)s
+)
+SELECT t.wallet, t.wallet_rank, t.wallet_gain,
+       r.coll, r.coll_rank, r.coll_gain,
+       r.n_buys, r.n_realized, r.first_buy_date
+FROM top_wallets t JOIN ranked r ON t.wallet = r.wallet
+WHERE r.coll_rank <= 3
+""" % {"k": _TOP_WALLETS}
+
+
+@register("ep3_roi_cascade", oracle=_EP3_ORACLE)
+def ep3_roi_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ROI cascade as one DAG — see module docstring."""
+    fact = load(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("wallet"),
+        F.col("l_partkey").alias("coll"),
+        F.col("l_shipdate").alias("ev_date"),
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_linenumber").alias("line"),
+    )
+
+    # A8: daily floor percentile, then W1: latest floor per collection
+    floor_daily = percentile_disc(
+        fact, ["coll", "ev_date"], "price", 0.2, out_col="floor_price"
+    )
+    latest_floor = latest_per_key(floor_daily, ["coll"], "ev_date").select(
+        "coll", "floor_price"
+    )
+
+    # J8: buy/sell legs as two projections of the one fact table
+    buys = fact.filter(F.col("flag") != "R").select(
+        "wallet",
+        "coll",
+        F.col("ev_date").alias("buy_date"),
+        F.col("price").alias("buy_price"),
+    )
+    sells = fact.filter(F.col("flag") == "R").select(
+        "wallet",
+        "coll",
+        F.col("ev_date").alias("sell_date"),
+        F.col("price").alias("sell_price"),
+        F.col("okey").alias("s_okey"),
+        F.col("line").alias("s_line"),
+    )
+
+    # J7: earliest sell at-or-after each buy, at (wallet, coll,
+    # buy_date) granularity — the match depends only on those three,
+    # and the synthetic fact has no unique row key to anchor a
+    # per-row window on. sell_price joins the tiebreak chain so ties
+    # between duplicate sell rows resolve identically everywhere.
+    buy_keys = buys.select("wallet", "coll", "buy_date").distinct()
+    matched = asof_join(
+        buy_keys,
+        sells,
+        keys=["wallet", "coll"],
+        left_on="buy_date",
+        right_on="sell_date",
+        direction="forward",
+        strict=False,
+        right_tiebreakers=["s_okey", "s_line", "sell_price"],
+    ).select("wallet", "coll", "buy_date", "r_sell_price")
+
+    # J9: latest-floor fallback for unrealized positions
+    gains = (
+        buys.join(matched, ["wallet", "coll", "buy_date"])
+        .join(F.broadcast(latest_floor), "coll")
+        .select(
+            "wallet",
+            "coll",
+            "buy_date",
+            (
+                F.coalesce(F.col("r_sell_price"), F.col("floor_price"))
+                - F.col("buy_price")
+            ).alias("gain"),
+            F.col("r_sell_price").isNotNull().alias("realized"),
+        )
+    )
+
+    # A3/A7: per-(wallet, collection) rollup
+    cet_roi = gains.groupBy("wallet", "coll").agg(
+        F.count(F.lit(1)).alias("n_buys"),
+        F.sum(F.when(F.col("realized"), 1).otherwise(0)).alias("n_realized"),
+        F.min("buy_date").alias("first_buy_date"),
+        dsum("gain").alias("coll_gain"),
+    )
+
+    # W3: top collections per wallet
+    ranked = cet_roi.withColumn(
+        "coll_rank",
+        F.row_number()
+        .over(
+            Window.partitionBy("wallet").orderBy(
+                F.col("coll_gain").desc(), F.col("coll").asc()
+            )
+        )
+        .cast("int"),
+    )
+
+    # A11 + O1: wallet rollup and global top-K (TakeOrderedAndProject;
+    # the single-partition window only ever sees K<<N pre-limited rows
+    # because row_number over the global order == rank in the sorted
+    # limit output)
+    wallet_tot = cet_roi.groupBy("wallet").agg(
+        dsum("coll_gain").alias("wallet_gain")
+    )
+    top = (
+        wallet_tot.orderBy(F.col("wallet_gain").desc(), F.col("wallet").asc())
+        .limit(_TOP_WALLETS)
+        .withColumn(
+            "wallet_rank",
+            F.row_number()
+            .over(
+                Window.orderBy(
+                    F.col("wallet_gain").desc(), F.col("wallet").asc()
+                )
+            )
+            .cast("int"),
+        )
+    )
+
+    return (
+        top.join(ranked, "wallet")
+        .filter(F.col("coll_rank") <= 3)
+        .select(
+            "wallet",
+            "wallet_rank",
+            "wallet_gain",
+            "coll",
+            "coll_rank",
+            "coll_gain",
+            "n_buys",
+            "n_realized",
+            "first_buy_date",
+        )
+    )

@@ -1,0 +1,130 @@
+"""Physical-plan assertions: the 100TB-readiness gate.
+
+Correctness says the answer is right at sf0.01; these tests pin the
+*shape* of the plan — the properties that decide whether the same
+query survives a 1000-executor, 100TB run:
+
+- small dimensions broadcast (no shuffle of the big fact side)
+- filters reach the parquet scan (PushedFilters)
+- projections prune the scan schema (ReadSchema)
+- aggregates run map-side partials before the shuffle
+- global top-K is TakeOrderedAndProject, never a full sort
+- nothing degenerates into a cartesian product
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from innercircle_etl_spark.plans import QUERIES
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted_plan(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "j1_multiway_join",
+        "j9_join_to_latest",
+        "ep3_roi_cascade",
+    ],
+)
+def test_small_dims_broadcast(spark, sf_dir, name):
+    """Dim-side joins must be broadcast hash joins: shuffling the
+    fact table on a join key it doesn't otherwise need is the first
+    thing that dies at 100TB."""
+    plan = plan_of(spark, sf_dir, name)
+    assert "BroadcastHashJoin" in plan, plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "p2_p3_time_range",
+        "p4_p5_inlist_like",
+        "j1_multiway_join",
+    ],
+)
+def test_filters_pushed_to_scan(spark, sf_dir, name):
+    """Predicates must reach the parquet reader (row-group skipping
+    at scale == partition pruning's little sibling)."""
+    plan = formatted_plan(spark, sf_dir, name)
+    pushed = [
+        ln
+        for ln in plan.splitlines()
+        if "PushedFilters:" in ln and "PushedFilters: []" not in ln
+    ]
+    assert pushed, plan
+
+
+def test_projection_prunes_scan(spark, sf_dir):
+    """A 2-column projection must not read the whole table: ReadSchema
+    on the lineitem scan should carry only the referenced columns."""
+    plan = formatted_plan(spark, sf_dir, "p1_project_arithmetic")
+    read_lines = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_lines, plan
+    # p1 projects eth_value-style arithmetic over a few columns;
+    # the full lineitem table has 16 (separators: n_cols - 1 commas)
+    for ln in read_lines:
+        assert ln.count(",") <= 5, ln
+        assert "l_comment" not in ln, ln
+
+
+def test_aggregate_has_map_side_partial(spark, sf_dir):
+    """groupBy aggregates must partial-aggregate before the exchange
+    (Catalyst does this automatically — this guards against ever
+    expressing the agg in a way that defeats it)."""
+    plan = plan_of(spark, sf_dir, "a3_sum_min_max_avg")
+    assert "partial_" in plan, plan
+
+
+def test_global_topk_avoids_full_sort(spark, sf_dir):
+    """ORDER BY .. LIMIT k must compile to TakeOrderedAndProject —
+    a full global sort of 100TB to keep 200 rows is the textbook
+    anti-pattern."""
+    plan = plan_of(spark, sf_dir, "o1_global_topk")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "ep3_roi_cascade",
+        "dedup_minhash_lsh",
+        "dedup_ngram_jaccard",
+        "j7_asof_join",
+        "j11_pairs_jaccard",
+    ],
+)
+def test_no_cartesian_products(spark, sf_dir, name):
+    """Candidate-generation and as-of patterns must never fall back
+    to CartesianProduct / BroadcastNestedLoopJoin on the big side."""
+    plan = plan_of(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_whole_stage_codegen_on_hot_path(spark, sf_dir):
+    """Scan→filter→project→aggregate pipelines should sit inside
+    WholeStageCodegen spans (JVM-side, vectorized). AQE only
+    finalizes the physical plan on execution, so run the query
+    before inspecting."""
+    df = QUERIES["a3_sum_min_max_avg"](spark, sf_dir)
+    # AQE finalizes (and codegens) the plan only on execution, and
+    # count() would spawn a separate query execution — collect()
+    # runs THIS DataFrame's plan.
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # '*(n)' is the WholeStageCodegen stage marker in plan toString
+    assert re.search(r"\*\(\d+\) HashAggregate", plan), plan
