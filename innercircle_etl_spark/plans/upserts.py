@@ -182,3 +182,46 @@ def u6_date_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofmonth(F.to_date("ts")) % 3 != 0
     )
     return date_gaps(ev, "ts", "2024-01-01", "2024-01-30")
+
+
+@register(
+    "u4_truncate_rebuild",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {duck_dsum('o_totalprice')} AS total
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+)
+def u4_truncate_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4: truncate + rebuild (update_etl.py:929-945,948-985) — the
+    full-overwrite write mode. A real round-trip: the derived table
+    is written mode('overwrite') to scratch twice (second write
+    replaces the first — stale rows from run 1 must not survive),
+    then read back. At scale this is an atomic directory swap, the
+    Spark-native TRUNCATE."""
+    import os
+
+    scratch = os.environ.get("SPARK_GRAFT_SCRATCH", "/root/repo/.scratch")
+    path = f"{scratch}/u4_rebuild_{os.path.basename(sf_dir)}"
+    orders = load(spark, sf_dir, "orders")
+
+    # run 1: a stale build (wrong filter) that must be fully replaced
+    orders.filter(F.col("o_orderstatus") == "O").groupBy(
+        "o_orderpriority"
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("total"),
+    ).write.mode("overwrite").parquet(path)
+
+    # run 2: the rebuild under test
+    orders.filter(F.col("o_orderstatus") == "F").groupBy(
+        "o_orderpriority"
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("total"),
+    ).write.mode("overwrite").parquet(path)
+
+    return spark.read.parquet(path)

@@ -1,0 +1,78 @@
+"""Property tests for the upsert/merge family (SURVEY §5): the
+idempotence the reference's gap-scan + delete-reload machinery exists
+to provide, plus determinism of the tie-pinned operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from innercircle_etl_spark.operators.upsert import (
+    insert_if_absent,
+    merge_update,
+    partition_delete_reload,
+)
+from innercircle_etl_spark.plans.registry import load
+
+
+def rows(df):
+    cols = sorted(df.columns)
+    return sorted(tuple(str(v) for v in r) for r in df.select(cols).collect())
+
+
+def test_insert_if_absent_idempotent(spark, sf_dir):
+    """U1 applied twice with the same source == applied once."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    target = orders.filter(F.col("o_orderkey") % 3 == 0)
+    source = orders.filter(F.col("o_custkey") % 2 == 0)
+    once = insert_if_absent(target, source, ["o_orderkey"])
+    twice = insert_if_absent(once, source, ["o_orderkey"])
+    assert rows(once) == rows(twice)
+
+
+def test_insert_if_absent_never_duplicates_keys(spark, sf_dir):
+    """U1 output keys stay unique when target keys were unique."""
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    target = orders.filter(F.col("o_orderkey") % 3 == 0).dropDuplicates(
+        ["o_orderkey"]
+    )
+    source = orders.dropDuplicates(["o_orderkey"])
+    out = insert_if_absent(target, source, ["o_orderkey"])
+    total = out.count()
+    distinct = out.select("o_orderkey").distinct().count()
+    assert total == distinct
+
+
+def test_partition_delete_reload_idempotent(spark, sf_dir):
+    """U3 re-run for the same day == run once (the property the
+    reference's 7-day lookback depends on)."""
+    ev = load(spark, sf_dir, "events").select("event_id", "ts", "value")
+    fresh = ev.filter(F.to_date("ts") == F.lit("2024-01-05")).withColumn(
+        "value", F.col("value") + 100
+    )
+    once = partition_delete_reload(ev, fresh, F.to_date(F.col("ts")), "2024-01-05")
+    twice = partition_delete_reload(
+        once, fresh, F.to_date(F.col("ts")), "2024-01-05"
+    )
+    assert rows(once) == rows(twice)
+
+
+def test_merge_update_empty_source_is_identity(spark, sf_dir):
+    """U2 with an empty source changes nothing."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    empty = cust.filter(F.lit(False))
+    out = merge_update(cust, empty, ["c_custkey"], ["c_acctbal"])
+    assert rows(out) == rows(cust)
+
+
+def test_asof_join_deterministic(spark, sf_dir):
+    """J7 with pinned tiebreakers returns identical matches across
+    runs (the reference's unpinned row_number does not guarantee
+    this — SURVEY §7)."""
+    from innercircle_etl_spark.plans import QUERIES
+
+    a = rows(QUERIES["j7_asof_join"](spark, sf_dir))
+    b = rows(QUERIES["j7_asof_join"](spark, sf_dir))
+    assert a == b
