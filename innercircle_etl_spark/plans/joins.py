@@ -353,3 +353,45 @@ def j11_pairs_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= 0.17)
         .select("supp_a", "supp_b", "n_common", "jaccard")
     )
+
+
+@register(
+    "x11_salted_skew_join",
+    oracle=f"""
+    SELECT n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {duck_dsum('o.o_totalprice')} AS total
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def x11_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X11: skew-mitigated join — orders x customer-nation with the
+    nation side salted 8 ways (operators/skew.py). c_nationkey has
+    only 25 distinct values: the textbook skew shape where one hot
+    shuffle partition straggles. Salting spreads each nation across
+    8 sub-partitions; the result is identical to the plain join, so
+    the plain join IS the oracle."""
+    from innercircle_etl_spark.operators.skew import salted_join
+
+    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    enriched = orders.join(
+        F.broadcast(cust.withColumnRenamed("c_custkey", "o_custkey")),
+        "o_custkey",
+    )
+    salted = salted_join(
+        enriched.withColumnRenamed("c_nationkey", "n_nationkey"),
+        nation,
+        ["n_nationkey"],
+        salt_src=F.col("o_custkey"),
+        n_salts=8,
+    )
+    return salted.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("total"),
+    )

@@ -186,3 +186,120 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("query_id", "neighbor_id", "bucket", "rank", "cos")
     )
+
+
+# ---------------------------------------------------------- IVF variant
+
+_IVF_NPROBE = 2
+
+_IVF_ORACLE = f"""
+WITH e AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+cent AS (
+    SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 97 = 0
+),
+assign AS (
+    SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_COS_SQL.format(a="e.v", b="c.cv")} DESC,
+                            c.cid ASC
+               ) AS rn
+        FROM e CROSS JOIN cent c
+    ) WHERE rn = 1
+),
+probes AS (
+    SELECT vec_id AS query_id, v AS vq, cid FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_COS_SQL.format(a="e.v", b="c.cv")} DESC,
+                            c.cid ASC
+               ) AS rn
+        FROM e CROSS JOIN cent c
+        WHERE e.vec_id < {_N_QUERIES}
+    ) WHERE rn <= {_IVF_NPROBE}
+),
+scored AS (
+    SELECT p.query_id, a.vec_id AS neighbor_id,
+           {_COS_SQL.format(a="p.vq", b="a.v")} AS cos
+    FROM probes p JOIN assign a ON p.cid = a.cid
+    WHERE a.vec_id != p.query_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cos,
+           CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC
+           ) AS INTEGER) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, rank, cos FROM ranked WHERE rank <= 3
+"""
+
+
+@register("ann_ivf_probe", oracle=_IVF_ORACLE)
+def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer ANN: every vector is assigned to its
+    nearest coarse centroid (here a deterministic codebook — every
+    97th vector; production would run a few Lloyd iterations, which
+    only changes the codebook, not this plan), queries probe their
+    nprobe=2 nearest cells, exact cosine re-rank inside the probed
+    cells.
+
+    Scale shape: the assignment is a broadcast-centroids map-side
+    argmax (no shuffle of the corpus); the inverted file is the
+    cluster-id partition key; each query touches nprobe cells ≈
+    nprobe/k of the corpus. This is the third member of the ANN
+    family: brute force (exact) → LSH buckets (hash cells) → IVF
+    (learned cells)."""
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", V.as_double(F.col("embedding")).alias("v"))
+    cent = e.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+
+    sim = V.cosine(F.col("v"), F.col("cv"))
+    crossed = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "v", "cid", sim.alias("ccos")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("ccos").desc(), F.col("cid").asc()
+    )
+    ranked_cells = crossed.withColumn(
+        "rn", F.row_number().over(w_assign)
+    )
+    assign = ranked_cells.filter(F.col("rn") == 1).select("vec_id", "v", "cid")
+    probes = (
+        ranked_cells.filter(
+            (F.col("vec_id") < _N_QUERIES) & (F.col("rn") <= _IVF_NPROBE)
+        )
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("vq"),
+            F.col("cid").alias("pcid"),
+        )
+    )
+
+    scored = (
+        assign.join(
+            F.broadcast(probes),
+            (F.col("cid") == F.col("pcid"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            V.cosine(F.col("vq"), F.col("v")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
