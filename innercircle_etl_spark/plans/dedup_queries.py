@@ -181,9 +181,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
         F.array_union("sh_a", "sh_b")
     )
+    # Broadcast direction matters: cand is |near-dups|-sized (hundreds),
+    # the shingle table is corpus-sized (tens of MB here, TBs at scale)
+    # — so the CANDIDATES broadcast into the shingle scans, never the
+    # reverse. Each join streams `hashed` once and probes the tiny
+    # pair table.
+    withA = sa.join(F.broadcast(cand), "doc_a")
     return (
-        cand.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        sb.join(F.broadcast(withA), "doc_b")
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= 0.8)
         .select("doc_a", "doc_b", "jaccard")
@@ -242,7 +247,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
     )
     corpus = docs.unionByName(near)
-    sim = SK.simhash32(corpus, "doc_id", "text")
+    # cache: both sides of the block self-join consume the sketch
+    # table; without the cache boundary each side re-runs the
+    # explode + 32-way bit-vote aggregation (aliasing defeats
+    # ReusedExchange).
+    sim = SK.simhash32(corpus, "doc_id", "text").cache()
 
     # pigeonhole blocking: 4 blocks of 8 bits
     blocked = sim.select(
@@ -340,38 +349,76 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.unionByName(near)
         .filter(F.length("text") >= 3)
         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .cache()
     )
-    # grams as xxhash64 ints for everything downstream: candidate
-    # keys and verify intersections move 8-byte longs, not 3-char
-    # strings. Jaccard over hashed sets == Jaccard over grams unless
-    # two distinct grams of one pair collide (P ~ n^2/2^64, ~1e-15
-    # per pair — below any realistic corpus size).
-    grams = corpus.select(
-        "doc_id",
-        F.transform(
-            SK.char_ngrams(F.col("text"), 3), lambda g: F.xxhash64(g)
-        ).alias("g"),
-    ).cache()
-    inv = grams.select(
-        "doc_id", F.size("g").alias("n"), F.explode("g").alias("gram")
-    )
+    import numpy as np
+    import pandas as pd
 
-    # global gram document-frequency -> a total order (df, gram)
-    df_tbl = inv.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("doc_id").orderBy("df", "gram")
-    prefix = (
-        inv.join(df_tbl, "gram")
-        .withColumn("pos", F.row_number().over(w))
-        # prefix length = n - ceil(t*n) + 1; ceil(9n/10) in exact
-        # integer arithmetic ((9n+9) div 10) — float ceil(0.9*n)
-        # rounds wrong at e.g. n=10 and would drop true pairs
-        .filter(
-            F.col("pos")
-            <= F.col("n") - F.floor((F.col("n") * 9 + 9) / 10) + 1
+    # Gram sets live entirely inside the pandas stages — grams are
+    # identified by a driver-assigned vocab index, never shuffled as
+    # strings, and never hashed (no collision caveat).
+    def _gramset(text: str):
+        return dict.fromkeys(
+            text[i : i + 3] for i in range(len(text) - 2)
         )
-        .select("doc_id", "n", "pos", "gram")
+
+    # Global gram document-frequency -> a total order (df, gram).
+    # The char-3-gram vocabulary is alphabet-bounded (≤ |Σ|³), so the
+    # df table is dimension-sized at ANY corpus scale: partial
+    # per-partition counts (|vocab| rows per task), tiny groupBy,
+    # collect + broadcast like a dim table.
+    def partial_df(batches):
+        from collections import Counter
+
+        c: Counter = Counter()
+        for pdf in batches:
+            for t in pdf["text"]:
+                c.update(_gramset(t).keys())
+        yield pd.DataFrame(
+            {"gram": list(c.keys()), "pdf": list(c.values())}
+        )
+
+    df_rows = (
+        corpus.mapInPandas(partial_df, "gram string, pdf long")
+        .groupBy("gram")
+        .agg(F.sum("pdf").alias("df"))
+        .collect()
+    )
+    # vocab order = ascending (df, gram): position in this order IS
+    # the prefix rank, and doubles as the bitset bit index.
+    ordered = sorted((r["df"], r["gram"]) for r in df_rows)
+    vocab = {g: i for i, (_, g) in enumerate(ordered)}
+    V = len(vocab)
+    bc_vocab = spark.sparkContext.broadcast(vocab)
+
+    # Prefix index, computed narrowly per doc (no window shuffle):
+    # sort each doc's grams by global (df, gram) rank, keep the
+    # n - ceil(t*n) + 1 rarest. ceil(9n/10) in exact integer
+    # arithmetic ((9n+9) div 10) — float ceil(0.9*n) rounds wrong at
+    # e.g. n=10 and would drop true pairs.
+    def build_prefix(batches):
+        voc = bc_vocab.value
+        for pdf in batches:
+            out_doc, out_n, out_pos, out_gram = [], [], [], []
+            for doc, t in zip(pdf["doc_id"], pdf["text"]):
+                gs = _gramset(t)
+                n = len(gs)
+                k = n - (9 * n + 9) // 10 + 1
+                idx = np.fromiter(
+                    (voc[g] for g in gs), dtype=np.int64, count=n
+                )
+                idx.sort()
+                out_doc.extend([doc] * k)
+                out_n.extend([n] * k)
+                out_pos.extend(range(1, k + 1))
+                out_gram.extend(idx[:k].tolist())
+            yield pd.DataFrame(
+                {"doc_id": out_doc, "n": out_n, "pos": out_pos,
+                 "gram": out_gram}
+            )
+
+    prefix = corpus.mapInPandas(
+        build_prefix, "doc_id long, n long, pos long, gram long"
     )
     a = prefix.select(
         F.col("doc_id").alias("doc_a"),
@@ -402,40 +449,81 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    # Verify: numpy merge-intersect over a broadcast {doc: sorted
-    # grams} dict — array_intersect/array_union cost ~600us/pair
-    # interpreted (hash-set build + boxing per call); np.intersect1d
-    # on sorted unique arrays is ~10us. |A∪B| = na + nb - |A∩B|, so
-    # one intersect per pair. Same double division as the oracle →
-    # bit-identical jaccard. At 100TB the dict becomes a shuffle
-    # join on doc id; the per-pair math is unchanged.
-    import numpy as np
-    import pandas as pd
+    # Verify: packed-bitset popcount, fully vectorized and fully
+    # distributed. Each doc's gram set is re-encoded over the
+    # observed vocabulary as a V-bit mask (built narrowly per doc,
+    # vocab-bounded ≤ 32KB/doc); candidates broadcast-join to the
+    # bitset table (corpus-count × ~V/8 bytes — dimension-sized);
+    # |A∩B| = popcount(mask_a & mask_b) via a 256-entry byte LUT,
+    # |A∪B| = na + nb - |A∩B|. A 1M-pair batch verifies in one numpy
+    # pass — no per-pair Python loop. Same int/int double division
+    # as the oracle → bit-identical jaccard. At corpus sizes where
+    # the bitset table outgrows broadcast, the same two joins run as
+    # shuffle joins — plan shape unchanged.
+    def build_bits(batches):
+        voc = bc_vocab.value
+        nb = (V + 7) // 8
+        for pdf in batches:
+            ids, blobs, ns = [], [], []
+            for doc, t in zip(pdf["doc_id"], pdf["text"]):
+                gs = _gramset(t)
+                idx = np.fromiter(
+                    (voc[g] for g in gs), dtype=np.int64, count=len(gs)
+                )
+                row = np.zeros(nb, dtype=np.uint8)
+                np.bitwise_or.at(row, idx >> 3, np.uint8(1) << (idx & 7))
+                ids.append(doc)
+                blobs.append(row.tobytes())
+                ns.append(idx.size)
+            yield pd.DataFrame({"doc_id": ids, "bits": blobs, "n": ns})
 
-    gmap = {
-        r["doc_id"]: np.sort(np.asarray(r["g"], dtype=np.int64))
-        for r in grams.collect()
-    }
-    bc = spark.sparkContext.broadcast(gmap)
+    bitsets = corpus.mapInPandas(
+        build_bits, "doc_id long, bits binary, n long"
+    ).cache()
+    pairs = cand.join(
+        F.broadcast(
+            bitsets.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("bits").alias("bits_a"),
+                F.col("n").alias("na"),
+            )
+        ),
+        "doc_a",
+    ).join(
+        F.broadcast(
+            bitsets.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("bits").alias("bits_b"),
+                F.col("n").alias("nb"),
+            )
+        ),
+        "doc_b",
+    )
+
+    _POPCNT = np.unpackbits(
+        np.arange(256, dtype=np.uint8)[:, None], axis=1
+    ).sum(axis=1).astype(np.int64)
 
     def verify(batches):
-        m = bc.value
         for pdf in batches:
             if not len(pdf):
                 continue
-            jac = np.empty(len(pdf), dtype=np.float64)
-            for i, (da, db) in enumerate(
-                zip(pdf["doc_a"].to_numpy(), pdf["doc_b"].to_numpy())
-            ):
-                ga, gb = m[da], m[db]
-                c = np.intersect1d(ga, gb, assume_unique=True).size
-                jac[i] = c / (ga.size + gb.size - c)
+            ba = np.frombuffer(
+                b"".join(pdf["bits_a"]), dtype=np.uint8
+            ).reshape(len(pdf), -1)
+            bb = np.frombuffer(
+                b"".join(pdf["bits_b"]), dtype=np.uint8
+            ).reshape(len(pdf), -1)
+            common = _POPCNT[ba & bb].sum(axis=1)
+            jac = common / (
+                pdf["na"].to_numpy() + pdf["nb"].to_numpy() - common
+            )
             out = pd.DataFrame(
                 {"doc_a": pdf["doc_a"], "doc_b": pdf["doc_b"], "jaccard": jac}
             )
             yield out[out["jaccard"] >= _NGRAM_T]
 
-    return cand.mapInPandas(verify, "doc_a long, doc_b long, jaccard double")
+    return pairs.mapInPandas(verify, "doc_a long, doc_b long, jaccard double")
 
 
 # ----------------------------------------------------- embedding cosine
