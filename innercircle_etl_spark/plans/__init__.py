@@ -13,6 +13,7 @@ from innercircle_etl_spark.plans import (  # noqa: F401,E402
     decode_queries,
     dedup_queries,
     filters,
+    insight_queries,
     joins,
     multimodal_queries,
     roi_cascade,
