@@ -16,6 +16,7 @@ from innercircle_etl_spark.plans import (  # noqa: F401,E402
     insight_queries,
     joins,
     multimodal_queries,
+    pipeline_queries,
     roi_cascade,
     scalar_funcs,
     setops,

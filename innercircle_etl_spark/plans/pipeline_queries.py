@@ -1,0 +1,100 @@
+"""Entry point 1 as an oracle-checked query: seed a damaged
+warehouse (missing days + a stale current day), run one
+`pipeline.run_daily` cron cycle, and return the repaired table.
+The oracle is a clean full recompute from the source — equality
+proves the gap scan found every hole and the partition overwrite
+repaired exactly them (idempotence of U3+U6 composed).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from innercircle_etl_spark.pipeline import run_daily, write_daily_partitioned
+from innercircle_etl_spark.plans.registry import dsum, duck_dsum, load, register
+
+SCRATCH = os.environ.get("SPARK_GRAFT_SCRATCH", "/root/repo/.scratch")
+
+_START, _END = "2001-06-01", "2001-06-30"
+_RUN_DATE = "2001-06-25"  # the stale "current" day
+_MISSING = ("2001-06-05", "2001-06-12", "2001-06-29")
+
+_EP1_ORACLE = f"""
+SELECT CAST(o_orderdate AS DATE) AS d, o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {duck_dsum('o_totalprice')} AS total
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '{_START} 00:00:00'
+  AND o_orderdate < TIMESTAMP '2001-07-01 00:00:00'
+GROUP BY d, o_orderstatus
+"""
+
+
+@register("ep1_daily_pipeline", oracle=_EP1_ORACLE)
+def ep1_daily_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry point 1 end-to-end (daily_update_script.py:1-80): a
+    month-long daily aggregate warehouse is seeded with three missing
+    days (the gap scan's job, etl_utls.py:340-357) and a stale
+    half-loaded current day (the delete+reload's job,
+    etl_utls.py:303-313); one `run_daily` cycle gap-scans, recomputes
+    exactly the damaged days from source, and repairs them via
+    dynamic partition overwrite. Output = the repaired table; oracle
+    = clean recompute. The untouched 26 partitions are never
+    rewritten — at 100 TB the repair cost is O(damage), not O(table).
+    """
+    orders = load(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("d"),
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderkey",
+    )
+    month = orders.filter(
+        (F.col("d") >= F.lit(_START).cast("date"))
+        & (F.col("d") <= F.lit(_END).cast("date"))
+    )
+
+    def day_agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("d", "o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("total"),
+        )
+
+    wh = f"{SCRATCH}/ep1_{os.path.basename(sf_dir)}"
+    shutil.rmtree(wh, ignore_errors=True)
+
+    # Seed: all days except the planted gaps; the run date loaded
+    # from only half the source rows (stale intraday load).
+    seed_src = month.filter(
+        ~F.col("d").cast("string").isin(list(_MISSING))
+    ).filter(
+        (F.col("d") != F.lit(_RUN_DATE).cast("date"))
+        | (F.col("o_orderkey") % 2 == 0)
+    )
+    write_daily_partitioned(
+        day_agg(seed_src).select("o_orderstatus", "n_orders", "total", "d"),
+        wh,
+    )
+
+    def build_day(day: str) -> DataFrame:
+        return day_agg(
+            month.filter(F.col("d") == F.lit(day).cast("date"))
+        ).select("o_orderstatus", "n_orders", "total", "d")
+
+    repaired = run_daily(
+        spark,
+        wh,
+        build_day,
+        run_date=_RUN_DATE,
+        lookback_start=_START,
+        lookback_end=_END,
+    )
+    return repaired.select(
+        F.col("d").cast("date").alias("d"),
+        "o_orderstatus",
+        "n_orders",
+        "total",
+    )

@@ -232,3 +232,116 @@ def i5_scd_flag_flip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return versions.withColumn(
         "is_current", F.col("version_id") == F.max("version_id").over(w)
     )
+
+
+_I6_ORACLE = """
+SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+         AS window_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total
+FROM events
+GROUP BY 1, 2
+"""
+
+_TS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("ts_us", T.LongType()),
+    ]
+)
+
+# wave boundary and the planted rows, all fixed literals (no wall
+# clock, no data-dependent driver compute)
+_I6_PIVOT = "2024-01-21 00:00:00"
+_I6_LATE = ("2024-01-02 00:30:00", "late")
+_I6_SENTINELS = ("2024-02-10 00:00:00", "2024-02-20 00:00:00")
+
+
+@register("i6_watermark_window", oracle=_I6_ORACLE)
+def i6_watermark_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-window aggregation with a 1-hour watermark
+    — the Structured Streaming extension beyond the reference's
+    batch-incremental surface (SURVEY §2.11 notes the reference has
+    no event-time semantics; a 100TB training-data pipeline does).
+
+    Four arrival waves against one checkpoint:
+      1. events before the pivot date;
+      2. events after it, PLUS one planted 19-days-late row — by
+         then the watermark has passed it, so the stream must DROP
+         it (if it survived, its window's count would disagree with
+         the oracle, which aggregates only the real events);
+      3./4. two far-future sentinel rows whose only job is to push
+         the watermark past the last real window so append mode
+         finalizes everything real. The sentinels' own windows never
+         close, so they never reach the sink.
+
+    State scales with open windows × event types (bounded by the
+    watermark), not with stream length — the property that makes
+    this run forever at 100TB/day.
+    """
+    base = _fresh(f"{SCRATCH}/stream_i6_{os.path.basename(sf_dir)}")
+    src, sink, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    pivot = F.lit(_I6_PIVOT).cast("timestamp")
+    late = spark.createDataFrame(
+        [(-1, _I6_LATE[1], 1.0)], "event_id long, event_type string, value double"
+    ).select(
+        "event_id",
+        "event_type",
+        "value",
+        F.unix_micros(F.lit(_I6_LATE[0]).cast("timestamp")).alias("ts_us"),
+    )
+    waves = [
+        ev.filter(F.unix_micros(pivot) > F.col("ts_us")),
+        ev.filter(F.unix_micros(pivot) <= F.col("ts_us")).unionByName(late),
+    ]
+    for i, s_ts in enumerate(_I6_SENTINELS):
+        waves.append(
+            spark.createDataFrame(
+                [(-10 - i, "sentinel", 0.0)],
+                "event_id long, event_type string, value double",
+            ).select(
+                "event_id",
+                "event_type",
+                "value",
+                F.unix_micros(F.lit(s_ts).cast("timestamp")).alias("ts_us"),
+            )
+        )
+
+    for wave in waves:
+        wave.write.mode("append").json(src)
+        stream = stream_ndjson_dir(spark, src, _TS_SCHEMA)
+        agg = (
+            stream.withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(38,6)"))
+                .cast("double")
+                .alias("total"),
+            )
+            .select(
+                F.col("w.start").alias("window_start"),
+                "event_type",
+                "n_events",
+                "total",
+            )
+        )
+        run_available_now(agg, ckpt, sink_path=sink)
+
+    # The sentinels are watermark-advancing scaffolding, not data;
+    # Spark's no-data micro-batches may finalize the earlier
+    # sentinel's window once the later one raises the watermark.
+    return spark.read.parquet(sink).filter(
+        F.col("event_type") != "sentinel"
+    )
