@@ -41,6 +41,7 @@ HEADLINE = [
     "d12_trade_decode_pipeline",
     "mm_image_features",
     "ep3_roi_cascade",
+    "ep5_shadow_trade",
 ]
 
 

@@ -395,3 +395,52 @@ def x11_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         dsum("o_totalprice").alias("total"),
     )
+
+
+@register(
+    "x_bucketed_colocated_join",
+    oracle=f"""
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {duck_dsum('o_totalprice')} AS total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_nationkey
+    """,
+)
+def x_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join (SURVEY §4/X-scale): both sides are
+    written `bucketBy(8, key)` + sorted, so the sort-merge join reads
+    pre-partitioned, pre-sorted buckets and needs NO exchange on
+    either input — the plan's only shuffle is the final rollup. This
+    is the storage-level answer to repeated big-big joins at 100TB:
+    pay the shuffle once at write time, never again at read time.
+    (The merge hint pins SMJ so the demonstration doesn't degrade to
+    a broadcast join at test scale.)"""
+    import os
+    import shutil
+
+    scratch = os.environ.get("SPARK_GRAFT_SCRATCH", "/root/repo/.scratch")
+    base = f"{scratch}/bucketed_{os.path.basename(sf_dir)}"
+    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    for tbl, df in (("bk_orders", orders), ("bk_customer", cust)):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        path = f"{base}/{tbl}"
+        shutil.rmtree(path, ignore_errors=True)
+        (
+            df.write.bucketBy(8, "o_custkey")
+            .sortBy("o_custkey")
+            .option("path", path)
+            .saveAsTable(tbl)
+        )
+    j = (
+        spark.table("bk_orders")
+        .hint("merge")
+        .join(spark.table("bk_customer").hint("merge"), "o_custkey")
+    )
+    return j.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("total"),
+    )

@@ -128,3 +128,14 @@ def test_whole_stage_codegen_on_hot_path(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     # '*(n)' is the WholeStageCodegen stage marker in plan toString
     assert re.search(r"\*\(\d+\) HashAggregate", plan), plan
+
+
+def test_bucketed_join_needs_no_exchange(spark, sf_dir):
+    """Bucketed co-located join: both inputs are pre-partitioned +
+    pre-sorted bucket files, so the SMJ consumes scans directly —
+    the plan's ONLY exchange is the post-join rollup. This is the
+    write-once/join-many storage layout for repeated big-big joins."""
+    plan = plan_of(spark, sf_dir, "x_bucketed_colocated_join")
+    assert "SortMergeJoin" in plan, plan
+    assert "Bucketed: true" in plan, plan
+    assert plan.count("Exchange") == 1, plan
