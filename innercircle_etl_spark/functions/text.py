@@ -85,3 +85,19 @@ def fingerprint(text: Column) -> Column:
     fingerprints live in functions/sketches.py."""
     canon = F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(text))))
     return F.md5(canon)
+
+# GPT-2-style pre-tokenizer, simplified to the ASCII classes the
+# corpus uses: a word, a number run, a punctuation run (each with
+# optional leading space), or a space run. Identical leftmost-first
+# alternation semantics in Java regex (Spark) and RE2 (DuckDB).
+BPE_ISH_PATTERN = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +"
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish subword-boundary token count, INT — the
+    pre-tokenization pass every BPE/WordPiece tokenizer runs; its
+    count is the standard proxy for LLM token budget at corpus
+    scale. Pure regexp (JVM codegen), no UDF."""
+    return F.size(
+        F.expr(f"regexp_extract_all(text, '{BPE_ISH_PATTERN}', 0)")
+    ).cast("int")

@@ -18,13 +18,17 @@ from innercircle_etl_spark.plans.registry import load, register
            CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
            CAST(length(text) AS INTEGER) AS n_chars_actual,
            CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
-             / len(string_split(text, ' ')) AS avg_token_len
+             / len(string_split(text, ' ')) AS avg_token_len,
+           CAST(len(regexp_extract_all(text,
+                ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +')) AS INTEGER)
+             AS n_bpe_tokens
     FROM documents
     """,
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting: whitespace tokens + mean token length, pure
-    column arithmetic (no explode, no UDF)."""
+    """Token counting: whitespace tokens + mean token length (pure
+    column arithmetic, no explode) + a BPE-ish pre-tokenizer count
+    (the LLM token-budget proxy, functions/text.py)."""
     docs = load(spark, sf_dir, "documents")
     t = F.col("text")
     return docs.select(
@@ -32,6 +36,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.token_count(t).alias("n_tokens"),
         F.length(t).cast("int").alias("n_chars_actual"),
         TX.avg_token_len(t).alias("avg_token_len"),
+        TX.bpe_ish_token_count(t).alias("n_bpe_tokens"),
     )
 
 
