@@ -34,6 +34,68 @@ GROUP BY d, o_orderstatus
 """
 
 
+def seed_damaged_warehouse(spark: SparkSession, sf_dir: str) -> str:
+    """Build the month aggregate with planted damage (three missing
+    days + a half-loaded run date); returns the warehouse path.
+    Split out so tests can run repair cycles against it directly."""
+    wh = f"{SCRATCH}/ep1_{os.path.basename(sf_dir)}"
+    shutil.rmtree(wh, ignore_errors=True)
+    month = _month(spark, sf_dir)
+    seed_src = month.filter(
+        ~F.col("d").cast("string").isin(list(_MISSING))
+    ).filter(
+        (F.col("d") != F.lit(_RUN_DATE).cast("date"))
+        | (F.col("o_orderkey") % 2 == 0)
+    )
+    write_daily_partitioned(
+        _day_agg(seed_src).select("o_orderstatus", "n_orders", "total", "d"),
+        wh,
+    )
+    return wh
+
+
+def repair_cycle(spark: SparkSession, sf_dir: str, wh: str) -> DataFrame:
+    """One `run_daily` cron cycle against an existing warehouse.
+    Idempotent: a second cycle recomputes the (already-correct) run
+    date and finds no gaps — the table is unchanged (property-tested).
+    """
+    month = _month(spark, sf_dir)
+
+    def build_day(day: str) -> DataFrame:
+        return _day_agg(
+            month.filter(F.col("d") == F.lit(day).cast("date"))
+        ).select("o_orderstatus", "n_orders", "total", "d")
+
+    return run_daily(
+        spark,
+        wh,
+        build_day,
+        run_date=_RUN_DATE,
+        lookback_start=_START,
+        lookback_end=_END,
+    )
+
+
+def _month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("d"),
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderkey",
+    )
+    return orders.filter(
+        (F.col("d") >= F.lit(_START).cast("date"))
+        & (F.col("d") <= F.lit(_END).cast("date"))
+    )
+
+
+def _day_agg(df: DataFrame) -> DataFrame:
+    return df.groupBy("d", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("total"),
+    )
+
+
 @register("ep1_daily_pipeline", oracle=_EP1_ORACLE)
 def ep1_daily_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entry point 1 end-to-end (daily_update_script.py:1-80): a
@@ -46,52 +108,8 @@ def ep1_daily_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     = clean recompute. The untouched 26 partitions are never
     rewritten — at 100 TB the repair cost is O(damage), not O(table).
     """
-    orders = load(spark, sf_dir, "orders").select(
-        F.to_date("o_orderdate").alias("d"),
-        "o_orderstatus",
-        "o_totalprice",
-        "o_orderkey",
-    )
-    month = orders.filter(
-        (F.col("d") >= F.lit(_START).cast("date"))
-        & (F.col("d") <= F.lit(_END).cast("date"))
-    )
-
-    def day_agg(df: DataFrame) -> DataFrame:
-        return df.groupBy("d", "o_orderstatus").agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            dsum("o_totalprice").alias("total"),
-        )
-
-    wh = f"{SCRATCH}/ep1_{os.path.basename(sf_dir)}"
-    shutil.rmtree(wh, ignore_errors=True)
-
-    # Seed: all days except the planted gaps; the run date loaded
-    # from only half the source rows (stale intraday load).
-    seed_src = month.filter(
-        ~F.col("d").cast("string").isin(list(_MISSING))
-    ).filter(
-        (F.col("d") != F.lit(_RUN_DATE).cast("date"))
-        | (F.col("o_orderkey") % 2 == 0)
-    )
-    write_daily_partitioned(
-        day_agg(seed_src).select("o_orderstatus", "n_orders", "total", "d"),
-        wh,
-    )
-
-    def build_day(day: str) -> DataFrame:
-        return day_agg(
-            month.filter(F.col("d") == F.lit(day).cast("date"))
-        ).select("o_orderstatus", "n_orders", "total", "d")
-
-    repaired = run_daily(
-        spark,
-        wh,
-        build_day,
-        run_date=_RUN_DATE,
-        lookback_start=_START,
-        lookback_end=_END,
-    )
+    wh = seed_damaged_warehouse(spark, sf_dir)
+    repaired = repair_cycle(spark, sf_dir, wh)
     return repaired.select(
         F.col("d").cast("date").alias("d"),
         "o_orderstatus",

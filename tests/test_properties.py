@@ -76,3 +76,23 @@ def test_asof_join_deterministic(spark, sf_dir):
     a = rows(QUERIES["j7_asof_join"](spark, sf_dir))
     b = rows(QUERIES["j7_asof_join"](spark, sf_dir))
     assert a == b
+
+
+def test_daily_pipeline_idempotent(spark, sf_dir):
+    """A second cron cycle on an already-repaired warehouse changes
+    nothing — the property the reference's gap-scan + current-day
+    delete+reload machinery exists to provide (SURVEY §2.11 I2)."""
+    from innercircle_etl_spark.plans.pipeline_queries import (
+        repair_cycle,
+        seed_damaged_warehouse,
+    )
+
+    wh = seed_damaged_warehouse(spark, sf_dir)
+    first = sorted(
+        map(tuple, repair_cycle(spark, sf_dir, wh).collect())
+    )
+    second = sorted(
+        map(tuple, repair_cycle(spark, sf_dir, wh).collect())
+    )
+    assert first == second
+    assert len(first) > 0
