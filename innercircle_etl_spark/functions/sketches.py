@@ -4,6 +4,16 @@ These are the scale path for deduplication and similarity: instead of
 the O(n²) pair space, candidates come from hash-bucket collisions —
 shuffle on the bucket key, compare only within buckets.
 
+Algorithms are the standard public constructions: MinHash resemblance
+sketches (Broder, "On the resemblance and containment of documents",
+1997) with the double-hashing family h_i = h1 + i*h2 (Kirsch &
+Mitzenmacher 2006); LSH banding (Leskovec/Rajaraman/Ullman, "Mining of
+Massive Datasets" ch. 3); SimHash (Charikar, "Similarity estimation
+techniques from rounding algorithms", STOC 2002) with the
+multi-block pigeonhole index of Manku/Jain/Sarma (WWW 2007). The
+exact n-gram path in plans/dedup_queries.py is AllPairs/PPJoin prefix
+filtering (Bayardo/Ma/Srikant WWW 2007; Xiao/Wang/Lin/Yu WWW 2008).
+
 Engine-parity note: every hash bottoms out in md5 (available and
 identical in Spark and DuckDB), with hex-string or hex→int
 transport, so each sketch has an exact SQL oracle. Production would
