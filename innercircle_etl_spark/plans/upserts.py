@@ -225,3 +225,66 @@ def u4_truncate_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).write.mode("overwrite").parquet(path)
 
     return spark.read.parquet(path)
+
+
+@register(
+    "u7_merge_into",
+    oracle="""
+    WITH cust AS (
+        SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+    ),
+    t AS (SELECT * FROM cust WHERE c_custkey % 2 = 0),
+    s AS (
+        SELECT c_custkey, c_acctbal + 100 AS c_acctbal, c_mktsegment,
+               CASE WHEN c_custkey % 12 = 0 THEN 'D' ELSE 'U' END AS op
+        FROM cust WHERE c_custkey % 3 = 0
+    ),
+    updated AS (
+        SELECT t.c_custkey, s.c_acctbal, s.c_mktsegment
+        FROM t JOIN s ON t.c_custkey = s.c_custkey
+        WHERE s.op <> 'D'
+    ),
+    kept AS (
+        SELECT t.* FROM t WHERE NOT EXISTS (
+            SELECT 1 FROM s WHERE s.c_custkey = t.c_custkey)
+    ),
+    inserted AS (
+        SELECT s.c_custkey, s.c_acctbal, s.c_mktsegment FROM s
+        WHERE NOT EXISTS (
+            SELECT 1 FROM t WHERE t.c_custkey = s.c_custkey)
+    )
+    SELECT * FROM updated
+    UNION ALL SELECT * FROM kept
+    UNION ALL SELECT * FROM inserted
+    """,
+)
+def u7_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U7 (unifier): Delta-style MERGE INTO over plain DataFrames —
+    WHEN MATCHED AND op='D' DELETE / WHEN MATCHED UPDATE / WHEN NOT
+    MATCHED INSERT, as ONE full-outer join (operators/merge.py). U1,
+    U2 and U5 are each a degenerate call of this; the oracle spells
+    the same semantics as three set branches. Every branch is
+    populated by the fixture: evens are the target, multiples of 3
+    the source, multiples of 12 deletes, odd multiples of 3 inserts.
+    """
+    from innercircle_etl_spark.operators.merge import merge_into
+
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    target = cust.filter(F.col("c_custkey") % 2 == 0)
+    source = cust.filter(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey",
+        (F.col("c_acctbal") + 100).alias("c_acctbal"),
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 12 == 0, "D")
+        .otherwise("U")
+        .alias("op"),
+    )
+    return merge_into(
+        target,
+        source,
+        keys=["c_custkey"],
+        update_cols=["c_acctbal", "c_mktsegment"],
+        delete_cond=F.col("op") == "D",
+    )

@@ -96,3 +96,45 @@ def test_daily_pipeline_idempotent(spark, sf_dir):
     )
     assert first == second
     assert len(first) > 0
+
+
+def test_merge_into_empty_source_is_identity(spark, sf_dir):
+    """MERGE with an empty source must return the target unchanged
+    (all three WHEN branches vacuous)."""
+    from innercircle_etl_spark.operators.merge import merge_into
+    from innercircle_etl_spark.plans.registry import load
+    from pyspark.sql import functions as F
+
+    target = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    empty = target.filter(F.lit(False)).withColumn("op", F.lit("U"))
+    out = merge_into(
+        target, empty, keys=["c_custkey"],
+        delete_cond=F.col("op") == "D",
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, target.collect())
+    )
+
+
+def test_merge_into_subsumes_insert_if_absent(spark, sf_dir):
+    """U1 is MERGE with no update columns and no delete clause —
+    the two operators must agree row-for-row."""
+    from innercircle_etl_spark.operators.merge import merge_into
+    from innercircle_etl_spark.operators.upsert import insert_if_absent
+    from innercircle_etl_spark.plans.registry import load
+    from pyspark.sql import functions as F
+
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    target = cust.filter(F.col("c_custkey") % 2 == 0)
+    source = cust.filter(F.col("c_custkey") % 3 == 0)
+    via_merge = merge_into(
+        target, source, keys=["c_custkey"], update_cols=[]
+    )
+    via_u1 = insert_if_absent(target, source, ["c_custkey"])
+    assert sorted(map(tuple, via_merge.collect())) == sorted(
+        map(tuple, via_u1.collect())
+    )
