@@ -345,3 +345,57 @@ def i6_watermark_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(sink).filter(
         F.col("event_type") != "sentinel"
     )
+
+
+_I7_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("i7_stream_dedup", oracle=_I7_ORACLE)
+def i7_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact-dedup under at-least-once delivery:
+    `dropDuplicatesWithinWatermark` on the event id with a 1-hour
+    event-time watermark. Wave 1 delivers every event; wave 2
+    re-delivers a third of them (the retry storm every file/queue
+    source eventually produces). Each re-delivery is either still in
+    dedup state (within the watermark) or older than the watermark —
+    dropped either way, so the sink holds each event exactly once
+    and the plain batch aggregate over the events table is the
+    oracle.
+
+    The watermark is what makes this run forever: dedup state is
+    bounded by the delivery-delay window, not by stream length —
+    the streaming member of the dedup family (cf. dedup_exact)."""
+    base = _fresh(f"{SCRATCH}/stream_i7_{os.path.basename(sf_dir)}")
+    src, sink, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    waves = [ev, ev.filter(F.col("event_id") % 3 == 0)]
+    for wave in waves:
+        wave.write.mode("append").json(src)
+        stream = stream_ndjson_dir(spark, src, _TS_SCHEMA)
+        deduped = (
+            stream.withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+            .withWatermark("ts", "1 hour")
+            .dropDuplicatesWithinWatermark(["event_id"])
+            .select("event_id", "event_type", "value")
+        )
+        run_available_now(deduped, ckpt, sink_path=sink)
+
+    out = spark.read.parquet(sink)
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("total"),
+    )
