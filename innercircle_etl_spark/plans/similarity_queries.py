@@ -303,3 +303,64 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("query_id", "neighbor_id", "rank", "cos")
     )
+
+
+# ------------------------------------------------------- recall@k
+
+_RECALL_K = 3
+
+_RECALL_ORACLE = f"""
+WITH brute AS (
+    SELECT query_id, neighbor_id FROM ({_BRUTE_ORACLE})
+    WHERE rank <= {_RECALL_K}
+),
+ivf AS (
+    SELECT query_id, neighbor_id FROM ({_IVF_ORACLE})
+    WHERE rank <= {_RECALL_K}
+),
+hits AS (
+    SELECT b.query_id, COUNT(*) AS n_hits
+    FROM brute b JOIN ivf i
+      ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+    GROUP BY b.query_id
+),
+tot AS (
+    SELECT query_id, COUNT(*) AS n_true FROM brute GROUP BY query_id
+)
+SELECT t.query_id,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(t.n_true AS BIGINT) AS n_true,
+       coalesce(h.n_hits, 0) * 1.0 / t.n_true AS recall
+FROM tot t LEFT JOIN hits h ON t.query_id = h.query_id
+"""
+
+
+@register("ann_recall_at_k", oracle=_RECALL_ORACLE)
+def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the IVF probe against the exact brute-force
+    baseline — the measurement loop every approximate index needs
+    before it replaces the exact path at scale. Composes the two
+    already-verified queries; per-query recall = |ivf∩brute| / |brute|
+    over the top-3 lists."""
+    brute = (
+        ann_cosine_topk(spark, sf_dir)
+        .filter(F.col("rank") <= _RECALL_K)
+        .select("query_id", "neighbor_id")
+    )
+    ivf = (
+        ann_ivf_probe(spark, sf_dir)
+        .filter(F.col("rank") <= _RECALL_K)
+        .select("query_id", "neighbor_id")
+    )
+    hits = brute.join(ivf, ["query_id", "neighbor_id"]).groupBy(
+        "query_id"
+    ).agg(F.count(F.lit(1)).alias("n_hits"))
+    tot = brute.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_true"))
+    return tot.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+        "n_true",
+        (
+            F.coalesce(F.col("n_hits"), F.lit(0)) * 1.0 / F.col("n_true")
+        ).alias("recall"),
+    )
