@@ -53,7 +53,13 @@ def orders_matched_price(data: pd.Series) -> pd.Series:
     one bad row.
     """
     word = data.str.slice(2 + 2 * _WORD, 2 + 3 * _WORD)
-    ok = data.str.startswith("0x") & (word.str.len() == _WORD)
+    # fullmatch (not just a length check) so a correct-length word with
+    # non-hex characters yields null instead of raising in int() and
+    # failing the whole Arrow batch. fillna: null input rows.
+    ok = (
+        data.str.startswith("0x").fillna(False)
+        & word.str.fullmatch(r"[0-9a-fA-F]{64}").fillna(False)
+    )
     ints = word.where(ok).map(
         lambda h: int(h, 16) / WEI_PER_ETH, na_action="ignore"
     )

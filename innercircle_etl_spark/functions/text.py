@@ -98,6 +98,8 @@ def bpe_ish_token_count(text: Column) -> Column:
     pre-tokenization pass every BPE/WordPiece tokenizer runs; its
     count is the standard proxy for LLM token budget at corpus
     scale. Pure regexp (JVM codegen), no UDF."""
+    # Built from the parameter (not a hardcoded column name) so any
+    # column or derived expression works.
     return F.size(
-        F.expr(f"regexp_extract_all(text, '{BPE_ISH_PATTERN}', 0)")
+        F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), F.lit(0))
     ).cast("int")

@@ -54,9 +54,16 @@ def asof_join(
     lcols = left.columns
     # Tag row identity so the window can collapse back to one row per left row.
     left_t = left.withColumn("__lid", F.monotonically_increasing_id())
-    rren = [F.col(c).alias(c if c in keys else f"r_{c}") for c in right.columns]
+    # Track the EXACT set of renamed right columns (not a name-prefix
+    # test) so a left column that happens to start with "r_" is never
+    # mistaken for right payload. Internal names use a collision-proof
+    # "__r_" prefix, stripped to the documented "r_" on output.
+    r_payload = [c for c in right.columns if c not in keys]
+    rren = [
+        F.col(c).alias(c if c in keys else f"__r_{c}") for c in right.columns
+    ]
     right_t = right.select(*rren)
-    r_on = right_on if right_on in keys else f"r_{right_on}"
+    r_on = right_on if right_on in keys else f"__r_{right_on}"
 
     joined = left_t.join(right_t, on=list(keys), how="left")
     lcol, rcol = F.col(left_on), F.col(r_on)
@@ -67,16 +74,16 @@ def asof_join(
         cond = rcol < lcol if strict else rcol <= lcol
         order = [F.col(r_on).desc_nulls_last()]
     order += [
-        F.col(t if t in keys else f"r_{t}").asc_nulls_last()
+        F.col(t if t in keys else f"__r_{t}").asc_nulls_last()
         for t in right_tiebreakers
     ]
 
     # Null out non-matching right rows instead of filtering, so a left
     # row whose only partner rows miss the range still survives.
-    r_payload = [c for c in joined.columns if c.startswith("r_")]
+    internal = [f"__r_{c}" for c in r_payload]
     masked = joined.select(
-        *[c for c in joined.columns if not c.startswith("r_")],
-        *[F.when(cond, F.col(c)).alias(c) for c in r_payload],
+        *[c for c in joined.columns if c not in internal],
+        *[F.when(cond, F.col(c)).alias(c) for c in internal],
     )
     w = Window.partitionBy("__lid").orderBy(*order)
     out = (
@@ -86,4 +93,13 @@ def asof_join(
     )
     if how == "inner":
         out = out.filter(F.col(r_on).isNotNull())
-    return out.select(*lcols, *[c for c in out.columns if c.startswith("r_")])
+    clash = [c for c in lcols if c in (f"r_{p}" for p in r_payload)]
+    if clash:
+        raise ValueError(
+            f"asof_join output name collision on {clash}: left already "
+            "has columns named like renamed right payload"
+        )
+    return out.select(
+        *lcols,
+        *[F.col(f"__r_{c}").alias(f"r_{c}") for c in r_payload],
+    )

@@ -48,7 +48,9 @@ def merge_into(
         ]
     s = source
     if delete_cond is not None:
-        s = s.withColumn("__del", delete_cond)
+        # SQL MERGE 'WHEN MATCHED AND cond THEN DELETE' treats a NULL
+        # condition as not-matched → the row is kept, not deleted.
+        s = s.withColumn("__del", F.coalesce(delete_cond, F.lit(False)))
     else:
         s = s.withColumn("__del", F.lit(False))
     s = s.select(

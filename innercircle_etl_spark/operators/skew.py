@@ -38,7 +38,17 @@ def salted_join(
     one.
 
     Deterministic (pmod of the source column, no rand()) so results
-    are reproducible and oracle-checkable."""
+    are reproducible and oracle-checkable.
+
+    Only fact-preserving join types are allowed: for right/full (or
+    right-semi) variants the replicated dim rows that match no fact
+    row would surface once per salt, breaking the identical-result
+    contract."""
+    allowed = ("inner", "left", "left_outer", "left_semi", "left_anti")
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} not supported; use one of {allowed}"
+        )
     salt = F.pmod(F.hash(salt_src), F.lit(n_salts)).alias("__salt")
     fact_s = fact.withColumn("__salt", salt)
     dim_s = dim.withColumn(

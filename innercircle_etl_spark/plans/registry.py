@@ -64,6 +64,11 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Read one synthetic table. Parquet scan → Catalyst gets pushdown
     and column pruning for free; at cluster scale these would be
     date-partitioned directories and pruning would kick in the same way."""
+    # The fixture's events.parquet uses TIMESTAMP(NANOS), which Spark
+    # can only read as long. Runtime-settable, so set it here rather
+    # than relying on the caller's session builder (the driver supplies
+    # its OWN session — round-1 lesson: 6 queries died without this).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     for c in _NANO_TS_COLS.get(table, ()):
         if dict(df.dtypes).get(c) == "bigint":

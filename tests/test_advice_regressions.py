@@ -1,0 +1,102 @@
+"""Regression tests for the round-1 ADVICE.md findings — each test
+pins the exact failure mode the advisor flagged so it can't return.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from innercircle_etl_spark.functions import text as TX
+from innercircle_etl_spark.functions.decode import (
+    orders_matched_price,
+)
+from innercircle_etl_spark.operators.asof import asof_join
+from innercircle_etl_spark.operators.merge import merge_into
+from innercircle_etl_spark.operators.skew import salted_join
+
+
+def test_bpe_token_count_on_renamed_column(spark):
+    """bpe_ish_token_count must honor its Column argument, not a
+    column literally named 'text' (ADVICE #1)."""
+    df = spark.createDataFrame(
+        [("hello world 42",)], ["body"]
+    ).select(TX.bpe_ish_token_count(F.col("body")).alias("n"))
+    assert df.collect()[0]["n"] == 3
+
+
+def test_bpe_token_count_on_derived_expression(spark):
+    df = spark.createDataFrame([("A B",)], ["body"]).select(
+        TX.bpe_ish_token_count(F.concat(F.col("body"), F.lit(" C"))).alias(
+            "n"
+        )
+    )
+    assert df.collect()[0]["n"] == 3
+
+
+def test_merge_into_null_delete_cond_keeps_row(spark):
+    """NULL delete condition means 'do not delete' (ADVICE #2) —
+    matched rows with a NULL cond are updated, not dropped."""
+    target = spark.createDataFrame([(1, "old"), (2, "old")], ["k", "v"])
+    # flag NULL for k=1, true for k=2
+    source = spark.createDataFrame(
+        [(1, "new", None), (2, "new", True)], "k int, v string, del boolean"
+    )
+    out = merge_into(
+        target,
+        source.select("k", "v", "del"),
+        ["k"],
+        update_cols=["v"],
+        delete_cond=F.col("del"),
+    ).collect()
+    got = {r["k"]: r["v"] for r in out}
+    assert got == {1: "new"}  # k=2 deleted, k=1 updated and KEPT
+
+
+def test_asof_join_left_r_prefixed_column_survives(spark):
+    """A left column named 'r_value' is left data, not right payload
+    (ADVICE #3)."""
+    left = spark.createDataFrame(
+        [(1, 10, "keepme")], ["k", "t", "r_value"]
+    )
+    right = spark.createDataFrame([(1, 15, 99.0)], ["k", "t", "px"])
+    out = asof_join(
+        left, right, ["k"], left_on="t", right_on="t", direction="forward"
+    ).collect()[0]
+    assert out["r_value"] == "keepme"
+    assert out["r_px"] == 99.0
+
+
+def test_asof_join_name_collision_raises(spark):
+    """If renaming right payload would collide with an existing left
+    name, fail loudly rather than corrupt."""
+    left = spark.createDataFrame([(1, 10, "l")], ["k", "t", "r_px"])
+    right = spark.createDataFrame([(1, 15, 99.0)], ["k", "t", "px"])
+    with pytest.raises(ValueError, match="collision"):
+        asof_join(left, right, ["k"], left_on="t", right_on="t")
+
+
+def test_salted_join_rejects_dim_preserving_how(spark):
+    """right/full joins would replicate unmatched dim rows once per
+    salt (ADVICE #4) — refuse them."""
+    fact = spark.createDataFrame([(1, "a")], ["k", "x"])
+    dim = spark.createDataFrame([(1, "d"), (2, "unmatched")], ["k", "y"])
+    with pytest.raises(ValueError, match="not supported"):
+        salted_join(fact, dim, ["k"], F.col("x"), n_salts=4, how="full")
+    # sanity: allowed hows still produce plain-join-identical results
+    out = salted_join(fact, dim, ["k"], F.col("x"), n_salts=4, how="inner")
+    assert out.count() == 1
+
+
+def test_orders_matched_price_non_hex_word_yields_null(spark):
+    """A correct-length data word with non-hex chars must decode to
+    null, not blow up the Arrow batch (ADVICE #5)."""
+    good = "0x" + "00" * 64 + format(10**18, "064x")
+    bad = "0x" + "00" * 64 + "zz" * 32  # right length, not hex
+    df = spark.createDataFrame(
+        [(good,), (bad,), (None,)], ["data"]
+    ).select(orders_matched_price(F.col("data")).alias("p"))
+    vals = [r["p"] for r in df.collect()]
+    assert vals[0] == 1.0
+    assert vals[1] is None
+    assert vals[2] is None
