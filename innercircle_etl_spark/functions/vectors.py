@@ -45,3 +45,31 @@ def cosine(a: Column, b: Column) -> Column:
 
 def scale(a: Column, factor: float) -> Column:
     return F.transform(a, lambda x: x * F.lit(factor))
+
+
+def hyperplane_weights(n_planes: int, dim: int) -> list[list[int]]:
+    """Deterministic integer hyperplanes (LCG-expanded). Integer
+    weights keep the projection arithmetic exactly representable →
+    identical sign bits in both engines (same formula the similarity
+    family's SQL oracle re-derives)."""
+    return [
+        [
+            ((1103515245 * (p * dim + i + 1) + 12345) % 2001) - 1000
+            for i in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def sign_bucket(v: Column, planes: list[list[int]]) -> Column:
+    """Random-hyperplane sign bucket: bit p set iff dot(v, plane_p)
+    >= 0. The standard SimHash-for-cosine bucketing — vectors equal
+    up to a positive scalar land in the SAME bucket (positive scaling
+    preserves every projection's sign), which is what makes it a
+    lossless candidate generator for exact-scaled near-dup corpora."""
+    bucket = None
+    for p, w in enumerate(planes):
+        warr = F.array(*[F.lit(float(x)) for x in w])
+        term = F.when(dot(v, warr) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = term if bucket is None else bucket + term
+    return bucket.cast("bigint")
