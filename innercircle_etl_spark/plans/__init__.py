@@ -10,6 +10,7 @@ from innercircle_etl_spark.plans.registry import ORACLES, QUERIES, load  # noqa:
 # Import for registration side effects.
 from innercircle_etl_spark.plans import (  # noqa: F401,E402
     aggregates,
+    circle_queries,
     decode_queries,
     dedup_queries,
     filters,

@@ -1,0 +1,239 @@
+"""Entry point 4: circle-cohort assembly (SURVEY §3,
+update_etl.py:836-920 ``update_circle_insider``).
+
+The reference builds its ``insider_to_circle_mapping`` daily:
+
+- circle 1, "top 200 whales": wallets ranked by total portfolio
+  worth, admitted only if their top-3 collections hold < 90% of that
+  worth (concentration guard — update_etl.py:848-858);
+- circle 2, "most profitable traders": wallets whose best collection
+  is profitable but contributes < 90% of a positive total gain ("no
+  one-trade wonders", update_etl.py:864-884), top 200 by total gain,
+  enriched with the whale rank;
+- the union feeds insert-if-absent into ``insider`` (the U1
+  operator) and an SCD-2-lite mapping: all prior rows are flipped
+  ``is_current = false``, the fresh cohort is appended ``true``
+  (update_etl.py:906-920 — the i5 flag-flip operator at cohort
+  granularity).
+
+Here the whole thing is ONE DataFrame DAG over the lineitem fact
+(same column vocabulary as ep3), composed from the shared cascade
+core (``build_cet_roi``). Two deterministic SCD generations replace
+the reference's wall-clock cadence: the "yesterday" cohort is the
+cascade on data before 1998-01-01, the "today" cohort on all data —
+fixed literals, no now().
+
+Scale notes: every aggregate is a map-side-combinable groupBy on
+(wallet) or (wallet, coll); the only global windows (address_rank)
+run on the POST-AGGREGATION wallet dimension (|wallets| rows, not
+|fact|) — same dimension-sized-window argument as the ngram vocab
+rank; both top-200 selections compile to TakeOrderedAndProject.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from innercircle_etl_spark.plans.registry import dsum, register
+from innercircle_etl_spark.plans.roi_cascade import (
+    build_cet_roi,
+    cet_roi_ctes,
+    load_fact,
+)
+
+_N_CIRCLE = 200
+_PREV_CUTOFF = "1998-01-01"
+_CURR_STAMP = "1998-12-01"
+
+
+def _circle_ctes(s: str) -> str:
+    """Both circles for one SCD generation (fact{s}/cet_roi{s} must
+    already be in scope via cet_roi_ctes(s, ...))."""
+    return f"""
+worth{s} AS (
+    SELECT wallet, coll,
+           CAST(SUM(CAST(price AS DECIMAL(38,6))) AS DOUBLE) AS coll_worth
+    FROM fact{s} GROUP BY wallet, coll
+),
+ww{s} AS (
+    SELECT wallet,
+           CAST(SUM(CAST(coll_worth AS DECIMAL(38,6))) AS DOUBLE)
+             AS total_worth
+    FROM worth{s} GROUP BY wallet
+),
+rankedw{s} AS (
+    SELECT wallet, total_worth,
+           CAST(row_number() OVER (ORDER BY total_worth DESC, wallet ASC)
+                AS INTEGER) AS address_rank
+    FROM ww{s}
+),
+top3{s} AS (
+    SELECT wallet, coll_worth FROM (
+        SELECT wallet, coll_worth,
+               row_number() OVER (PARTITION BY wallet
+                                  ORDER BY coll_worth DESC, coll ASC) AS rnk
+        FROM worth{s}
+    ) WHERE rnk <= 3
+),
+guard{s} AS (
+    SELECT t.wallet FROM (
+        SELECT wallet,
+               CAST(SUM(CAST(coll_worth AS DECIMAL(38,6))) AS DOUBLE)
+                 AS top3_worth
+        FROM top3{s} GROUP BY wallet
+    ) t JOIN ww{s} w ON t.wallet = w.wallet
+    WHERE t.top3_worth / w.total_worth < 0.9
+),
+circle1{s} AS (
+    SELECT r.wallet AS insider_id, r.address_rank, 1 AS circle
+    FROM rankedw{s} r JOIN guard{s} g ON r.wallet = g.wallet
+    ORDER BY r.address_rank LIMIT {_N_CIRCLE}
+),
+best{s} AS (
+    SELECT wallet, coll_gain AS best_gain FROM (
+        SELECT wallet, coll_gain,
+               row_number() OVER (PARTITION BY wallet
+                                  ORDER BY coll_gain DESC, coll ASC) AS rnk
+        FROM cet_roi{s}
+    ) WHERE rnk = 1
+),
+tot{s} AS (
+    SELECT wallet,
+           CAST(SUM(CAST(coll_gain AS DECIMAL(38,6))) AS DOUBLE)
+             AS total_gain
+    FROM cet_roi{s} GROUP BY wallet
+),
+toproi{s} AS (
+    SELECT b.wallet, t.total_gain
+    FROM best{s} b JOIN tot{s} t ON b.wallet = t.wallet
+    WHERE t.total_gain > 0 AND b.best_gain > 0
+      AND b.best_gain / t.total_gain < 0.9
+    ORDER BY t.total_gain DESC, b.wallet ASC LIMIT {_N_CIRCLE}
+),
+circle2{s} AS (
+    SELECT c.wallet AS insider_id, r.address_rank, 2 AS circle
+    FROM toproi{s} c LEFT JOIN rankedw{s} r ON c.wallet = r.wallet
+),
+staging{s} AS (
+    SELECT * FROM circle1{s} UNION ALL SELECT * FROM circle2{s}
+)"""
+
+
+_EP4_ORACLE = f"""
+WITH {cet_roi_ctes("_p", f"l_shipdate < DATE '{_PREV_CUTOFF}'")},
+{cet_roi_ctes("_c", "1=1")},
+{_circle_ctes("_p")},
+{_circle_ctes("_c")}
+SELECT insider_id, address_rank, circle,
+       DATE '{_PREV_CUTOFF}' AS created_at, false AS is_current
+FROM staging_p
+UNION ALL
+SELECT insider_id, address_rank, circle,
+       DATE '{_CURR_STAMP}' AS created_at, true AS is_current
+FROM staging_c
+"""
+
+
+def _circle_staging(fact: DataFrame) -> DataFrame:
+    """One SCD generation: both circles from one fact slice."""
+    # circle 1 — whale worth with concentration guard
+    worth = fact.groupBy("wallet", "coll").agg(
+        dsum("price").alias("coll_worth")
+    )
+    ww = worth.groupBy("wallet").agg(dsum("coll_worth").alias("total_worth"))
+    # global rank over the wallet DIMENSION (post-aggregation), not
+    # the fact table — bounded by |wallets|
+    ranked_w = ww.select(
+        "wallet",
+        "total_worth",
+        F.row_number()
+        .over(Window.orderBy(F.col("total_worth").desc(), F.col("wallet")))
+        .cast("int")
+        .alias("address_rank"),
+    )
+    top3 = worth.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("wallet").orderBy(
+                F.col("coll_worth").desc(), F.col("coll")
+            )
+        ),
+    ).filter(F.col("rnk") <= 3)
+    guard = (
+        top3.groupBy("wallet")
+        .agg(dsum("coll_worth").alias("top3_worth"))
+        .join(ww, "wallet")
+        .filter(F.col("top3_worth") / F.col("total_worth") < 0.9)
+        .select("wallet")
+    )
+    circle1 = (
+        ranked_w.join(guard, "wallet")
+        .orderBy("address_rank")
+        .limit(_N_CIRCLE)
+        .select(
+            F.col("wallet").alias("insider_id"),
+            "address_rank",
+            F.lit(1).alias("circle"),
+        )
+    )
+
+    # circle 2 — top traders from the shared ROI cascade core
+    cet = build_cet_roi(fact)
+    best = (
+        cet.withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("wallet").orderBy(
+                    F.col("coll_gain").desc(), F.col("coll")
+                )
+            ),
+        )
+        .filter(F.col("rnk") == 1)
+        .select("wallet", F.col("coll_gain").alias("best_gain"))
+    )
+    tot = cet.groupBy("wallet").agg(dsum("coll_gain").alias("total_gain"))
+    top_roi = (
+        best.join(tot, "wallet")
+        .filter(
+            (F.col("total_gain") > 0)
+            & (F.col("best_gain") > 0)
+            & (F.col("best_gain") / F.col("total_gain") < 0.9)
+        )
+        .orderBy(F.col("total_gain").desc(), F.col("wallet"))
+        .limit(_N_CIRCLE)
+    )
+    circle2 = top_roi.join(
+        ranked_w.select("wallet", "address_rank"), "wallet", "left"
+    ).select(
+        F.col("wallet").alias("insider_id"),
+        "address_rank",
+        F.lit(2).alias("circle"),
+    )
+    return circle1.unionByName(circle2)
+
+
+@register("ep4_circles", oracle=_EP4_ORACLE)
+def ep4_circles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP4: the circle-cohort mapping with its SCD flag flip — see
+    module docstring. Output = the post-merge
+    ``insider_to_circle_mapping``: yesterday's cohort flipped
+    ``is_current=false``, today's appended ``true``."""
+    fact = load_fact(spark, sf_dir)
+    prev = _circle_staging(
+        fact.filter(F.col("ev_date") < F.lit(_PREV_CUTOFF).cast("date"))
+    ).select(
+        "insider_id",
+        "address_rank",
+        "circle",
+        F.to_date(F.lit(_PREV_CUTOFF)).alias("created_at"),
+        F.lit(False).alias("is_current"),
+    )
+    curr = _circle_staging(fact).select(
+        "insider_id",
+        "address_rank",
+        "circle",
+        F.to_date(F.lit(_CURR_STAMP)).alias("created_at"),
+        F.lit(True).alias("is_current"),
+    )
+    return prev.unionByName(curr)

@@ -30,42 +30,47 @@ from innercircle_etl_spark.plans.registry import dsum, load, register
 
 _TOP_WALLETS = 100
 
-_EP3_ORACLE = """
-WITH fact AS (
+
+def cet_roi_ctes(s: str = "", where: str = "1=1") -> str:
+    """The fact→cet_roi CTE chain as oracle-SQL text, suffixed with
+    ``s`` and filtered by ``where`` so ep4's two SCD generations can
+    instantiate it twice alongside ep3's single use."""
+    return f"""
+fact{s} AS (
     SELECT l_suppkey AS wallet, l_partkey AS coll, l_shipdate AS ev_date,
            l_extendedprice AS price, l_returnflag AS flag,
            l_orderkey AS okey, l_linenumber AS line
-    FROM lineitem
+    FROM lineitem WHERE {where}
 ),
-floor_daily AS (
+floor_daily{s} AS (
     SELECT coll, ev_date,
            percentile_disc(0.2) WITHIN GROUP (ORDER BY price) AS floor_price
-    FROM fact GROUP BY coll, ev_date
+    FROM fact{s} GROUP BY coll, ev_date
 ),
-latest_floor AS (
+latest_floor{s} AS (
     SELECT coll, floor_price FROM (
         SELECT coll, floor_price,
                row_number() OVER (PARTITION BY coll
                                   ORDER BY ev_date DESC) AS rn
-        FROM floor_daily
+        FROM floor_daily{s}
     ) WHERE rn = 1
 ),
-buys AS (
+buys{s} AS (
     SELECT wallet, coll, ev_date AS buy_date, price AS buy_price
-    FROM fact WHERE flag <> 'R'
+    FROM fact{s} WHERE flag <> 'R'
 ),
-sells AS (
+sells{s} AS (
     SELECT wallet, coll, ev_date AS sell_date, price AS sell_price,
            okey AS s_okey, line AS s_line
-    FROM fact WHERE flag = 'R'
+    FROM fact{s} WHERE flag = 'R'
 ),
 -- as-of at (wallet, coll, buy_date) granularity: the first-sell
 -- match depends only on those three, and the synthetic fact table
 -- has no unique row key to anchor a per-row window on
-buy_keys AS (
-    SELECT DISTINCT wallet, coll, buy_date FROM buys
+buy_keys{s} AS (
+    SELECT DISTINCT wallet, coll, buy_date FROM buys{s}
 ),
-matched AS (
+matched{s} AS (
     SELECT wallet, coll, buy_date, m_sell_price FROM (
         SELECT b.*,
                CASE WHEN s.sell_date >= b.buy_date
@@ -81,28 +86,32 @@ matched AS (
                             (CASE WHEN s.sell_date >= b.buy_date
                                   THEN s.sell_price END) ASC NULLS LAST
                ) AS rn
-        FROM buy_keys b
-        LEFT JOIN sells s ON b.wallet = s.wallet AND b.coll = s.coll
+        FROM buy_keys{s} b
+        LEFT JOIN sells{s} s ON b.wallet = s.wallet AND b.coll = s.coll
     ) WHERE rn = 1
 ),
-gains AS (
+gains{s} AS (
     SELECT b.wallet, b.coll, b.buy_date,
            coalesce(m.m_sell_price, f.floor_price) - b.buy_price AS gain,
            (m.m_sell_price IS NOT NULL) AS realized
-    FROM buys b
-    JOIN matched m ON b.wallet = m.wallet AND b.coll = m.coll
+    FROM buys{s} b
+    JOIN matched{s} m ON b.wallet = m.wallet AND b.coll = m.coll
                   AND b.buy_date = m.buy_date
-    JOIN latest_floor f ON b.coll = f.coll
+    JOIN latest_floor{s} f ON b.coll = f.coll
 ),
-cet_roi AS (
+cet_roi{s} AS (
     SELECT wallet, coll,
            CAST(COUNT(*) AS BIGINT) AS n_buys,
            CAST(SUM(CASE WHEN realized THEN 1 ELSE 0 END) AS BIGINT)
              AS n_realized,
            MIN(buy_date) AS first_buy_date,
            CAST(SUM(CAST(gain AS DECIMAL(38,6))) AS DOUBLE) AS coll_gain
-    FROM gains GROUP BY wallet, coll
-),
+    FROM gains{s} GROUP BY wallet, coll
+)"""
+
+
+_EP3_ORACLE = """
+WITH %(ctes)s,
 ranked AS (
     SELECT *, CAST(row_number() OVER (
                PARTITION BY wallet
@@ -127,13 +136,13 @@ SELECT t.wallet, t.wallet_rank, t.wallet_gain,
        r.n_buys, r.n_realized, r.first_buy_date
 FROM top_wallets t JOIN ranked r ON t.wallet = r.wallet
 WHERE r.coll_rank <= 3
-""" % {"k": _TOP_WALLETS}
+""" % {"k": _TOP_WALLETS, "ctes": cet_roi_ctes()}
 
 
-@register("ep3_roi_cascade", oracle=_EP3_ORACLE)
-def ep3_roi_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full ROI cascade as one DAG — see module docstring."""
-    fact = load(spark, sf_dir, "lineitem").select(
+def load_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lineitem fact table in trading-cascade vocabulary (see
+    module docstring for the column mapping)."""
+    return load(spark, sf_dir, "lineitem").select(
         F.col("l_suppkey").alias("wallet"),
         F.col("l_partkey").alias("coll"),
         F.col("l_shipdate").alias("ev_date"),
@@ -143,6 +152,12 @@ def ep3_roi_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_linenumber").alias("line"),
     )
 
+
+def build_cet_roi(fact: DataFrame) -> DataFrame:
+    """fact → per-(wallet, collection) ROI rollup (the reference's
+    cet_roi, update_etl.py:635-798): floor percentile → latest floor
+    → as-of buy/sell match → floor fallback → rollup. Shared by the
+    ep3 top-K cascade and the ep4 circle-cohort assembly."""
     # A8: daily floor percentile, then W1: latest floor per collection
     floor_daily = percentile_disc(
         fact, ["coll", "ev_date"], "price", 0.2, out_col="floor_price"
@@ -201,12 +216,18 @@ def ep3_roi_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # A3/A7: per-(wallet, collection) rollup
-    cet_roi = gains.groupBy("wallet", "coll").agg(
+    return gains.groupBy("wallet", "coll").agg(
         F.count(F.lit(1)).alias("n_buys"),
         F.sum(F.when(F.col("realized"), 1).otherwise(0)).alias("n_realized"),
         F.min("buy_date").alias("first_buy_date"),
         dsum("gain").alias("coll_gain"),
     )
+
+
+@register("ep3_roi_cascade", oracle=_EP3_ORACLE)
+def ep3_roi_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ROI cascade as one DAG — see module docstring."""
+    cet_roi = build_cet_roi(load_fact(spark, sf_dir))
 
     # W3: top collections per wallet
     ranked = cet_roi.withColumn(
