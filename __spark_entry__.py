@@ -73,6 +73,7 @@ _PRIORITY = [
     "i6_watermark_window",
     # -- new this round
     "ep4_circles",
+    "q1_quality_report",
     "i3b_stateful_snapshot",
     # -- one representative per remaining family
     "ep3_roi_cascade",

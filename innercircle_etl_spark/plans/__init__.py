@@ -28,3 +28,7 @@ from innercircle_etl_spark.plans import (  # noqa: F401,E402
     upserts,
     windows,
 )
+
+# Registers q1_quality_report (lives at package root per SURVEY §7;
+# imports plans.registry, so it must come after the core imports).
+from innercircle_etl_spark import quality  # noqa: F401,E402

@@ -1,0 +1,255 @@
+"""Data-quality invariant checks — the reference's validation corpus
+as runnable operators (SURVEY §5/§7 ``quality.py``).
+
+The reference has no unit tests; its quality net is a set of ad-hoc
+assertion queries run against production tables:
+
+- payment-token distribution sanity
+  (`adhoc queries/validation_query.sql:17-40`): the blessed currency
+  set should dominate; everything else is decode noise.
+- eth_value == calculated price consistency
+  (`adhoc queries/validation_query.sql:52-63`): two independent
+  derivations of the trade price agree on ~all rows.
+- transfers ⊇ trx_union reconciliation
+  (`adhoc queries/exclude_payment_tokens.sql:83-142`): every trade
+  seen by the trx-union pipeline must exist in the token-transfer
+  feed; missing rows must be explained.
+- date-gap audit (`etl_utls.py:340-357`, run before every ingest by
+  `daily_update_script.py`): no missing days in a loaded range.
+
+Each check returns a small metrics/violations DataFrame (never a
+boolean — the caller decides thresholds; tests pin them). The checks
+compose the SAME fixture derivations the decode queries use, so a
+regression in decode surfaces here too.
+
+Scale: every check is a groupBy/anti-join over the fact table —
+map-side combinable, no windows, no driver state; the outputs are
+metric-sized (rows = #metrics or #violations).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from innercircle_etl_spark.functions import decode as DEC
+from innercircle_etl_spark.operators.upsert import date_gaps
+from innercircle_etl_spark.plans.decode_queries import (
+    _atomic_match_calldata,
+    _orders_matched_logs,
+    d1_decode_log_price,
+    d12_trade_decode_pipeline,
+)
+from innercircle_etl_spark.plans.registry import load, register
+
+
+def payment_token_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-token trade counts, descending — the distribution the
+    reference eyeballs in validation_query.sql:17-40. Returns
+    (payment_token, n) with the '<error>' sentinel bucket included
+    so its share is visible."""
+    calls = _atomic_match_calldata(spark, sf_dir)
+    tokens = calls.select(
+        DEC.atomic_match_payment_token(F.col("input_data")).alias(
+            "payment_token"
+        )
+    )
+    return (
+        tokens.groupBy("payment_token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("payment_token"))
+    )
+
+
+def price_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """eth_value == price cross-check (validation_query.sql:52-63):
+    the UDF-decoded per-trx price against an independent SQL-side
+    recomputation from the raw event values. Returns one row per
+    trx with both values and a match flag; aggregate in the caller."""
+    decoded = d1_decode_log_price(spark, sf_dir)
+    ev = load(spark, sf_dir, "events")
+    expected = (
+        ev.select(
+            F.concat(
+                F.lit("tx"), F.expr("event_id div 4").cast("string")
+            ).alias("trx_hash"),
+            (
+                (F.round(F.col("value") * 100).cast("long") * F.lit(10000000000))
+                / F.lit(1e18)
+            )
+            .cast("decimal(38,18)")
+            .alias("p"),
+        )
+        .groupBy("trx_hash")
+        .agg(F.sum("p").cast("double").alias("expected_price"))
+    )
+    return decoded.join(expected, "trx_hash").select(
+        "trx_hash",
+        "price",
+        "expected_price",
+        (F.col("price") == F.col("expected_price")).alias("consistent"),
+    )
+
+
+def reconciliation_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transfers ⊇ trx_union (exclude_payment_tokens.sql:83-142):
+    anti-join the full per-trx transfer set against the decode
+    pipeline's output and attach WHY each miss happened. Returns
+    (trx_id, explained) — explained misses are trx whose currency
+    decode errored (planted % 97 rows) or that have no currency row
+    at all; anything else is a real reconciliation failure."""
+    transfers = (
+        _orders_matched_logs(spark, sf_dir)
+        .select(
+            F.regexp_replace("trx_hash", "^tx", "").cast("long").alias(
+                "trx_id"
+            )
+        )
+        .distinct()
+    )
+    trx_union = (
+        d12_trade_decode_pipeline(spark, sf_dir)
+        .select(
+            F.regexp_replace("trx_hash", "^tx", "").cast("long").alias(
+                "trx_id"
+            )
+        )
+        .distinct()
+    )
+    missing = transfers.join(trx_union, "trx_id", "left_anti")
+    currency_ids = (
+        load(spark, sf_dir, "events")
+        .select(F.col("event_id").alias("trx_id"))
+        .distinct()
+    )
+    return (
+        missing.join(currency_ids.withColumn("has_currency", F.lit(True)),
+                     "trx_id", "left")
+        .select(
+            "trx_id",
+            (
+                (F.col("trx_id") % 97 == 0)
+                | F.col("has_currency").isNull()
+            ).alias("explained"),
+        )
+    )
+
+
+def date_gap_audit(
+    spark: SparkSession, sf_dir: str, start: str, end: str
+) -> DataFrame:
+    """The pre-ingest gap scan (etl_utls.py:340-357) over the events
+    fixture: expected calendar anti-join loaded days."""
+    ev = load(spark, sf_dir, "events")
+    return date_gaps(ev, "ts", start, end)
+
+
+_Q1_ORACLE = """
+WITH tok AS (
+    SELECT CASE WHEN event_id % 97 = 0 THEN 1 ELSE 0 END AS is_err
+    FROM events
+),
+m1 AS (
+    SELECT 'payment_token_decode' AS metric,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(is_err) AS BIGINT) AS n_bad
+    FROM tok
+),
+expected AS (
+    SELECT 'tx' || CAST(event_id // 4 AS VARCHAR) AS trx_hash,
+           CAST(SUM(CAST((CAST(round(value * 100) AS BIGINT)
+                          * 10000000000) / 1e18
+                     AS DECIMAL(38,18))) AS DOUBLE) AS expected_price
+    FROM events GROUP BY 1
+),
+decoded AS (
+    SELECT 'tx' || CAST(event_id // 4 AS VARCHAR) AS trx_hash,
+           CAST(SUM(CAST(('0x' || substr(
+                '0x' || lower(lpad(hex(event_id), 64, '0'))
+                     || lower(lpad(hex(user_id), 64, '0'))
+                     || lower(lpad(hex(CAST(round(value * 100) AS BIGINT)
+                                       * 10000000000), 64, '0')),
+                3 + 128, 64))::BIGINT / 1e18 AS DECIMAL(38,18)))
+             AS DOUBLE) AS price
+    FROM events GROUP BY 1
+),
+m2 AS (
+    SELECT 'price_consistency' AS metric,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN d.price = e.expected_price THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_bad
+    FROM decoded d JOIN expected e ON d.trx_hash = e.trx_hash
+),
+transfers AS (SELECT DISTINCT event_id // 4 AS trx_id FROM events),
+unioned AS (
+    SELECT DISTINCT t.trx_id
+    FROM transfers t JOIN events e ON t.trx_id = e.event_id
+    WHERE e.event_id % 97 <> 0
+),
+missing AS (
+    SELECT t.trx_id FROM transfers t
+    LEFT JOIN unioned u ON t.trx_id = u.trx_id
+    WHERE u.trx_id IS NULL
+),
+currency_ids AS (SELECT DISTINCT event_id AS trx_id FROM events),
+m3 AS (
+    SELECT 'transfers_reconciliation' AS metric,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM transfers) AS n_total,
+           CAST(COALESCE(SUM(CASE WHEN m.trx_id % 97 <> 0
+                              AND c.trx_id IS NOT NULL
+                         THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_bad
+    FROM missing m LEFT JOIN currency_ids c ON m.trx_id = c.trx_id
+)
+SELECT metric, n_total, n_bad,
+       CAST(n_bad AS DOUBLE) / n_total AS bad_rate
+FROM (SELECT * FROM m1 UNION ALL SELECT * FROM m2
+      UNION ALL SELECT * FROM m3)
+"""
+
+
+@register("q1_quality_report", oracle=_Q1_ORACLE)
+def q1_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three validation invariants as one metrics frame
+    (metric, n_total, n_bad, bad_rate) — the reference's manual
+    quality pass turned into a checkable operator."""
+    tokens = payment_token_distribution(spark, sf_dir)
+    m1 = tokens.agg(
+        F.lit("payment_token_decode").alias("metric"),
+        F.sum("n").alias("n_total"),
+        F.sum(
+            F.when(
+                F.col("payment_token").startswith("<error>"), F.col("n")
+            ).otherwise(F.lit(0))
+        ).alias("n_bad"),
+    )
+    cons = price_consistency(spark, sf_dir)
+    m2 = cons.agg(
+        F.lit("price_consistency").alias("metric"),
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(F.col("consistent"), 0).otherwise(1)).alias("n_bad"),
+    )
+    miss = reconciliation_missing(spark, sf_dir)
+    n_transfers = (
+        _orders_matched_logs(spark, sf_dir)
+        .select(F.regexp_replace("trx_hash", "^tx", "").cast("long"))
+        .distinct()
+    )
+    m3 = n_transfers.agg(
+        F.lit("transfers_reconciliation").alias("metric"),
+        F.count(F.lit(1)).alias("n_total"),
+    ).crossJoin(
+        miss.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("explained"), 0).otherwise(1)), F.lit(0)
+            ).alias("n_bad")
+        )
+    )
+    out = m1.unionByName(m2).unionByName(m3.select("metric", "n_total", "n_bad"))
+    return out.select(
+        "metric",
+        "n_total",
+        "n_bad",
+        (F.col("n_bad").cast("double") / F.col("n_total")).alias("bad_rate"),
+    )
