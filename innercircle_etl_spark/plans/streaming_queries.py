@@ -161,6 +161,95 @@ def i3_streaming_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("i3b_stateful_snapshot", oracle=_I3_ORACLE)
+def i3b_stateful_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I3 true-streaming form: per-key state via
+    ``applyInPandasWithState`` instead of i3's foreachBatch
+    rewrite-the-snapshot merge. Each user's state is a FIXED-WIDTH
+    (last_event_id, last_event_type) record in the checkpoint state
+    store, updated per micro-batch and restored across restarts —
+    the form that survives unbounded key cardinality: state grows
+    with |users| (RocksDB-spillable on a real cluster), not with
+    |events|, and no stage ever rewrites the whole snapshot
+    (nft_ownership maintenance, update_etl.py:480-534).
+
+    The update stream appends one row per touched key per batch to
+    the sink; the batch-side read collapses to the final snapshot
+    with a latest-per-key window — values per key are monotone in
+    last_event_id, so the max IS the final state. Oracle = the same
+    latest-event-per-user over the whole table."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    import pandas as pd
+
+    base = _fresh(f"{SCRATCH}/stream_i3b_{os.path.basename(sf_dir)}")
+    src, sink, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    ev = _events_slim(spark, sf_dir)
+
+    out_schema = (
+        "user_id long, last_event_id long, last_event_type string"
+    )
+    state_schema = "last_event_id long, last_event_type string"
+
+    def update_fn(key, pdfs, state):
+        best_id, best_type = (
+            state.get if state.exists else (None, None)
+        )
+        for pdf in pdfs:
+            i = pdf["event_id"].idxmax()
+            if best_id is None or pdf["event_id"][i] > best_id:
+                best_id = int(pdf["event_id"][i])
+                best_type = pdf["event_type"][i]
+        state.update((best_id, best_type))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "last_event_id": [best_id],
+                "last_event_type": [best_type],
+            }
+        )
+
+    for wave in (0, 1):
+        ev.filter(_wave(F.col("event_id")) == wave).write.mode(
+            "append"
+        ).json(src)
+        stream = stream_ndjson_dir(spark, src, _EVENT_SCHEMA)
+        updates = stream.groupBy("user_id").applyInPandasWithState(
+            update_fn,
+            out_schema,
+            state_schema,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+
+        def emit(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df.write.mode("append").parquet(sink)
+
+        q = (
+            updates.writeStream.outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .foreachBatch(emit)
+            .start()
+        )
+        q.awaitTermination()
+        # expose state-store metrics so tests can assert the state
+        # stays bounded by |users| (not |events|)
+        i3b_stateful_snapshot.last_progress = [
+            p for p in q.recentProgress if p.get("stateOperators")
+        ]
+
+    emitted = spark.read.parquet(sink)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("last_event_id").desc()
+    )
+    return (
+        emitted.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .drop("rnk")
+    )
+
+
 _I1_ORACLE = """
 WITH target AS (
     SELECT * FROM events WHERE event_id % 2 = 0
