@@ -75,6 +75,8 @@ _PRIORITY = [
     "ep4_circles",
     "q1_quality_report",
     "i3b_stateful_snapshot",
+    "ann_ivf_lloyd",
+    "ann_recall_lloyd",
     # -- one representative per remaining family
     "ep3_roi_cascade",
     "ep1_daily_pipeline",

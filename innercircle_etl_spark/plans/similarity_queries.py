@@ -240,27 +240,15 @@ SELECT query_id, neighbor_id, rank, cos FROM ranked WHERE rank <= 3
 """
 
 
-@register("ann_ivf_probe", oracle=_IVF_ORACLE)
-def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF coarse-quantizer ANN: every vector is assigned to its
-    nearest coarse centroid (here a deterministic codebook — every
-    97th vector; production would run a few Lloyd iterations, which
-    only changes the codebook, not this plan), queries probe their
-    nprobe=2 nearest cells, exact cosine re-rank inside the probed
-    cells.
-
-    Scale shape: the assignment is a broadcast-centroids map-side
-    argmax (no shuffle of the corpus); the inverted file is the
-    cluster-id partition key; each query touches nprobe cells ≈
-    nprobe/k of the corpus. This is the third member of the ANN
-    family: brute force (exact) → LSH buckets (hash cells) → IVF
-    (learned cells)."""
-    emb = load(spark, sf_dir, "embeddings")
-    e = emb.select("vec_id", V.as_double(F.col("embedding")).alias("v"))
-    cent = e.filter(F.col("vec_id") % 97 == 0).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
-    )
-
+def ivf_topk(
+    e: DataFrame, cent: DataFrame, nprobe: int = _IVF_NPROBE, k: int = 3
+) -> DataFrame:
+    """The IVF probe/re-rank plan, with the codebook as a PARAMETER:
+    ``cent`` is any (cid, cv) centroid frame — a deterministic sample
+    (ann_ivf_probe) or a Lloyd-trained codebook (ann_ivf_lloyd). The
+    plan never changes with the codebook: broadcast-centroid argmax
+    assignment, cluster-id as the inverted-file key, exact cosine
+    re-rank inside the probed cells."""
     sim = V.cosine(F.col("v"), F.col("cv"))
     crossed = e.crossJoin(F.broadcast(cent)).select(
         "vec_id", "v", "cid", sim.alias("ccos")
@@ -274,7 +262,7 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign = ranked_cells.filter(F.col("rn") == 1).select("vec_id", "v", "cid")
     probes = (
         ranked_cells.filter(
-            (F.col("vec_id") < _N_QUERIES) & (F.col("rn") <= _IVF_NPROBE)
+            (F.col("vec_id") < _N_QUERIES) & (F.col("rn") <= nprobe)
         )
         .select(
             F.col("vec_id").alias("query_id"),
@@ -300,9 +288,32 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= 3)
+        .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos")
     )
+
+
+@register("ann_ivf_probe", oracle=_IVF_ORACLE)
+def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer ANN with the deterministic sample
+    codebook (every 97th vector — SQL-expressible, so this variant
+    carries the value-hash oracle; the Lloyd-trained variant below
+    shares the identical plan via ``ivf_topk``), queries probe their
+    nprobe=2 nearest cells, exact cosine re-rank inside the probed
+    cells.
+
+    Scale shape: the assignment is a broadcast-centroids map-side
+    argmax (no shuffle of the corpus); the inverted file is the
+    cluster-id partition key; each query touches nprobe cells ≈
+    nprobe/k of the corpus. This is the third member of the ANN
+    family: brute force (exact) → LSH buckets (hash cells) → IVF
+    (learned cells)."""
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", V.as_double(F.col("embedding")).alias("v"))
+    cent = e.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    return ivf_topk(e, cent)
 
 
 # ------------------------------------------------------- recall@k
@@ -363,4 +374,111 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.coalesce(F.col("n_hits"), F.lit(0)) * 1.0 / F.col("n_true")
         ).alias("recall"),
+    )
+
+
+# ------------------------------------------------- Lloyd-trained IVF
+
+_DIM_EMB = 64
+_LLOYD_ITERS = 2
+
+
+def lloyd_codebook(
+    e: DataFrame, iters: int = _LLOYD_ITERS
+) -> DataFrame:
+    """Spherical k-means codebook: deterministic init (every 97th
+    vector — the sampled codebook the oracle-checked variant uses),
+    then ``iters`` Lloyd rounds of broadcast-centroid argmax
+    assignment + per-cell elementwise mean (64 map-side-combinable
+    decimal-sum aggregates — exact and order-independent, so the
+    codebook is bit-deterministic; NO explode, no shuffle of the
+    vectors beyond one groupBy per round).
+
+    Between rounds the k×64 centroid table collects to the driver —
+    dimension-sized (the same contract as broadcasting any dim
+    table; MLlib's KMeans does the identical collect per iteration).
+    K-means is THE canonical iterative algorithm: no SQL oracle can
+    express it, so queries built on this register rows-only."""
+    spark = e.sparkSession
+    cent = e.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    for _ in range(iters):
+        sim = V.cosine(F.col("v"), F.col("cv"))
+        crossed = e.crossJoin(F.broadcast(cent)).select(
+            "vec_id", "v", "cid", sim.alias("ccos")
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("ccos").desc(), F.col("cid").asc()
+        )
+        assigned = (
+            crossed.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("cid", "v")
+        )
+        sums = assigned.groupBy("cid").agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum(F.col("v")[i].cast("decimal(38,18)")).alias(f"s{i}")
+                for i in range(_DIM_EMB)
+            ],
+        )
+        mean = sums.select(
+            "cid",
+            F.array(
+                *[
+                    (F.col(f"s{i}") / F.col("n")).cast("double")
+                    for i in range(_DIM_EMB)
+                ]
+            ).alias("cv"),
+        )
+        # dimension-sized collect between iterations (empty cells
+        # drop out naturally — groupBy only yields populated cells)
+        rows = mean.collect()
+        cent = spark.createDataFrame(
+            [(r["cid"], r["cv"]) for r in rows], "cid long, cv array<double>"
+        )
+    return cent
+
+
+@register("ann_ivf_lloyd")  # rows-only: iterative training, no SQL oracle
+def ann_ivf_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe over a Lloyd-trained codebook — identical plan to
+    ann_ivf_probe (``ivf_topk``), different codebook. Registered
+    rows-only (k-means is iterative; SURVEY's oracle contract
+    exempts it)."""
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", V.as_double(F.col("embedding")).alias("v"))
+    return ivf_topk(e, lloyd_codebook(e))
+
+
+@register("ann_recall_lloyd")  # rows-only: composes the Lloyd variant
+def ann_recall_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the sampled codebook vs the Lloyd-trained one,
+    side by side against the exact baseline — the before/after
+    measurement a codebook rollout needs."""
+    brute = (
+        ann_cosine_topk(spark, sf_dir)
+        .filter(F.col("rank") <= _RECALL_K)
+        .select("query_id", "neighbor_id")
+    )
+
+    def recall(approx: DataFrame, name: str) -> DataFrame:
+        hits = brute.join(approx, ["query_id", "neighbor_id"]).groupBy(
+            "query_id"
+        ).agg(F.count(F.lit(1)).alias("h"))
+        tot = brute.groupBy("query_id").agg(F.count(F.lit(1)).alias("t"))
+        return tot.join(hits, "query_id", "left").select(
+            "query_id",
+            (F.coalesce(F.col("h"), F.lit(0)) * 1.0 / F.col("t")).alias(name),
+        )
+
+    sampled = ann_ivf_probe(spark, sf_dir).filter(
+        F.col("rank") <= _RECALL_K
+    ).select("query_id", "neighbor_id")
+    lloyd = ann_ivf_lloyd(spark, sf_dir).filter(
+        F.col("rank") <= _RECALL_K
+    ).select("query_id", "neighbor_id")
+    return recall(sampled, "recall_sampled").join(
+        recall(lloyd, "recall_lloyd"), "query_id"
     )
