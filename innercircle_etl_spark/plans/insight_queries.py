@@ -157,7 +157,8 @@ def ep5_shadow_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     the as-of shuffles once on (wallet, coll); the insider dim and
     latest-floor broadcast; the summary reuses the (wallet, coll)
     clustering left by the as-of."""
-    fact = _fact(spark, sf_dir)
+    # fact feeds the floor, buy and sell branches — one scan, cached
+    fact = _fact(spark, sf_dir).cache()
     insiders = _insiders(spark, sf_dir)
 
     floor_daily = percentile_disc(

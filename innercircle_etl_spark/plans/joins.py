@@ -346,9 +346,12 @@ def j11_pairs_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.col("n_common").cast("double") / (
         F.col("na") + F.col("nb") - F.col("n_common")
     )
+    # no broadcast hint on the size tables: |suppliers| can outgrow
+    # the broadcast threshold at scale — AQE picks broadcast while it
+    # fits and falls back to a shuffle join when it doesn't
     return (
-        inter.join(F.broadcast(sa), "supp_a")
-        .join(F.broadcast(sb), "supp_b")
+        inter.join(sa, "supp_a")
+        .join(sb, "supp_b")
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= 0.17)
         .select("supp_a", "supp_b", "n_common", "jaccard")
@@ -380,8 +383,11 @@ def x11_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
 
+    # customer is fact-sized at scale — no forced broadcast; AQE
+    # decides (the salting demo is the nation join below, which stays
+    # skew-shaped regardless of how this enrich executes)
     enriched = orders.join(
-        F.broadcast(cust.withColumnRenamed("c_custkey", "o_custkey")),
+        cust.withColumnRenamed("c_custkey", "o_custkey"),
         "o_custkey",
     )
     salted = salted_join(
