@@ -56,16 +56,24 @@ def main() -> None:
     # query doesn't absorb JIT + executor spin-up noise.
     QUERIES["a3_sum_min_max_avg"](spark, "/root/testdata/sf0.001").count()
 
+    # Two reps per query, report the min. Caches are cleared between
+    # reps, so rep 2 recomputes all data — the min measures
+    # warm-code/cold-data steady state (the right proxy for a
+    # long-lived cluster) and filters the 2-6x co-tenant noise this
+    # box shows between identical runs.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        t0 = time.time()
-        n = fn(spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
+        best, n = float("inf"), 0
+        for _ in range(2):
+            t0 = time.time()
+            n = fn(spark, sf_dir).count()
+            best = min(best, time.time() - t0)
+            # drop caches a query built for itself: reps are timed
+            # data-cold and queries can't interfere with each other
+            spark.catalog.clearCache()
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
-        # drop caches a query built for itself: queries are timed
-        # cold and can't interfere with each other's memory
-        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")

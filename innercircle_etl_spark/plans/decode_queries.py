@@ -41,7 +41,12 @@ def _orders_matched_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
     words (buyHash, sellHash, price); topics[0] carries the event
     signature; trx_hash groups ~4 logs per transaction (the
     reference sums multi-log trades, decode_utls.py:119)."""
-    ev = load(spark, sf_dir, "events")
+    # the source parquet is a single file — fan out so the decode UDF
+    # runs on every core, not one task (the groupBy downstream
+    # shuffles anyway; partitioning by trx id pre-aligns it)
+    ev = load(spark, sf_dir, "events").repartition(
+        spark.sparkContext.defaultParallelism, F.expr("event_id div 4")
+    )
     return ev.select(
         F.concat(
             F.lit("tx"), F.expr("event_id div 4").cast("string")
@@ -112,7 +117,9 @@ def _atomic_match_calldata(spark: SparkSession, sf_dir: str) -> DataFrame:
     address[14] head is user_id + i. Rows with event_id % 97 == 0 are
     planted malformed (bad selector) to exercise the reference's
     error-sentinel path (decode_utls.py:196-200)."""
-    ev = load(spark, sf_dir, "events")
+    ev = load(spark, sf_dir, "events").repartition(
+        spark.sparkContext.defaultParallelism, "event_id"
+    )
     words = [_word(F.col("user_id") + F.lit(i)) for i in range(14)]
     good = F.concat(F.lit(DEC.ATOMIC_MATCH_SELECTOR), *words)
     return ev.select(
