@@ -77,6 +77,8 @@ _PRIORITY = [
     "i3b_stateful_snapshot",
     "ann_ivf_lloyd",
     "ann_recall_lloyd",
+    "x12_salted_agg",
+    "i8_session_window",
     # -- one representative per remaining family
     "ep3_roi_cascade",
     "ep1_daily_pipeline",

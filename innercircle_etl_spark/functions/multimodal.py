@@ -46,6 +46,42 @@ def require_codec(lib: str) -> None:
         )
 
 
+# ------------------------------------------------ codec registry
+# kind → decode(blob: bytes) -> dict of typed fields. Decoders
+# self-register iff their library imports, so the SAME pipeline code
+# runs real decodes where codecs exist and falls back to the
+# deterministic fakes here. register_decoder lets a deployment plug
+# in torchaudio/pyav/... without touching the operators.
+
+_DECODERS: dict[str, object] = {}
+
+
+def register_decoder(kind: str, fn) -> None:
+    _DECODERS[kind] = fn
+
+
+def get_decoder(kind: str):
+    """The registered decoder for `kind`, or None (caller falls back
+    to the deterministic fake — never a crash on a codec-less box)."""
+    return _DECODERS.get(kind)
+
+
+if _CODECS.get("PIL", False):  # pragma: no cover - not in container
+    import io
+
+    def _pil_image_decoder(blob: bytes) -> dict:
+        from PIL import Image
+
+        with Image.open(io.BytesIO(blob)) as im:
+            return {
+                "width": im.width,
+                "height": im.height,
+                "mode": im.mode,
+            }
+
+    register_decoder("image", _pil_image_decoder)
+
+
 FRAME_BYTES = 128  # fixed frame size for the A/V frame sampler
 
 

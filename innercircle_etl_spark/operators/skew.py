@@ -57,3 +57,44 @@ def salted_join(
     )
     out = fact_s.join(dim_s, [*keys, "__salt"], how)
     return out.drop("__salt")
+
+
+def salted_agg(
+    fact: DataFrame,
+    keys: Sequence[str],
+    aggs: dict[str, tuple[str, Column]],
+    salt_src: Column,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Two-phase salted aggregation for pathologically skewed group
+    keys: phase 1 aggregates on (keys, salt) — the hot key's rows
+    spread over ``n_salts`` reducers — phase 2 combines the partials
+    on keys alone (n_salts rows per key, trivial).
+
+    ``aggs`` maps output column name → (combiner, phase-1 column),
+    where combiner ∈ {'sum', 'min', 'max'} is the phase-2 merge (the
+    algebraic-aggregate re-combine: counts re-sum, sums re-sum, mins
+    re-min, maxes re-max; express avg as sum/count in the caller).
+    Result is IDENTICAL to the plain groupBy — only the shuffle
+    distribution changes — so the plain-groupBy SQL is the oracle.
+
+    Note Spark's own partial aggregation already handles hot keys for
+    single-level aggs (map-side combine). The explicit two-phase form
+    is the one to reach for when the agg must pass through a
+    non-combinable stage (collect_list, exact distinct via a first
+    dedup, a pandas UDAF) — the salt bounds each task's group size.
+    """
+    combiners = {"sum": F.sum, "min": F.min, "max": F.max}
+    bad = [c for c, (comb, _) in aggs.items() if comb not in combiners]
+    if bad:
+        raise ValueError(f"salted_agg: unknown combiner for {bad}")
+    salt = F.pmod(F.hash(salt_src), F.lit(n_salts)).alias("__salt")
+    phase1 = fact.withColumn("__salt", salt).groupBy(
+        *keys, "__salt"
+    ).agg(*[expr.alias(f"__p_{name}") for name, (_, expr) in aggs.items()])
+    return phase1.groupBy(*keys).agg(
+        *[
+            combiners[comb](F.col(f"__p_{name}")).alias(name)
+            for name, (comb, _) in aggs.items()
+        ]
+    )

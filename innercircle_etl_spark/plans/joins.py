@@ -450,3 +450,52 @@ def x_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         dsum("o_totalprice").alias("total"),
     )
+
+
+@register(
+    "x12_salted_agg",
+    oracle="""
+    SELECT l_returnflag AS flag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+             AS total_qty,
+           MIN(l_extendedprice) AS min_price,
+           MAX(l_extendedprice) AS max_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def x12_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12: two-phase salted aggregation (operators/skew.py
+    salted_agg). l_returnflag has THREE distinct values — the
+    worst-case skew for a grouped aggregate: one reducer per flag.
+    Phase 1 aggregates on (flag, salt-of-orderkey) so each flag's
+    rows spread over 8 reducers; phase 2 re-combines 8 partials per
+    flag. The result is identical to the plain groupBy (the oracle).
+    The decimal-sum runs entirely in decimal through BOTH phases
+    (decimal addition is associative) and casts to double once at
+    the end, keeping the value hash order-independent."""
+    from innercircle_etl_spark.operators.skew import salted_agg
+
+    li = load(spark, sf_dir, "lineitem")
+    out = salted_agg(
+        li,
+        ["l_returnflag"],
+        {
+            "n_rows": ("sum", F.count(F.lit(1))),
+            "total_qty": (
+                "sum",
+                F.sum(F.col("l_quantity").cast("decimal(38,6)")),
+            ),
+            "min_price": ("min", F.min("l_extendedprice")),
+            "max_price": ("max", F.max("l_extendedprice")),
+        },
+        salt_src=F.col("l_orderkey"),
+        n_salts=8,
+    )
+    return out.select(
+        F.col("l_returnflag").alias("flag"),
+        "n_rows",
+        F.col("total_qty").cast("double").alias("total_qty"),
+        "min_price",
+        "max_price",
+    )

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from innercircle_etl_spark.plans.registry import load, register
+from innercircle_etl_spark.plans.registry import dsum, load, register
 from innercircle_etl_spark.streaming import (
     run_available_now,
     stream_ndjson_dir,
@@ -487,4 +487,59 @@ def i7_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(38,6)"))
         .cast("double")
         .alias("total"),
+    )
+
+
+_I8_ORACLE = """
+WITH t AS (
+    SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+),
+m AS (
+    SELECT user_id, ts, value,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS new_s
+    FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+    SELECT user_id, ts, value,
+           SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+    FROM m
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+FROM s GROUP BY user_id, sid
+"""
+
+
+@register("i8_session_window", oracle=_I8_ORACLE)
+def i8_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I8 (beyond-parity): per-user session windows with a 30-minute
+    inactivity gap — ``F.session_window``, the native sessionization
+    operator. Session end = last event + gap, and an event landing
+    EXACTLY at the previous session's end starts a new session
+    (Spark's end bound is exclusive); the oracle mirrors that with
+    the gaps-and-islands idiom (lag >= gap starts an island).
+
+    The identical expression runs under readStream with
+    ``withWatermark('ts', ...)`` for the streaming form — state per
+    (user, open session), closed sessions emitted once the watermark
+    passes their end. Batch mode here keeps the oracle exact."""
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "value")
+    sess = ev.groupBy(
+        "user_id", F.session_window("ts", "30 minutes")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value").alias("total_value"),
+    )
+    return sess.select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "n_events",
+        "total_value",
     )
