@@ -79,6 +79,7 @@ _PRIORITY = [
     "ann_recall_lloyd",
     "x12_salted_agg",
     "i8_session_window",
+    "ann_pq_adc",
     # -- one representative per remaining family
     "ep3_roi_cascade",
     "ep1_daily_pipeline",

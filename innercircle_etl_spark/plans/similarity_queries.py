@@ -482,3 +482,171 @@ def ann_recall_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return recall(sampled, "recall_sampled").join(
         recall(lloyd, "recall_lloyd"), "query_id"
     )
+
+
+# ------------------------------------- product quantization (PQ/ADC)
+
+_PQ_M = 8          # subspaces
+_PQ_DSUB = 8       # dims per subspace (8 x 8 = 64)
+_PQ_K = 16         # centroids per sub-codebook
+_PQ_TOPK = 3
+
+
+def _pq_sub_sql(v: str, s: str) -> str:
+    """DuckDB slice of subspace ``s`` (an SQL expression; 1-based
+    list slicing with computed bounds)."""
+    return f"{v}[(({s}) * {_PQ_DSUB} + 1):((({s}) + 1) * {_PQ_DSUB})]"
+
+
+def _pq_l2_sql(a: str, b: str) -> str:
+    """Squared L2 between two lists, left-fold (bit-matches Spark)."""
+    return (
+        f"list_reduce(list_transform(generate_series(1, {_PQ_DSUB}),"
+        f" i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (x, y) -> x + y)"
+    )
+
+
+def _pq_oracle() -> str:
+    return f"""
+WITH e AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+cbase AS (
+    SELECT vec_id, v FROM (
+        SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rn
+        FROM e WHERE vec_id % 97 = 0
+    ) WHERE rn <= {_PQ_K}
+),
+cents AS (  -- (subspace, cid, centroid-subvector)
+    SELECT s.s, c.rn - 1 AS cid, {_pq_sub_sql('c.v', 's.s')} AS cv
+    FROM (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS s) s
+    CROSS JOIN (
+        SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rn
+        FROM e WHERE vec_id % 97 = 0 QUALIFY rn <= {_PQ_K}
+    ) c
+),
+sub AS (    -- every vector x subspace
+    SELECT e.vec_id, s.s, {_pq_sub_sql('e.v', 's.s')} AS sv
+    FROM e CROSS JOIN (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS s) s
+),
+codes AS (  -- nearest sub-centroid per (vector, subspace)
+    SELECT vec_id, s, cid AS code FROM (
+        SELECT sub.vec_id, sub.s, c.cid,
+               row_number() OVER (
+                   PARTITION BY sub.vec_id, sub.s
+                   ORDER BY {_pq_l2_sql('sub.sv', 'c.cv')} ASC, c.cid ASC
+               ) AS rn
+        FROM sub JOIN cents c ON sub.s = c.s
+    ) WHERE rn = 1
+),
+lut AS (    -- per-query distance table: d(query_sub, centroid)
+    SELECT q.vec_id AS query_id, c.s, c.cid,
+           {_pq_l2_sql('sq.sv', 'c.cv')} AS d
+    FROM e q
+    JOIN sub sq ON sq.vec_id = q.vec_id
+    JOIN cents c ON c.s = sq.s
+    WHERE q.vec_id < {_N_QUERIES}
+),
+adc AS (    -- asymmetric distance: sum the table lookups
+    SELECT l.query_id, co.vec_id AS neighbor_id,
+           CAST(SUM(CAST(l.d AS DECIMAL(38,12))) AS DOUBLE) AS dist
+    FROM codes co
+    JOIN lut l ON l.s = co.s AND l.cid = co.code
+    WHERE co.vec_id != l.query_id
+    GROUP BY l.query_id, co.vec_id
+)
+SELECT query_id, neighbor_id, dist,
+       CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY dist ASC, neighbor_id ASC
+       ) AS INTEGER) AS rank
+FROM adc QUALIFY rank <= {_PQ_TOPK}
+"""
+
+
+@register("ann_pq_adc", oracle=_pq_oracle())
+def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (ADC): vectors compress 64 doubles → 8 one-byte codes (64×
+    compression); queries score candidates by summing 8 lookups in a
+    per-query 8×16 distance table instead of a 64-dim dot product.
+
+    Deterministic sampled sub-codebooks (first 16 of every-97th
+    vector, per subspace) keep the whole construction
+    SQL-expressible, so this carries a value-hash oracle — swap in
+    lloyd-trained sub-codebooks exactly like ann_ivf_lloyd and it
+    becomes rows-only.
+
+    Scale shape: the code table is the ONLY corpus-sized state
+    (|corpus| × m bytes — 64× smaller than the embeddings); the LUT
+    is queries × m × k rows, broadcast; scoring is one
+    map-side-combinable groupBy over |corpus| × m joined rows. The
+    decimal-cast final sum keeps the distance order-independent, so
+    ranks hash-match the oracle exactly."""
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", V.as_double(F.col("embedding")).alias("v"))
+
+    w_sample = Window.orderBy("vec_id")
+    cbase = (
+        e.filter(F.col("vec_id") % 97 == 0)
+        .withColumn("rn", F.row_number().over(w_sample))
+        .filter(F.col("rn") <= _PQ_K)
+    )
+    subspaces = spark.range(_PQ_M).select(F.col("id").cast("int").alias("s"))
+
+    def sub(vcol, scol):
+        # slice(v, s*dsub+1, dsub) — subspace s of a 64-dim vector
+        return F.slice(vcol, scol * _PQ_DSUB + 1, _PQ_DSUB)
+
+    def l2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    cents = cbase.crossJoin(F.broadcast(subspaces)).select(
+        "s", (F.col("rn") - 1).alias("cid"), sub(F.col("v"), F.col("s")).alias("cv")
+    )
+
+    subv = e.crossJoin(F.broadcast(subspaces)).select(
+        "vec_id", "s", sub(F.col("v"), F.col("s")).alias("sv")
+    )
+    w_code = Window.partitionBy("vec_id", "s").orderBy(
+        F.col("d").asc(), F.col("cid").asc()
+    )
+    codes = (
+        subv.join(F.broadcast(cents), "s")
+        .select("vec_id", "s", "cid", l2(F.col("sv"), F.col("cv")).alias("d"))
+        .withColumn("rn", F.row_number().over(w_code))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "s", F.col("cid").alias("code"))
+    )
+
+    lut = (
+        subv.filter(F.col("vec_id") < _N_QUERIES)
+        .join(F.broadcast(cents), "s")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "s",
+            "cid",
+            l2(F.col("sv"), F.col("cv")).alias("d"),
+        )
+    )
+    adc = (
+        codes.join(
+            F.broadcast(lut),
+            (codes.s == lut.s) & (codes.code == lut.cid),
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum(F.col("d").cast("decimal(38,12)")).cast("double").alias("dist"))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(w_rank).cast("int"))
+        .filter(F.col("rank") <= _PQ_TOPK)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "dist", "rank")
+    )
