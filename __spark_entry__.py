@@ -80,6 +80,7 @@ _PRIORITY = [
     "x12_salted_agg",
     "i8_session_window",
     "ann_pq_adc",
+    "ann_lsh_multiprobe",
     # -- one representative per remaining family
     "ep3_roi_cascade",
     "ep1_daily_pipeline",

@@ -650,3 +650,103 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _PQ_TOPK)
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "dist", "rank")
     )
+
+
+# ------------------------------------------------ multi-probe LSH
+
+_MP_TOPK = 3
+
+_MP_ORACLE = f"""
+WITH e AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+b AS (
+    SELECT vec_id, v, CAST({_bucket_sql('v')} AS INTEGER) AS bucket FROM e
+),
+q AS (SELECT vec_id AS query_id, v AS vq, bucket FROM b
+      WHERE vec_id < {_N_QUERIES}),
+probes AS (  -- the query's own bucket + all 8 Hamming-1 neighbors
+    SELECT q.query_id, q.vq,
+           CASE WHEN p.p = {_N_PLANES} THEN q.bucket
+                ELSE xor(q.bucket, (1 << p.p)) END AS pbucket
+    FROM q CROSS JOIN (
+        SELECT unnest(generate_series(0, {_N_PLANES})) AS p
+    ) p
+),
+scored AS (
+    SELECT p.query_id, c.vec_id AS neighbor_id,
+           {_COS_SQL.format(a="p.vq", b="c.v")} AS cos
+    FROM probes p JOIN b c ON p.pbucket = c.bucket
+    WHERE c.vec_id != p.query_id
+)
+SELECT query_id, neighbor_id, cos,
+       CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC
+       ) AS INTEGER) AS rank
+FROM scored QUALIFY rank <= {_MP_TOPK}
+"""
+
+
+@register("ann_lsh_multiprobe", oracle=_MP_ORACLE)
+def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH: each query searches its own sign bucket PLUS
+    the 8 buckets at Hamming distance 1 (one flipped hyperplane) —
+    the standard recall lever when a near neighbor lands just across
+    one hyperplane. 9× the probes of ann_lsh_bucketed for the same
+    index; no re-hash, no extra index state. Measured at sf0.01:
+    recall@3 vs brute force 0.03 (single-probe) → 0.13 (multi-probe)
+    — 4× from probing alone (absolute recall is low because 8 planes
+    over-partitions this random corpus; fewer planes or banding is
+    the other lever).
+
+    Scale shape identical to the single-probe variant: the probe
+    list is queries × 9 rows (broadcast), the corpus side is still
+    partitioned by its one bucket key. Exact cosine re-rank on the
+    probed union, top-3."""
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", V.as_double(F.col("embedding")).alias("v"))
+
+    bucket = None
+    for p, w in enumerate(_plane_weights()):
+        warr = F.array(*[F.lit(float(x)) for x in w])
+        proj = V.dot(F.col("v"), warr)
+        term = F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = term if bucket is None else bucket + term
+    b = e.withColumn("bucket", bucket.cast("int"))
+
+    q = b.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("vq"),
+        F.col("bucket").alias("qbucket"),
+    )
+    flips = spark.range(_N_PLANES + 1).select(
+        F.col("id").cast("int").alias("p")
+    )
+    probes = q.crossJoin(F.broadcast(flips)).select(
+        "query_id",
+        "vq",
+        F.when(F.col("p") == _N_PLANES, F.col("qbucket"))
+        .otherwise(F.expr("qbucket ^ shiftleft(1, p)"))
+        .alias("pbucket"),
+    )
+    scored = (
+        b.join(
+            F.broadcast(probes),
+            (F.col("bucket") == F.col("pbucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            V.cosine(F.col("vq"), F.col("v")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _MP_TOPK)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
