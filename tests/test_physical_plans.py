@@ -139,3 +139,54 @@ def test_bucketed_join_needs_no_exchange(spark, sf_dir):
     assert "SortMergeJoin" in plan, plan
     assert "Bucketed: true" in plan, plan
     assert plan.count("Exchange") == 1, plan
+
+
+def test_salted_agg_two_phase_exchanges(spark, sf_dir):
+    """x12: exactly one exchange keyed by (flag, salt) then one by
+    flag alone — the salt must actually change the first shuffle's
+    distribution or the hot key still lands on one reducer."""
+    plan = plan_of(spark, sf_dir, "x12_salted_agg")
+    assert "__salt" in plan, plan
+    exchanges = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert any("__salt" in ln for ln in exchanges), plan
+    assert any(
+        "l_returnflag" in ln and "__salt" not in ln for ln in exchanges
+    ), plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "dedup_embedding_cosine",
+        "ann_pq_adc",
+        "ann_lsh_multiprobe",
+        "ep4_circles",
+    ],
+)
+def test_new_queries_no_cartesian(spark, sf_dir, name):
+    """Round-2 additions keep the no-cartesian guarantee (the
+    1-row broadcast crossJoins used for scalar/codebook delivery are
+    BroadcastNestedLoopJoin over a single row — allowed; a
+    CartesianProduct over data-sized inputs is not)."""
+    plan = plan_of(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_embedding_dedup_joins_on_bucket(spark, sf_dir):
+    """The sign-bucket self-join must be keyed on the bucket — the
+    whole point of LSH candidate generation. At test scale the
+    planner may broadcast the small side (join keys still [bucket]);
+    at cluster scale the same plan shuffles both sides on bucket."""
+    plan = plan_of(spark, sf_dir, "dedup_embedding_cosine")
+    assert re.search(
+        r"HashJoin \[bucket|hashpartitioning\(bucket", plan
+    ), plan
+
+
+def test_ep4_topk_avoids_full_sort(spark, sf_dir):
+    """Both circle top-200 selections compile to
+    TakeOrderedAndProject, never a global sort."""
+    plan = plan_of(spark, sf_dir, "ep4_circles")
+    assert "TakeOrderedAndProject" in plan, plan
