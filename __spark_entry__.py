@@ -81,6 +81,7 @@ _PRIORITY = [
     "i8_session_window",
     "ann_pq_adc",
     "ann_lsh_multiprobe",
+    "ep7_posts",
     # -- one representative per remaining family
     "ep3_roi_cascade",
     "ep1_daily_pipeline",

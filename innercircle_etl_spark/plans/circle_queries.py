@@ -237,3 +237,130 @@ def ep4_circles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(True).alias("is_current"),
     )
     return prev.unionByName(curr)
+
+
+# ------------------------------------------------- ep7: posts feed
+
+# ep7 cutoffs tuned to the fixture's 1995-2001 ship-date span:
+# collections first acquired before _EP7_PREV are "already mapped"
+# (the insert-if-absent's old side, ~half the collections); the
+# post-date guard drops the earliest month (the reference's
+# started_at >= '2021-06-01' hack).
+_EP7_PREV = "1995-04-01"
+_POST_CUTOFF = "1995-02-01"
+
+_EP7_ORACLE = f"""
+WITH fact AS (
+    SELECT l_suppkey AS wallet, l_partkey AS coll, l_shipdate AS ev_date,
+           l_extendedprice AS price, l_returnflag AS flag
+    FROM lineitem
+),
+worth AS (
+    SELECT wallet,
+           CAST(SUM(CAST(price AS DECIMAL(38,6))) AS DOUBLE) AS total_worth
+    FROM fact GROUP BY wallet
+),
+insiders AS (
+    SELECT wallet FROM (
+        SELECT wallet, row_number() OVER (
+            ORDER BY total_worth DESC, wallet ASC) AS rnk
+        FROM worth
+    ) WHERE rnk <= {_N_CIRCLE}
+),
+buys AS (
+    SELECT f.wallet, f.coll, f.ev_date, f.price
+    FROM fact f JOIN insiders i ON f.wallet = i.wallet
+    WHERE f.flag <> 'R'
+),
+-- collection_to_circle_mapping: first insider acquisition per
+-- collection; "old" rows are those already discoverable before the
+-- prev cutoff — the insert-if-absent keeps only NEW collections
+curr_map AS (SELECT coll, MIN(ev_date) AS started_at FROM buys GROUP BY coll),
+old_map AS (
+    SELECT coll, MIN(ev_date) AS started_at FROM buys
+    WHERE ev_date < DATE '{_EP7_PREV}' GROUP BY coll
+),
+new_map AS (
+    SELECT n.coll, n.started_at
+    FROM curr_map n LEFT JOIN old_map o ON n.coll = o.coll
+    WHERE o.coll IS NULL AND n.started_at >= DATE '{_POST_CUTOFF}'
+),
+-- insight importance per (insider, collection): spend-weighted
+scores AS (
+    SELECT wallet, coll,
+           CAST(SUM(CAST(price AS DECIMAL(38,6))) AS DOUBLE) AS score
+    FROM buys GROUP BY wallet, coll
+),
+top3 AS (
+    SELECT coll, score FROM (
+        SELECT coll, score, row_number() OVER (
+            PARTITION BY coll ORDER BY score DESC, wallet ASC) AS rnk
+        FROM scores
+    ) WHERE rnk <= 3
+),
+fis AS (
+    SELECT coll,
+           CAST(SUM(CAST(score AS DECIMAL(38,6))) AS DOUBLE)
+             AS feed_importance_score
+    FROM top3 GROUP BY coll
+)
+SELECT n.coll AS collection_id,
+       n.started_at + INTERVAL 1 DAY AS created_at,
+       COALESCE(f.feed_importance_score, 0.0) AS feed_importance_score
+FROM new_map n LEFT JOIN fis f ON n.coll = f.coll
+"""
+
+
+@register("ep7_posts", oracle=_EP7_ORACLE)
+def ep7_posts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP7: the posts tail of the reference pipeline
+    (update_circle_collection + update_post, update_etl.py:1091-1214)
+    as one DAG: collections newly acquired by the insider cohort
+    (insert-if-absent against the pre-cutoff generation — U1 shape),
+    posted a day after first acquisition, scored by the sum of their
+    top-3 insight importances (W3 top-per-group + rollup — the
+    reference's 'insights beyond 3 are hidden by UI' rule).
+
+    Scale: insider selection is a TakeOrdered top-200; all joins are
+    keyed on coll/wallet; the only windows are per-collection top-3
+    and the dimension-sized insider rank."""
+    fact = load_fact(spark, sf_dir)
+    worth = fact.groupBy("wallet").agg(dsum("price").alias("total_worth"))
+    insiders = (
+        worth.orderBy(F.col("total_worth").desc(), F.col("wallet"))
+        .limit(_N_CIRCLE)
+        .select("wallet")
+    )
+    buys = (
+        fact.filter(F.col("flag") != "R")
+        .join(F.broadcast(insiders), "wallet")
+        .select("wallet", "coll", "ev_date", "price")
+    )
+
+    curr_map = buys.groupBy("coll").agg(F.min("ev_date").alias("started_at"))
+    old_map = (
+        buys.filter(F.col("ev_date") < F.lit(_EP7_PREV).cast("date"))
+        .groupBy("coll")
+        .agg(F.min("ev_date").alias("started_at"))
+    )
+    new_map = curr_map.join(old_map.select("coll"), "coll", "left_anti").filter(
+        F.col("started_at") >= F.lit(_POST_CUTOFF).cast("date")
+    )
+
+    scores = buys.groupBy("wallet", "coll").agg(dsum("price").alias("score"))
+    w3 = Window.partitionBy("coll").orderBy(
+        F.col("score").desc(), F.col("wallet")
+    )
+    fis = (
+        scores.withColumn("rnk", F.row_number().over(w3))
+        .filter(F.col("rnk") <= 3)
+        .groupBy("coll")
+        .agg(dsum("score").alias("feed_importance_score"))
+    )
+    return new_map.join(fis, "coll", "left").select(
+        F.col("coll").alias("collection_id"),
+        F.date_add("started_at", 1).cast("timestamp").alias("created_at"),
+        F.coalesce(F.col("feed_importance_score"), F.lit(0.0)).alias(
+            "feed_importance_score"
+        ),
+    )
