@@ -82,6 +82,7 @@ _PRIORITY = [
     "ann_pq_adc",
     "ann_lsh_multiprobe",
     "ep7_posts",
+    "a1b_approx_distinct",
     # -- one representative per remaining family
     "ep3_roi_cascade",
     "ep1_daily_pipeline",

@@ -227,3 +227,23 @@ def a11_two_phase_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             davg("cust_total").alias("avg_cust_total"),
         )
     )
+
+
+@register("a1b_approx_distinct")  # rows-only: HLL sketches differ per engine
+def a1b_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1's 100TB relief valve: HyperLogLog++ approximate distinct
+    (rsd=2%). Sketches are engine-specific so there is no value-hash
+    oracle (DuckDB's approx_count_distinct uses a different HLL
+    implementation) — the driver records a rows-only check and
+    tests/test_approx.py pins the accuracy bound against the exact
+    answer.
+
+    Scale: the sketch is fixed-size per group (vs the exact
+    expand+two-phase distinct whose state grows with cardinality) —
+    this is the form that survives a trillion-row distinct."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("n_parts_approx"),
+        F.approx_count_distinct("l_suppkey", rsd=0.02).alias("n_supps_approx"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
