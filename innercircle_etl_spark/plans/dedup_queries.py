@@ -326,54 +326,49 @@ WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) >= 0.9
 _NGRAM_T = 0.9
 
 
-@register("dedup_ngram_jaccard", oracle=_NGRAM_ORACLE)
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Char-trigram Jaccard near-dup at t=0.9 with **prefix
-    filtering** (AllPairs/PPJoin): index only each doc's
-    ``n - ceil(t*n) + 1`` rarest grams (global ascending-frequency
-    order). Any pair with J >= t MUST collide on both prefixes —
-    lossless pruning — so a naive inverted index's blowup on
-    hyper-frequent grams ('the', ' an', ...) never happens: at t=0.9
-    the index is ~10% of the grams, all rare ones.
+def ngram_jaccard_pairs(
+    corpus: DataFrame, t_num: int = 9, t_den: int = 10
+) -> DataFrame:
+    """Char-trigram Jaccard near-dup at threshold t = t_num/t_den
+    with **prefix filtering** (AllPairs/PPJoin): index only each
+    doc's ``n - ceil(t*n) + 1`` rarest grams (global ascending-
+    frequency order). Any pair with J >= t MUST collide on both
+    prefixes — lossless pruning (property-tested against brute force
+    in tests/test_ngram_property.py) — so a naive inverted index's
+    blowup on hyper-frequent grams ('the', ' an', ...) never
+    happens: at t=0.9 the index is ~10% of the grams, all rare ones.
 
-    Fully distributed, zero driver state (round-1's collected vocab
-    dict is gone):
+    The threshold is an integer fraction so every ceil stays in
+    exact integer arithmetic (float ceil(0.9n) rounds wrong at n=10
+    and would drop true pairs).
+
+    Fully distributed, zero driver state:
     - gram rarity ranks come from a row_number window over the
       GRAM-DF TABLE — dimension-sized (one row per distinct trigram,
       not per occurrence), so the single-partition global window is a
-      dim-table operation, never corpus-sized. The rank join back
-      into the corpus-side gram list is AQE's choice (broadcast while
-      the vocab is small, shuffle join if a multilingual vocabulary
-      outgrows that).
+      dim-table operation, never corpus-sized.
     - ZERO corpus shuffles before the candidate join: the vocab
-      folds into a broadcast single-row map, so each doc's sorted
-      rank array is a narrow JVM projection; the prefix index falls
-      out by slice/posexplode and the verify bitsets by a pandas
-      pack stage.
+      folds into a broadcast single-row column, so each doc's sorted
+      rank array and packed verify bitset come from one narrow
+      pandas pass; the prefix index falls out by slice/posexplode.
     - verify is a vectorized bitset-popcount over candidate pairs
       (bit width delivered via a broadcast scalar join, not a driver
-      constant) — same int/int double division as the oracle, so the
-      jaccard value is bit-identical.
+      constant) — same int/int double division as the oracle SQL, so
+      the jaccard value is bit-identical.
 
-    This is the exact (non-sketch) member of the dedup family;
-    contrast dedup_minhash_lsh (probabilistic candidates, same
-    verify)."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    near = docs.filter(F.col("doc_id") % 25 == 0).select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
-    )
-    # fan out: the source parquet has only a couple of files, and the
-    # gram projection (|text| substrs per doc) is the CPU hot spot —
-    # spread it across all cores before the narrow pipeline begins
-    corpus = (
-        docs.unionByName(near)
-        .filter(F.length("text") >= 3)
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    )
-
+    Input: (doc_id long, text string). Output: (doc_a, doc_b,
+    jaccard) for all pairs with jaccard >= t.
+    """
     import numpy as np
     import pandas as pd
+
+    spark = corpus.sparkSession
+    # fan out: a small source often has few input splits, and the
+    # gram projection (|text| substrs per doc) is the CPU hot spot —
+    # spread it across all cores before the narrow pipeline begins
+    corpus = corpus.filter(F.length("text") >= 3).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
 
     # Global document frequency → total rarity order (df, gram).
     # Partial per-partition counts (|vocab| rows per task — the
@@ -456,9 +451,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cache()
 
     # prefix = the n - ceil(t*n) + 1 rarest grams, with positions.
-    # ceil in exact integer arithmetic ((9n+9) div 10 — float
-    # ceil(0.9n) rounds wrong at n=10 and would drop true pairs).
-    k = F.col("n") - F.expr("(9 * n + 9) div 10") + 1
+    # ceil(t*n) = (t_num*n + t_den - 1) div t_den — exact integers.
+    k = (
+        F.col("n")
+        - F.expr(f"({t_num} * n + {t_den - 1}) div {t_den}")
+        + 1
+    )
     prefix = sets.select(
         "doc_id",
         "n",
@@ -481,13 +479,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # PPJoin positional/length pruning (lossless): a true pair's
     # smallest common gram g has every other common gram after g in
     # both docs, so overlap <= 1 + min(na-pa, nb-pb); overlap must
-    # reach alpha = ceil(t/(1+t)*(na+nb)) = ceil(9(na+nb)/19).
-    alpha = F.floor((9 * (F.col("na") + F.col("nb")) + 18) / 19)
+    # reach alpha = ceil(t/(1+t)*(na+nb)) with t = t_num/t_den i.e.
+    # ceil(t_num*(na+nb) / (t_num+t_den)).
+    s = t_num + t_den
+    alpha = F.floor(
+        (t_num * (F.col("na") + F.col("nb")) + (s - 1)) / s
+    )
     cand = (
         a.join(b, ["rank"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .filter(F.col("nb") * 10 >= F.col("na") * 9)
-        .filter(F.col("na") * 10 >= F.col("nb") * 9)
+        .filter(F.col("nb") * t_den >= F.col("na") * t_num)
+        .filter(F.col("na") * t_den >= F.col("nb") * t_num)
         .filter(
             1 + F.least(F.col("na") - F.col("pa"), F.col("nb") - F.col("pb"))
             >= alpha
@@ -547,9 +549,23 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             out = pd.DataFrame(
                 {"doc_a": pdf["doc_a"], "doc_b": pdf["doc_b"], "jaccard": jac}
             )
-            yield out[out["jaccard"] >= _NGRAM_T]
+            yield out[out["jaccard"] >= t_num / t_den]
 
     return pairs.mapInPandas(verify, "doc_a long, doc_b long, jaccard double")
+
+
+@register("dedup_ngram_jaccard", oracle=_NGRAM_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents-table instantiation of ``ngram_jaccard_pairs``
+    at t=0.9, with planted ' zzz'-suffix near-dups. This is the
+    exact (non-sketch) member of the dedup family; contrast
+    dedup_minhash_lsh (probabilistic candidates, same verify)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    near = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
+    )
+    return ngram_jaccard_pairs(docs.unionByName(near), 9, 10)
 
 
 # ----------------------------------------------------- embedding cosine
