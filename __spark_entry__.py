@@ -83,31 +83,34 @@ _PRIORITY = [
     "ann_lsh_multiprobe",
     "ep7_posts",
     "a1b_approx_distinct",
-    # -- one representative per remaining family
+    # -- queries whose implementation CHANGED this round: their
+    # round-1 rows attest old code, so they come before untouched
+    # representatives
     "ep3_roi_cascade",
-    "ep1_daily_pipeline",
     "ep5_shadow_trade",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "j7_asof_join",
+    "x11_salted_skew_join",
+    "j11_pairs_jaccard",
+    # -- one representative per remaining (unchanged) family
+    "ep1_daily_pipeline",
     "ep6_insight_feed",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
     "ann_cosine_topk",
     "ann_lsh_bucketed",
     "ann_ivf_probe",
     "mm_image_features",
     "mm_av_frame_sample",
-    "j7_asof_join",
     "j1_multiway_join",
     "x_bucketed_colocated_join",
-    "x11_salted_skew_join",
     "a8_percentile_disc",
     "a1_count_distinct",
     "t1_union_all_legs",
     "f1_string_funcs",
     "p1_project_arithmetic",
-    "j11_pairs_jaccard",
 ]
 
 
