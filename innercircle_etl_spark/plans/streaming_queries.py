@@ -543,3 +543,132 @@ def i8_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "total_value",
     )
+
+
+def _twsip_available() -> bool:
+    """transformWithStateInPandas drives its StatefulProcessor over a
+    protobuf channel; this container ships a protobuf install whose
+    ``descriptor`` module is broken, so the query registers only
+    where the dependency actually works (same honest-gate pattern as
+    the multimodal codec registry)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def i3c_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I3 on the Spark-4 state API: ``transformWithStateInPandas``
+    with a typed StatefulProcessor and a named ValueState — the
+    successor to i3b's applyInPandasWithState (same per-key
+    fixed-width state contract, plus composable named state, timers
+    and TTL when needed). Requires the RocksDB state-store provider,
+    which is also the spill-to-disk story for unbounded key
+    cardinality on a real cluster. Oracle = the same
+    latest-event-per-user over the whole table."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    base = _fresh(f"{SCRATCH}/stream_i3c_{os.path.basename(sf_dir)}")
+    src, sink, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    ev = _events_slim(spark, sf_dir)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("last_event_id", T.LongType()),
+            T.StructField("last_event_type", T.StringType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("last_event_id", T.LongType()),
+            T.StructField("last_event_type", T.StringType()),
+        ]
+    )
+
+    class LatestEvent(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.latest = handle.getValueState("latest", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            best_id, best_type = (
+                self.latest.get() if self.latest.exists() else (None, None)
+            )
+            for pdf in rows:
+                i = pdf["event_id"].idxmax()
+                if best_id is None or pdf["event_id"][i] > best_id:
+                    best_id = int(pdf["event_id"][i])
+                    best_type = pdf["event_type"][i]
+            self.latest.update((best_id, best_type))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "last_event_id": [best_id],
+                    "last_event_type": [best_type],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        for wave in (0, 1):
+            ev.filter(_wave(F.col("event_id")) == wave).write.mode(
+                "append"
+            ).json(src)
+            stream = stream_ndjson_dir(spark, src, _EVENT_SCHEMA)
+            updates = stream.groupBy("user_id").transformWithStateInPandas(
+                statefulProcessor=LatestEvent(),
+                outputStructType=out_schema,
+                outputMode="Update",
+                timeMode="None",
+            )
+
+            def emit(batch_df: DataFrame, batch_id: int) -> None:
+                batch_df.write.mode("append").parquet(sink)
+
+            (
+                updates.writeStream.outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .foreachBatch(emit)
+                .start()
+                .awaitTermination()
+            )
+    finally:
+        if prev_provider is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider
+            )
+
+    emitted = spark.read.parquet(sink)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("last_event_id").desc()
+    )
+    return (
+        emitted.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .drop("rnk")
+    )
+
+
+if _twsip_available():  # pragma: no cover - protobuf broken here
+    register("i3c_transform_with_state", oracle=_I3_ORACLE)(
+        i3c_transform_with_state
+    )
