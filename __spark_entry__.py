@@ -83,6 +83,8 @@ _PRIORITY = [
     "ann_lsh_multiprobe",
     "ep7_posts",
     "a1b_approx_distinct",
+    "text_pii_scrub",
+    "s11_schema_evolution",
     # -- queries whose implementation CHANGED this round: their
     # round-1 rows attest old code, so they come before untouched
     # representatives

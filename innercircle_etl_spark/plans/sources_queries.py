@@ -113,3 +113,50 @@ def s10_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.agg(
         F.max("ts").alias("watermark"), F.count(F.lit(1)).alias("n_events")
     )
+
+
+_S11_ORACLE = """
+WITH v1 AS (
+    SELECT doc_id, lang, CAST(NULL AS VARCHAR) AS source
+    FROM documents WHERE doc_id % 2 = 0
+),
+v2 AS (
+    SELECT doc_id, lang, source FROM documents WHERE doc_id % 2 = 1
+),
+merged AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(source) AS BIGINT) AS n_with_source
+FROM merged GROUP BY lang
+"""
+
+
+@register("s11_schema_evolution", oracle=_S11_ORACLE)
+def s11_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 (beyond-parity): schema evolution on read — an old writer
+    produced (doc_id, lang), a newer one added ``source``; one
+    mergeSchema read unions the footers and back-fills the missing
+    column with nulls. This is the warehouse reality the reference
+    sidesteps with year-sharded tables and manual ALTERs: at 100TB
+    you never rewrite old files to add a column. The write half is a
+    REAL two-generation parquet write to scratch; the oracle
+    recomputes the expectation relationally."""
+    import shutil
+
+    base = f"{SCRATCH}/s11_{os.path.basename(sf_dir)}"
+    shutil.rmtree(base, ignore_errors=True)
+    docs = load(spark, sf_dir, "documents")
+    docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang").write.parquet(
+        f"{base}/gen=1"
+    )
+    docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "lang", "source"
+    ).write.parquet(f"{base}/gen=2")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{base}/gen=1", f"{base}/gen=2"
+    )
+    return merged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count("source").alias("n_with_source"),
+    )

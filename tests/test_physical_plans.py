@@ -190,3 +190,34 @@ def test_ep4_topk_avoids_full_sort(spark, sf_dir):
     TakeOrderedAndProject, never a global sort."""
     plan = plan_of(spark, sf_dir, "ep4_circles")
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_partition_pruning_on_date_partitioned_warehouse(spark, sf_dir):
+    """A date filter on a date-partitioned warehouse must prune at
+    the directory level (PartitionFilters on the scan) — at 100TB
+    this is the difference between listing 30 directories and
+    scanning 7 years. Uses the ep1 warehouse layout."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from innercircle_etl_spark.pipeline import write_daily_partitioned
+    from innercircle_etl_spark.plans.registry import load
+
+    scratch = os.environ.get("SPARK_GRAFT_SCRATCH", "/root/repo/.scratch")
+    path = f"{scratch}/prune_demo"
+    shutil.rmtree(path, ignore_errors=True)
+    ev = load(spark, sf_dir, "events").withColumn("d", F.to_date("ts"))
+    write_daily_partitioned(ev, path)
+
+    df = spark.read.parquet(path).filter(F.col("d") == "2024-01-05")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    pruned = [
+        ln
+        for ln in plan.splitlines()
+        if "PartitionFilters:" in ln and "PartitionFilters: []" not in ln
+    ]
+    assert pruned, plan
