@@ -85,6 +85,8 @@ _PRIORITY = [
     "a1b_approx_distinct",
     "text_pii_scrub",
     "s11_schema_evolution",
+    "i9_stream_static_join",
+    "i10_stream_stream_join",
     # -- queries whose implementation CHANGED this round: their
     # round-1 rows attest old code, so they come before untouched
     # representatives

@@ -672,3 +672,139 @@ if _twsip_available():  # pragma: no cover - protobuf broken here
     register("i3c_transform_with_state", oracle=_I3_ORACLE)(
         i3c_transform_with_state
     )
+
+
+_I9_ORACLE = """
+SELECT c.c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+@register("i9_stream_static_join", oracle=_I9_ORACLE)
+def i9_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I9 (beyond-parity): stream-static enrichment join — the
+    streaming form of every fact⋈dim lookup (the reference's
+    address/contract enrichments applied to a live feed). The static
+    side is re-read per micro-batch (so a slowly-changing dim picks
+    up updates between batches) and broadcast — the stream side
+    never shuffles for the join. Two waves through one checkpoint
+    prove exactly-once; the oracle is the plain batch join."""
+    base = _fresh(f"{SCRATCH}/stream_i9_{os.path.basename(sf_dir)}")
+    src, sink, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    ev = _events_slim(spark, sf_dir)
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+
+    for wave in (0, 1):
+        ev.filter(_wave(F.col("event_id")) == wave).write.mode(
+            "append"
+        ).json(src)
+        stream = stream_ndjson_dir(spark, src, _EVENT_SCHEMA)
+        enriched = stream.join(F.broadcast(cust), "user_id")
+        (
+            enriched.writeStream.option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .format("parquet")
+            .option("path", sink)
+            .start()
+            .awaitTermination()
+        )
+
+    out = spark.read.parquet(sink)
+    return out.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value").alias("total_value"),
+    )
+
+
+_I10_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts_us", T.LongType()),
+    ]
+)
+
+_I10_ORACLE = """
+SELECT a.user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM events a
+JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_id % 2 = 0 AND b.event_id % 2 = 1
+ AND CAST(b.ts AS TIMESTAMP) >= CAST(a.ts AS TIMESTAMP)
+ AND CAST(b.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP)
+     + INTERVAL 30 MINUTE
+GROUP BY a.user_id
+"""
+
+
+@register("i10_stream_stream_join", oracle=_I10_ORACLE)
+def i10_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I10 (beyond-parity): stream-stream interval join — even-id
+    events ("buys") joined to odd-id events ("sells") for the same
+    user within 30 minutes, both sides watermarked 1 hour so the
+    buffered join state stays bounded.
+
+    Arrival waves split by EVENT TIME (the i6 pivot), not by id:
+    watermarks persist in the checkpoint across drains, so a
+    time-ordered replay never drops wave-2 rows as late, while
+    wave-1 rows inside the watermark window are still buffered to
+    match across the boundary. Inner stream-stream joins emit on
+    match — two drains through one checkpoint emit each pair exactly
+    once. Oracle = the plain batch interval self-join."""
+    base = _fresh(f"{SCRATCH}/stream_i10_{os.path.basename(sf_dir)}")
+    src, sink, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    pivot_us = F.unix_micros(F.lit(_I6_PIVOT).cast("timestamp"))
+
+    for wave_df in (
+        ev.filter(F.col("ts_us") < pivot_us),
+        ev.filter(F.col("ts_us") >= pivot_us),
+    ):
+        wave_df.write.mode("append").json(src)
+        stream = (
+            stream_ndjson_dir(spark, src, _I10_SCHEMA)
+            .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+            .drop("ts_us")
+        )
+        buys = (
+            stream.filter(F.col("event_id") % 2 == 0)
+            .withWatermark("ts", "1 hour")
+            .select(
+                F.col("user_id").alias("b_user"),
+                F.col("ts").alias("b_ts"),
+            )
+        )
+        sells = (
+            stream.filter(F.col("event_id") % 2 == 1)
+            .withWatermark("ts", "1 hour")
+            .select(
+                F.col("user_id").alias("s_user"),
+                F.col("ts").alias("s_ts"),
+            )
+        )
+        joined = buys.join(
+            sells,
+            (F.col("b_user") == F.col("s_user"))
+            & (F.col("s_ts") >= F.col("b_ts"))
+            & (F.col("s_ts") <= F.col("b_ts") + F.expr("INTERVAL 30 MINUTES")),
+        ).select(F.col("b_user").alias("user_id"))
+        (
+            joined.writeStream.option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .format("parquet")
+            .option("path", sink)
+            .start()
+            .awaitTermination()
+        )
+
+    out = spark.read.parquet(sink)
+    return out.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_pairs"))
