@@ -89,11 +89,12 @@ _PRIORITY = [
     "i10_stream_stream_join",
     # -- queries whose implementation CHANGED this round: their
     # round-1 rows attest old code, so they come before untouched
-    # representatives
+    # representatives (largest rewrites first — with ~50 verified
+    # slots the never-green set above fills 47)
     "ep3_roi_cascade",
-    "ep5_shadow_trade",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
+    "ep5_shadow_trade",
     "j7_asof_join",
     "x11_salted_skew_join",
     "j11_pairs_jaccard",
