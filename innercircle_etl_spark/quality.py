@@ -201,11 +201,18 @@ m3 AS (
                               AND c.trx_id IS NOT NULL
                          THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_bad
     FROM missing m LEFT JOIN currency_ids c ON m.trx_id = c.trx_id
+),
+m4 AS (
+    SELECT 'zero_price_trades' AS metric,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN price <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bad
+    FROM decoded
 )
 SELECT metric, n_total, n_bad,
        CAST(n_bad AS DOUBLE) / n_total AS bad_rate
 FROM (SELECT * FROM m1 UNION ALL SELECT * FROM m2
-      UNION ALL SELECT * FROM m3)
+      UNION ALL SELECT * FROM m3 UNION ALL SELECT * FROM m4)
 """
 
 
@@ -246,7 +253,19 @@ def q1_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_bad")
         )
     )
-    out = m1.unionByName(m2).unionByName(m3.select("metric", "n_total", "n_bad"))
+    # the reference's zero-price-trade rate (validation_query.sql:
+    # 63-82 — its own verdict: "less than 1% ... weird but fine")
+    decoded = d1_decode_log_price(spark, sf_dir)
+    m4 = decoded.agg(
+        F.lit("zero_price_trades").alias("metric"),
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(F.col("price") <= 0, 1).otherwise(0)).alias("n_bad"),
+    )
+    out = (
+        m1.unionByName(m2)
+        .unionByName(m3.select("metric", "n_total", "n_bad"))
+        .unionByName(m4)
+    )
     return out.select(
         "metric",
         "n_total",

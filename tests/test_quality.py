@@ -73,7 +73,10 @@ def test_quality_report_invariants(spark, sf_dir):
         "payment_token_decode",
         "price_consistency",
         "transfers_reconciliation",
+        "zero_price_trades",
     }
     assert 0 < rows["payment_token_decode"]["bad_rate"] < 0.05
     assert rows["price_consistency"]["n_bad"] == 0
     assert rows["transfers_reconciliation"]["n_bad"] == 0
+    # the reference's own bar: "less than 1% ... weird but fine"
+    assert rows["zero_price_trades"]["bad_rate"] < 0.01
