@@ -87,6 +87,8 @@ _PRIORITY = [
     "s11_schema_evolution",
     "i9_stream_static_join",
     "i10_stream_stream_join",
+    "text_pack_shards",
+    "text_train_eval_split",
     # -- queries whose implementation CHANGED this round: their
     # round-1 rows attest old code, so they come before untouched
     # representatives (largest rewrites first — with ~50 verified

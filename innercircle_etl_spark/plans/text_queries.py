@@ -4,7 +4,7 @@ fingerprinting)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from innercircle_etl_spark.functions import text as TX
@@ -206,4 +206,90 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_phones"),
         F.md5(scrubbed).alias("scrubbed_md5"),
+    )
+
+
+_PACK_BUDGET = 2048  # tokens per shard
+
+_PACK_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, lang,
+           len(regexp_extract_all(text,
+               ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+| +')) AS n_tok
+    FROM documents
+),
+packed AS (
+    SELECT lang, doc_id, n_tok,
+           CAST(FLOOR((SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) - n_tok)
+                      / {_PACK_BUDGET}) AS BIGINT) AS shard_id
+    FROM toks
+)
+SELECT lang, shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+FROM packed GROUP BY lang, shard_id
+"""
+
+
+@register("text_pack_shards", oracle=_PACK_ORACLE)
+def text_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — the pre-training step that bins documents
+    into fixed token-budget shards: running token count per language
+    stream, shard = cumulative-tokens-before-me div budget (so a doc
+    always lands in the shard its first token falls into).
+
+    Scale: the cumulative window partitions BY LANGUAGE (any
+    stratification key works) — packing is inherently order-
+    dependent, so at 100TB you pack within partitions and never
+    demand one global order. Pure column expressions over the BPE-ish
+    token count; no UDF."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        TX.bpe_ish_token_count(F.col("text")).cast("long").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = toks.withColumn(
+        "shard_id",
+        F.floor(
+            (F.sum("n_tok").over(w) - F.col("n_tok")) / _PACK_BUDGET
+        ),
+    )
+    return packed.groupBy("lang", "shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+    )
+
+
+_SPLIT_ORACLE = """
+SELECT lang,
+       CASE WHEN substr(md5(text), 1, 1) <= '3' THEN 'eval'
+            ELSE 'train' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+@register("text_train_eval_split", oracle=_SPLIT_ORACLE)
+def text_train_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash train/eval split (~25% eval): the
+    carve-out every training pipeline needs, keyed on md5(content)
+    so the SAME document always lands in the same split regardless
+    of ingestion order, partitioning, or re-runs — and so near-dup
+    leakage checks can join across the boundary. Engine-portable
+    (md5 is bit-identical everywhere, unlike engine hash functions).
+    """
+    docs = load(spark, sf_dir, "documents")
+    split = F.when(
+        F.substring(F.md5("text"), 1, 1) <= "3", F.lit("eval")
+    ).otherwise(F.lit("train"))
+    return docs.groupBy("lang", split.alias("split")).agg(
+        F.count(F.lit(1)).alias("n_docs")
     )
