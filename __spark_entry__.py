@@ -87,8 +87,6 @@ _PRIORITY = [
     "s11_schema_evolution",
     "i9_stream_static_join",
     "i10_stream_stream_join",
-    "text_pack_shards",
-    "text_train_eval_split",
     # -- queries whose implementation CHANGED this round: their
     # round-1 rows attest old code, so they come before untouched
     # representatives (largest rewrites first — with ~50 verified
@@ -96,6 +94,8 @@ _PRIORITY = [
     "ep3_roi_cascade",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
+    "text_pack_shards",
+    "text_train_eval_split",
     "ep5_shadow_trade",
     "j7_asof_join",
     "x11_salted_skew_join",
