@@ -45,6 +45,7 @@ _PRIORITY = [
     "w2_first_per_key",
     "w3_topn_per_group",
     "w4_global_rank",
+    "w4b_global_rank_scalable",
     "o1_global_topk",
     "u1_insert_if_absent",
     "u2_merge_update",

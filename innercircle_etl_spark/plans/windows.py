@@ -149,3 +149,54 @@ def o1_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
         .limit(200)
     )
+
+
+@register(
+    "w4b_global_rank_scalable",
+    oracle="""
+    SELECT c_custkey, c_acctbal,
+           CAST(rank() OVER (ORDER BY c_acctbal DESC) AS INTEGER) AS wealth_rank
+    FROM customer
+    """,
+)
+def w4b_global_rank_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4's scalable form — the two-phase global rank that survives
+    fact-table cardinality where w4's single-partition window dies:
+
+    1. range-repartition on the sort key (Spark samples split
+       bounds); equal keys land in the same partition, so no tie
+       ever spans a boundary;
+    2. rank() locally within each partition (parallel windows keyed
+       by spark_partition_id — no data moves);
+    3. global rank = local rank + rows-in-earlier-partitions offset.
+       The offset table is #partitions rows — dimension-sized — and
+       broadcast back.
+
+    Identical result to the plain global window (same oracle as w4);
+    only the shuffle distribution changes."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    nparts = max(spark.sparkContext.defaultParallelism // 4, 2)
+    parts = cust.repartitionByRange(
+        nparts, F.col("c_acctbal").desc()
+    ).withColumn("pid", F.spark_partition_id())
+
+    w_local = Window.partitionBy("pid").orderBy(F.col("c_acctbal").desc())
+    local = parts.withColumn("local_rank", F.rank().over(w_local))
+
+    counts = parts.groupBy("pid").agg(F.count(F.lit(1)).alias("n"))
+    w_off = (
+        Window.orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "pid",
+        F.coalesce(F.sum("n").over(w_off), F.lit(0)).alias("offset"),
+    )
+
+    return local.join(F.broadcast(offsets), "pid").select(
+        "c_custkey",
+        "c_acctbal",
+        (F.col("local_rank") + F.col("offset")).cast("int").alias(
+            "wealth_rank"
+        ),
+    )

@@ -221,3 +221,19 @@ def test_partition_pruning_on_date_partitioned_warehouse(spark, sf_dir):
         if "PartitionFilters:" in ln and "PartitionFilters: []" not in ln
     ]
     assert pruned, plan
+
+
+def test_w4b_rank_uses_range_partitioning(spark, sf_dir):
+    """The scalable global rank's data path must shuffle by RANGE on
+    the sort key (parallel local windows + dim-sized offset join) —
+    never a single-partition exchange of the ranked data."""
+    plan = plan_of(spark, sf_dir, "w4b_global_rank_scalable")
+    assert "rangepartitioning" in plan, plan
+    # the only SinglePartition exchange allowed is the #partitions-
+    # sized offset cumsum, whose input is an aggregate over pid
+    data_single = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange SinglePartition" in ln
+    ]
+    assert len(data_single) <= 1, plan
