@@ -359,6 +359,11 @@ def ngram_jaccard_pairs(
     Input: (doc_id long, text string). Output: (doc_a, doc_b,
     jaccard) for all pairs with jaccard >= t.
     """
+    if not (0 < t_num <= t_den):
+        raise ValueError(
+            f"ngram_jaccard_pairs: threshold {t_num}/{t_den} must be "
+            "in (0, 1]"
+        )
     import numpy as np
     import pandas as pd
 
