@@ -112,6 +112,7 @@ _PRIORITY = [
     "ann_ivf_probe",
     "mm_image_features",
     "mm_av_frame_sample",
+    "mm_av_frame_sample_udtf",
     "j1_multiway_join",
     "x_bucketed_colocated_join",
     "a8_percentile_disc",

@@ -93,3 +93,51 @@ def mm_av_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism, "doc_id"
     )
     return media.mapInPandas(MM.frame_sample_batches, MM.FRAME_SAMPLE_SCHEMA)
+
+
+@register("mm_av_frame_sample_udtf", oracle=_FRAME_ORACLE)
+def mm_av_frame_sample_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The frame sampler as a NATIVE Python UDTF (Spark 4
+    ``@F.udtf``) — the declared table-function form of the same
+    one-row-in / n-frames-out expansion mm_av_frame_sample expresses
+    through mapInPandas. Same oracle; the lateral-join plan lets
+    Catalyst see the expansion as a table function instead of an
+    opaque map stage. Row-at-a-time Python (no Arrow batching), so
+    the mapInPandas form stays the hot-path choice — this variant
+    documents the §2.10 UDTF surface natively."""
+    import hashlib
+
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    @F.udtf(
+        returnType=StructType(
+            [
+                StructField("frame_idx", LongType()),
+                StructField("frame_len", LongType()),
+                StructField("frame_md5", StringType()),
+            ]
+        )
+    )
+    class FrameSampler:
+        def eval(self, media):
+            blob = bytes(media) if media is not None else b""
+            for k in range(0, max(len(blob), 1), MM.FRAME_BYTES):
+                frame = blob[k : k + MM.FRAME_BYTES]
+                yield (
+                    k // MM.FRAME_BYTES,
+                    len(frame),
+                    hashlib.md5(frame).hexdigest(),
+                )
+
+    media = _media(spark, sf_dir).select("doc_id", "media").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    return media.lateralJoin(
+        FrameSampler(F.col("media").outer())
+    ).select("doc_id", "frame_idx", "frame_len", "frame_md5")
