@@ -106,6 +106,7 @@ _PRIORITY = [
     "ep6_insight_feed",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_minhash_recall",
     "dedup_simhash",
     "ann_cosine_topk",
     "ann_lsh_bucketed",

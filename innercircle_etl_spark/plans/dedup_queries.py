@@ -653,3 +653,90 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.select("vec_a", "vec_b", cos.alias("cos"))
         .filter(F.col("cos") >= 0.99)
     )
+
+
+# --------------------------------------------- minhash recall harness
+
+_MH_RECALL_ORACLE = f"""
+WITH corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 100000, text || ' zzz' FROM documents WHERE doc_id % 25 = 0
+),
+tok AS (
+    SELECT doc_id, string_split(text, ' ') AS w FROM corpus
+),
+shx AS (
+    SELECT doc_id,
+           list_distinct([array_to_string(w[i:i+2], ' ')
+                          for i in generate_series(1, len(w) - 2)]) AS sh
+    FROM tok WHERE len(w) >= 3
+),
+truth AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM shx a JOIN shx b ON b.doc_id = a.doc_id + 100000
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+),
+found AS (SELECT doc_a, doc_b FROM ({_MINHASH_ORACLE})),
+hits AS (
+    SELECT t.doc_a FROM truth t
+    JOIN found f ON t.doc_a = f.doc_a AND t.doc_b = f.doc_b
+)
+SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_true,
+       CAST((SELECT COUNT(*) FROM hits) AS BIGINT) AS n_hits,
+       CAST((SELECT COUNT(*) FROM hits) AS DOUBLE)
+         / (SELECT COUNT(*) FROM truth) AS recall
+"""
+
+
+@register("dedup_minhash_recall", oracle=_MH_RECALL_ORACLE)
+def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall harness for the MinHash-LSH dedup — the dedup-family
+    counterpart of ann_recall_at_k: ground truth is the PLANTED
+    near-dup pairs that genuinely clear the 0.8 shingle-Jaccard bar
+    (computed directly, one |planted|-sized join — never all-pairs),
+    recall = the fraction the banded LSH candidates recover. With 16
+    hashes / 4 bands at J≥0.8 the collision probability per pair is
+    1-(1-0.8⁴)^4 ≈ 0.92 per the S-curve; the measured value tracks
+    it. The measurement loop a dedup rollout needs before trusting a
+    sketch at scale."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    near = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
+    )
+    corpus = docs.unionByName(near).filter(
+        F.size(F.split(F.col("text"), " ")) >= 3
+    )
+    toks = F.split(F.col("text"), " ")
+    sh = corpus.select("doc_id", SK.word_shingles(toks, 3).alias("sh"))
+
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(
+        (F.col("doc_id") - 100000).alias("doc_a"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh").alias("sh_b"),
+    ).filter(F.col("doc_b") >= 100000)
+    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    truth = (
+        a.join(b, "doc_a")
+        .filter(jac >= 0.8)
+        .select("doc_a", "doc_b")
+    )
+
+    found = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    hits = truth.join(found, ["doc_a", "doc_b"])
+    return (
+        truth.agg(F.count(F.lit(1)).alias("n_true"))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
+        .select(
+            "n_true",
+            "n_hits",
+            (F.col("n_hits").cast("double") / F.col("n_true")).alias(
+                "recall"
+            ),
+        )
+    )
