@@ -99,6 +99,7 @@ _PRIORITY = [
     "text_train_eval_split",
     "ep5_shadow_trade",
     "j7_asof_join",
+    "j7b_asof_backward",
     "x11_salted_skew_join",
     "j11_pairs_jaccard",
     # -- one representative per remaining (unchanged) family

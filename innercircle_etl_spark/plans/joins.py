@@ -499,3 +499,65 @@ def x12_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_price",
         "max_price",
     )
+
+
+@register(
+    "j7b_asof_backward",
+    oracle="""
+    WITH ranked AS (
+        SELECT b.o_orderkey, b.o_custkey, b.o_orderdate,
+               CASE WHEN s.o_orderdate < b.o_orderdate
+                    THEN s.o_orderkey END AS cand_key,
+               CASE WHEN s.o_orderdate < b.o_orderdate
+                    THEN s.o_orderdate END AS cand_date,
+               CASE WHEN s.o_orderdate < b.o_orderdate
+                    THEN s.o_totalprice END AS cand_price,
+               row_number() OVER (
+                   PARTITION BY b.o_orderkey
+                   ORDER BY (CASE WHEN s.o_orderdate < b.o_orderdate
+                                  THEN s.o_orderdate END) DESC NULLS LAST,
+                            (CASE WHEN s.o_orderdate < b.o_orderdate
+                                  THEN s.o_orderkey END) ASC NULLS LAST
+               ) AS rn
+        FROM orders b
+        LEFT JOIN orders s ON b.o_custkey = s.o_custkey
+    )
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           cand_key AS prev_orderkey, cand_date AS prev_orderdate,
+           cand_price AS prev_totalprice
+    FROM ranked WHERE rn = 1
+    """,
+)
+def j7b_asof_backward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 backward direction: the classic point-in-time lookup —
+    each order joined to the same customer's most recent STRICTLY
+    PRIOR order (the 'state as of this moment' pattern: price as of
+    trade time, balance as of withdrawal). Same equi-shuffle +
+    masked-window plan as the forward as-of; only the range mask and
+    window direction flip."""
+    orders = load(spark, sf_dir, "orders")
+    left = orders.select("o_orderkey", "o_custkey", "o_orderdate")
+    right = orders.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("prev_key"),
+        F.col("o_orderdate").alias("prev_date"),
+        F.col("o_totalprice").alias("prev_price"),
+    )
+    out = asof_join(
+        left,
+        right,
+        keys=["o_custkey"],
+        left_on="o_orderdate",
+        right_on="prev_date",
+        direction="backward",
+        strict=True,
+        right_tiebreakers=["prev_key"],
+    )
+    return out.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.col("r_prev_key").alias("prev_orderkey"),
+        F.col("r_prev_date").alias("prev_orderdate"),
+        F.col("r_prev_price").alias("prev_totalprice"),
+    )
