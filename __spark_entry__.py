@@ -88,6 +88,7 @@ _PRIORITY = [
     "s11_schema_evolution",
     "i9_stream_static_join",
     "i10_stream_stream_join",
+    "i11_stream_outer_join",
     # -- queries whose implementation CHANGED this round: their
     # round-1 rows attest old code, so they come before untouched
     # representatives (largest rewrites first — with ~50 verified

@@ -808,3 +808,120 @@ def i10_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = spark.read.parquet(sink)
     return out.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+_I11_ORACLE = """
+WITH buys AS (
+    SELECT user_id, CAST(ts AS TIMESTAMP) AS b_ts FROM events
+    WHERE event_id % 2 = 0
+),
+sells AS (
+    SELECT user_id, CAST(ts AS TIMESTAMP) AS s_ts FROM events
+    WHERE event_id % 2 = 1
+),
+joined AS (
+    SELECT b.user_id, s.s_ts
+    FROM buys b
+    LEFT JOIN sells s
+      ON b.user_id = s.user_id
+     AND s.s_ts >= b.b_ts
+     AND s.s_ts <= b.b_ts + INTERVAL 30 MINUTE
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN s_ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unmatched
+FROM joined GROUP BY user_id
+"""
+
+_I11_SENTINELS = ("2024-06-01 00:00:00", "2024-07-01 00:00:00")
+
+
+@register("i11_stream_outer_join", oracle=_I11_ORACLE)
+def i11_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I11 (beyond-parity): LEFT OUTER stream-stream join — the hard
+    streaming shape: matched pairs emit eagerly, but an unmatched
+    buy can only emit its null-padded row once the watermark proves
+    no sell can still arrive inside its 30-minute window.
+
+    Deterministic flush without wall-clock waiting: the final waves
+    carry far-future sentinel rows (the i6 technique) that advance
+    the watermark past every real window, and one extra drain gives
+    the state store the batch it needs to evict + emit the
+    unmatched rows. Sentinels (negative user) are filtered from the
+    result. Oracle = the plain batch LEFT JOIN with the same
+    interval condition."""
+    base = _fresh(f"{SCRATCH}/stream_i11_{os.path.basename(sf_dir)}")
+    src, sink, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    pivot_us = F.unix_micros(F.lit(_I6_PIVOT).cast("timestamp"))
+
+    def sentinel(ts_str: str, parity: int) -> DataFrame:
+        return spark.range(1).select(
+            F.lit(10_000_000_000 + parity).alias("event_id"),
+            F.lit(-1).cast("long").alias("user_id"),
+            F.unix_micros(F.lit(ts_str).cast("timestamp")).alias("ts_us"),
+        )
+
+    waves = [
+        ev.filter(F.col("ts_us") < pivot_us),
+        # second wave ends with sentinels on BOTH parities so both
+        # streams' watermarks jump past every real event
+        ev.filter(F.col("ts_us") >= pivot_us)
+        .unionByName(sentinel(_I11_SENTINELS[0], 0))
+        .unionByName(sentinel(_I11_SENTINELS[0], 1)),
+        # third wave: one more pair of (later) sentinels — the batch
+        # that lets the advanced watermark actually evict and emit
+        sentinel(_I11_SENTINELS[1], 0).unionByName(
+            sentinel(_I11_SENTINELS[1], 1)
+        ),
+    ]
+    for wave_df in waves:
+        wave_df.write.mode("append").json(src)
+        stream = (
+            stream_ndjson_dir(spark, src, _I10_SCHEMA)
+            .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+            .drop("ts_us")
+        )
+        buys = (
+            stream.filter(F.col("event_id") % 2 == 0)
+            .withWatermark("ts", "1 hour")
+            .select(
+                F.col("user_id").alias("b_user"), F.col("ts").alias("b_ts")
+            )
+        )
+        sells = (
+            stream.filter(F.col("event_id") % 2 == 1)
+            .withWatermark("ts", "1 hour")
+            .select(
+                F.col("user_id").alias("s_user"), F.col("ts").alias("s_ts")
+            )
+        )
+        joined = buys.join(
+            sells,
+            (F.col("b_user") == F.col("s_user"))
+            & (F.col("s_ts") >= F.col("b_ts"))
+            & (F.col("s_ts") <= F.col("b_ts") + F.expr("INTERVAL 30 MINUTES")),
+            "leftOuter",
+        ).select(
+            F.col("b_user").alias("user_id"),
+            F.col("s_ts"),
+        )
+        (
+            joined.writeStream.option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .format("parquet")
+            .option("path", sink)
+            .start()
+            .awaitTermination()
+        )
+
+    out = spark.read.parquet(sink).filter(F.col("user_id") >= 0)
+    return out.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("s_ts").isNull(), 1).otherwise(0)).alias(
+            "n_unmatched"
+        ),
+    )
