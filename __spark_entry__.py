@@ -121,6 +121,8 @@ _PRIORITY = [
     "a8_percentile_disc",
     "a1_count_distinct",
     "t1_union_all_legs",
+    "t4_pivot",
+    "t5_unpivot",
     "f1_string_funcs",
     "p1_project_arithmetic",
 ]

@@ -79,3 +79,70 @@ def t3_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     o_c = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
     f_c = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
     return o_c.intersect(f_c)
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+_T4_ORACLE = f"""
+SELECT user_id,
+       {", ".join(
+           f"CAST(COUNT(*) FILTER (WHERE event_type = '{t}') AS BIGINT)"
+           f" AS n_{t}" for t in _EVENT_TYPES
+       )}
+FROM events GROUP BY user_id
+"""
+
+
+@register("t4_pivot", oracle=_T4_ORACLE)
+def t4_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 (beyond-parity): pivot — one column per event type, counts
+    per user. The value list is EXPLICIT (``pivot(col, values)``):
+    without it Spark runs an extra distinct-collect job to discover
+    values, and at 100TB an unbounded pivot width is a bug, not a
+    feature. Compiles to a single groupBy with conditional
+    aggregates — same plan the oracle's FILTER clauses describe."""
+    ev = load(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .count()
+    )
+    # pivot leaves null where a (user, type) pair never occurred;
+    # the oracle's FILTER count says 0 — align, and pin names
+    return out.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}")
+            for t in _EVENT_TYPES
+        ],
+    )
+
+
+_T5_ORACLE = f"""
+WITH pivoted AS ({_T4_ORACLE})
+SELECT user_id, event_type, n_events FROM (
+    {" UNION ALL ".join(
+        f"SELECT user_id, '{t}' AS event_type, n_{t} AS n_events "
+        f"FROM pivoted" for t in _EVENT_TYPES
+    )}
+)
+"""
+
+
+@register("t5_unpivot", oracle=_T5_ORACLE)
+def t5_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 (beyond-parity): unpivot/melt — the inverse reshaping,
+    wide per-type count columns back to (user, type, n) long form
+    via the native ``unpivot`` (stack expression under the hood; a
+    narrow 1→N row expansion, no shuffle)."""
+    wide = t4_pivot(spark, sf_dir)
+    return wide.unpivot(
+        "user_id",
+        [f"n_{t}" for t in _EVENT_TYPES],
+        "event_type_col",
+        "n_events",
+    ).select(
+        "user_id",
+        F.expr("substring(event_type_col, 3)").alias("event_type"),
+        "n_events",
+    )
