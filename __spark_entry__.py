@@ -119,6 +119,7 @@ _PRIORITY = [
     "j1_multiway_join",
     "x_bucketed_colocated_join",
     "a8_percentile_disc",
+    "a12_rollup",
     "a1_count_distinct",
     "t1_union_all_legs",
     "t4_pivot",

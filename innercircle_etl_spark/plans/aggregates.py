@@ -247,3 +247,35 @@ def a1b_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_suppkey", rsd=0.02).alias("n_supps_approx"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+@register(
+    "a12_rollup",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           {duck_dsum("l_quantity")} AS total_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def a12_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 (beyond-parity): hierarchical ROLLUP totals — per
+    (flag, status), per flag, and grand total in ONE pass with
+    GROUPING flags disambiguating real NULL keys from subtotal rows.
+    Spark expands grouping sets before the exchange, so subtotals
+    still partial-aggregate map-side — one shuffle for all three
+    levels, vs the reference's habit of separate queries per
+    granularity."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("long").alias("g_flag"),
+        F.grouping("l_linestatus").cast("long").alias("g_status"),
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("l_quantity").alias("total_qty"),
+    ).select(
+        "l_returnflag", "l_linestatus", "g_flag", "g_status",
+        "n_rows", "total_qty",
+    )
