@@ -84,6 +84,7 @@ _PRIORITY = [
     "ann_lsh_multiprobe",
     "ep7_posts",
     "a1b_approx_distinct",
+    "a8b_approx_percentile",
     "text_pii_scrub",
     "s11_schema_evolution",
     "i9_stream_static_join",

@@ -279,3 +279,20 @@ def a12_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag", "l_linestatus", "g_flag", "g_status",
         "n_rows", "total_qty",
     )
+
+
+@register("a8b_approx_percentile")  # rows-only: sketch differs per engine
+def a8b_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8's 100TB relief valve: approx_percentile over a bounded
+    accuracy sketch instead of the exact within-group sort. Like the
+    HLL distinct (a1b), the sketch is engine-specific — rows-only
+    here, accuracy pinned against the exact floor percentile in
+    tests/test_approx.py. At a trillion rows this replaces the
+    per-group sort with fixed-size state."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile(
+            "l_extendedprice", F.lit(0.2), F.lit(10000)
+        ).alias("p20_approx"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

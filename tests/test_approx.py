@@ -27,3 +27,28 @@ def test_approx_distinct_within_bound(spark, sf_dir):
         ):
             rel = abs(a[ak] - e[ek]) / max(e[ek], 1)
             assert rel < 0.05, (flag, ak, a[ak], e[ek])
+
+
+def test_approx_percentile_within_bound(spark, sf_dir):
+    """approx_percentile at accuracy 10000 must land within 2% of
+    the exact discrete 20th percentile for every group."""
+    from pyspark.sql import functions as F
+
+    from innercircle_etl_spark.operators.percentiles import percentile_disc
+    from innercircle_etl_spark.plans.registry import load
+
+    li = load(spark, sf_dir, "lineitem")
+    exact = {
+        r["l_returnflag"]: r["p20"]
+        for r in percentile_disc(
+            li, ["l_returnflag"], "l_extendedprice", 0.2, out_col="p20"
+        ).collect()
+    }
+    approx = {
+        r["l_returnflag"]: r["p20_approx"]
+        for r in QUERIES["a8b_approx_percentile"](spark, sf_dir).collect()
+    }
+    assert set(approx) == set(exact)
+    for flag, e in exact.items():
+        rel = abs(approx[flag] - e) / abs(e)
+        assert rel < 0.02, (flag, approx[flag], e)
