@@ -126,6 +126,7 @@ _PRIORITY = [
     "t4_pivot",
     "t5_unpivot",
     "f1_string_funcs",
+    "f7_array_hof",
     "p1_project_arithmetic",
 ]
 

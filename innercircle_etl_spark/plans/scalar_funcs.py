@@ -207,3 +207,50 @@ def f6_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select("event_id", k_val.alias("k_val"))
         .filter(F.col("k_val") > 80)
     )
+
+
+@register(
+    "f7_array_hof",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT)
+             AS n_positive,
+           list_reduce(list_transform(embedding,
+                                      x -> CAST(x AS DOUBLE) * x),
+                       (a, b) -> a + b) AS sum_sq,
+           array_to_string(list_transform(embedding[1:3],
+                x -> CAST(round(CAST(x AS DOUBLE), 3) + 0.0 AS VARCHAR)), ',')
+             AS head3
+    FROM embeddings
+    """,
+)
+def f7_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 (beyond-parity): higher-order array functions — filter /
+    transform / left-fold aggregate over the embedding arrays, all
+    JVM-side lambda expressions (the primitives the vector library
+    builds on, exercised here as a first-class query). Left-to-right
+    folds match DuckDB's list_reduce bit-exactly; the fold seeds with
+    the first squared element (reduce semantics) to mirror it."""
+    emb = load(spark, sf_dir, "embeddings")
+    sq = F.transform(
+        F.col("embedding"), lambda x: x.cast("double") * x
+    )
+    return emb.select(
+        "vec_id",
+        F.size(
+            F.filter(F.col("embedding"), lambda x: x > 0)
+        ).cast("long").alias("n_positive"),
+        # reduce (no init): acc starts at sq[0]; fold the tail
+        F.aggregate(
+            F.slice(sq, 2, F.size(sq) - 1),
+            F.element_at(sq, 1),
+            lambda acc, x: acc + x,
+        ).alias("sum_sq"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.slice("embedding", 1, 3),
+                lambda x: (F.round(x.cast("double"), 3) + F.lit(0.0)).cast("string"),
+            ),
+        ).alias("head3"),
+    )
