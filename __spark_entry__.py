@@ -46,6 +46,7 @@ _PRIORITY = [
     "w3_topn_per_group",
     "w4_global_rank",
     "w4b_global_rank_scalable",
+    "w6_gap_fill_ffill",
     "o1_global_topk",
     "u1_insert_if_absent",
     "u2_merge_update",

@@ -200,3 +200,72 @@ def w4b_global_rank_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
             "wealth_rank"
         ),
     )
+
+
+@register(
+    "w6_gap_fill_ffill",
+    oracle="""
+    WITH daily AS (
+        SELECT l_partkey AS coll, CAST(l_shipdate AS DATE) AS d,
+               MIN(l_extendedprice) AS day_floor
+        FROM lineitem WHERE l_partkey % 50 = 0
+        GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT coll, MIN(d) AS d0, MAX(d) AS d1 FROM daily GROUP BY coll
+    ),
+    spine AS (
+        SELECT coll, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS d
+        FROM bounds
+    ),
+    joined AS (
+        SELECT s.coll, s.d, dy.day_floor
+        FROM spine s LEFT JOIN daily dy ON s.coll = dy.coll AND s.d = dy.d
+    )
+    SELECT coll, d,
+           last_value(day_floor IGNORE NULLS) OVER (
+               PARTITION BY coll ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS floor_filled,
+           (day_floor IS NULL) AS was_gap
+    FROM joined
+    """,
+)
+def w6_gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6 (beyond-parity): daily resample + forward-fill — the
+    time-series gap-fill every floor-price/valuation series needs
+    (the reference instead re-queries the last known price ad hoc).
+    Per collection: a generated date spine from first to last
+    observation, left-joined to the observed daily floor, then
+    ``last(ignorenulls)`` carries the previous value across gaps.
+
+    Scale: the spine generates per collection (sequence + explode —
+    narrow), the join and the fill window both key on the collection;
+    nothing is global. A 50x collection sample keeps the fixture
+    row count honest (~days-per-coll × |sample|)."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_partkey") % 50 == 0)
+    daily = li.groupBy(
+        F.col("l_partkey").alias("coll"),
+        F.to_date("l_shipdate").alias("d"),
+    ).agg(F.min("l_extendedprice").alias("day_floor"))
+    bounds = daily.groupBy("coll").agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1")
+    )
+    spine = bounds.select(
+        "coll",
+        F.explode(
+            F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))
+        ).alias("d"),
+    )
+    joined = spine.join(daily, ["coll", "d"], "left")
+    w = (
+        Window.partitionBy("coll")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "coll",
+        "d",
+        F.last("day_floor", ignorenulls=True).over(w).alias("floor_filled"),
+        F.col("day_floor").isNull().alias("was_gap"),
+    )
