@@ -47,6 +47,7 @@ _PRIORITY = [
     "w4_global_rank",
     "w4b_global_rank_scalable",
     "w6_gap_fill_ffill",
+    "w7_rolling_7day",
     "o1_global_topk",
     "u1_insert_if_absent",
     "u2_merge_update",

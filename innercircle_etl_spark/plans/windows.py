@@ -10,7 +10,7 @@ from innercircle_etl_spark.operators.window_dedup import (
     latest_per_key,
     top_n_per_group,
 )
-from innercircle_etl_spark.plans.registry import load, register
+from innercircle_etl_spark.plans.registry import dsum, load, register
 
 
 @register(
@@ -268,4 +268,59 @@ def w6_gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d",
         F.last("day_floor", ignorenulls=True).over(w).alias("floor_filled"),
         F.col("day_floor").isNull().alias("was_gap"),
+    )
+
+
+@register(
+    "w7_rolling_7day",
+    oracle="""
+    WITH daily AS (
+        SELECT l_partkey AS coll,
+               datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+                 AS epoch_day,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+                 AS day_qty
+        FROM lineitem WHERE l_partkey % 50 = 0
+        GROUP BY 1, 2
+    )
+    SELECT coll, epoch_day,
+           CAST(SUM(CAST(day_qty AS DECIMAL(38,6))) OVER (
+               PARTITION BY coll ORDER BY epoch_day
+               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS qty_7d,
+           CAST(COUNT(*) OVER (
+               PARTITION BY coll ORDER BY epoch_day
+               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS days_present_7d
+    FROM daily
+    """,
+)
+def w7_rolling_7day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7 (beyond-parity): event-time rolling aggregate — trailing
+    7-day quantity per collection via a RANGE frame over epoch-days
+    (value-based, so calendar gaps shrink the frame instead of
+    silently widening it the way a ROWS frame would). The rolling
+    sum stays in decimal through the frame so partial order can't
+    move a ulp. One shuffle on the collection key; frames never
+    cross partitions."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_partkey") % 50 == 0)
+    daily = li.groupBy(
+        F.col("l_partkey").alias("coll"),
+        F.datediff(
+            F.to_date("l_shipdate"), F.lit("1970-01-01").cast("date")
+        ).alias("epoch_day"),
+    ).agg(dsum("l_quantity").alias("day_qty"))
+    w = (
+        Window.partitionBy("coll")
+        .orderBy("epoch_day")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "coll",
+        "epoch_day",
+        F.sum(F.col("day_qty").cast("decimal(38,6)"))
+        .over(w)
+        .cast("double")
+        .alias("qty_7d"),
+        F.count(F.lit(1)).over(w).alias("days_present_7d"),
     )
