@@ -48,6 +48,8 @@ _PRIORITY = [
     "w4b_global_rank_scalable",
     "w6_gap_fill_ffill",
     "w7_rolling_7day",
+    "w8_day_over_day",
+    "w9_ntile_deciles",
     "o1_global_topk",
     "u1_insert_if_absent",
     "u2_merge_update",

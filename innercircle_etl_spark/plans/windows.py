@@ -324,3 +324,69 @@ def w7_rolling_7day(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("qty_7d"),
         F.count(F.lit(1)).over(w).alias("days_present_7d"),
     )
+
+
+@register(
+    "w8_day_over_day",
+    oracle="""
+    WITH daily AS (
+        SELECT l_partkey AS coll, CAST(l_shipdate AS DATE) AS d,
+               MIN(l_extendedprice) AS day_floor
+        FROM lineitem WHERE l_partkey % 50 = 0
+        GROUP BY 1, 2
+    )
+    SELECT coll, d, day_floor,
+           lag(day_floor) OVER w AS prev_floor,
+           (day_floor - lag(day_floor) OVER w)
+             / lag(day_floor) OVER w AS pct_change,
+           lead(day_floor) OVER w AS next_floor
+    FROM daily WINDOW w AS (PARTITION BY coll ORDER BY d)
+    """,
+)
+def w8_day_over_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8 (beyond-parity): lead/lag deltas — day-over-day floor
+    change per collection (first observation's change is NULL, not
+    zero). The offset functions ride the same per-key sort the other
+    W queries use; division of identical doubles is identical in
+    both engines, so pct_change hash-matches."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_partkey") % 50 == 0)
+    daily = li.groupBy(
+        F.col("l_partkey").alias("coll"),
+        F.to_date("l_shipdate").alias("d"),
+    ).agg(F.min("l_extendedprice").alias("day_floor"))
+    w = Window.partitionBy("coll").orderBy("d")
+    prev = F.lag("day_floor").over(w)
+    return daily.select(
+        "coll",
+        "d",
+        "day_floor",
+        prev.alias("prev_floor"),
+        ((F.col("day_floor") - prev) / prev).alias("pct_change"),
+        F.lead("day_floor").over(w).alias("next_floor"),
+    )
+
+
+@register(
+    "w9_ntile_deciles",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           CAST(ntile(10) OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal DESC, c_custkey ASC)
+                AS BIGINT) AS wealth_decile
+    FROM customer
+    """,
+)
+def w9_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W9 (beyond-parity): ntile decile assignment per market
+    segment — the bucketing analysts reach for before cohort
+    comparisons. Tie order pinned by custkey so the decile
+    boundaries are deterministic in both engines."""
+    cust = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(10).over(w).cast("long").alias("wealth_decile"),
+    )
