@@ -114,6 +114,7 @@ _PRIORITY = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_minhash_recall",
+    "dedup_cluster_canonical",
     "dedup_simhash",
     "ann_cosine_topk",
     "ann_lsh_bucketed",

@@ -740,3 +740,85 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ------------------------------------- cluster -> canonical assignment
+
+_CLUSTER_ORACLE = f"""
+WITH RECURSIVE pairs AS (
+    SELECT doc_a, doc_b FROM ({_MINHASH_ORACLE})
+),
+nodes AS (
+    SELECT DISTINCT doc_a AS n FROM pairs
+    UNION SELECT DISTINCT doc_b FROM pairs
+),
+edges AS (
+    SELECT doc_a AS u, doc_b AS v FROM pairs
+    UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(u, v) AS (
+    SELECT u, v FROM edges
+    UNION
+    SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+)
+SELECT n.n AS doc_id,
+       LEAST(n.n, MIN(r.v)) AS canonical_id
+FROM nodes n LEFT JOIN reach r ON n.n = r.u
+GROUP BY n.n
+"""
+
+
+@register("dedup_cluster_canonical", oracle=_CLUSTER_ORACLE)
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The step after pair generation in every real dedup pipeline:
+    near-dup PAIRS form connected components, and each document maps
+    to its component's canonical (minimum) id — that's what actually
+    gets kept or dropped. Iterative min-label propagation: every
+    node repeatedly adopts the smallest label among itself and its
+    neighbors until a fixpoint (bounded by component diameter; each
+    sweep is one join + groupBy, and the driver only ever sees the
+    single changed-row COUNT — the standard Spark connected-
+    components loop at edge-list scale). Oracle = a recursive-CTE
+    transitive closure over the same pairs."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).cache()
+    labels = (
+        edges.select(F.col("doc_a").alias("n"))
+        .distinct()
+        .withColumn("label", F.col("n"))
+    )
+    for _ in range(20):  # >= max component diameter; fixture: 1
+        neighbor_min = (
+            edges.join(
+                labels.select(
+                    F.col("n").alias("doc_b"),
+                    F.col("label").alias("nb_label"),
+                ),
+                "doc_b",
+            )
+            .groupBy(F.col("doc_a").alias("n"))
+            .agg(F.min("nb_label").alias("nb_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, "n", "left")
+            .select(
+                "n",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nb_min"), F.col("label"))
+                ).alias("new_label"),
+                "label",
+            )
+        ).cache()
+        changed = updated.filter(
+            F.col("new_label") != F.col("label")
+        ).count()  # scalar convergence probe, not data movement
+        labels = updated.select("n", F.col("new_label").alias("label"))
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("n").alias("doc_id"), F.col("label").alias("canonical_id")
+    )
