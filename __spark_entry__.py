@@ -94,6 +94,7 @@ _PRIORITY = [
     "i9_stream_static_join",
     "i10_stream_stream_join",
     "i11_stream_outer_join",
+    "i12_stream_session_window",
     # -- queries whose implementation CHANGED this round: their
     # round-1 rows attest old code, so they come before untouched
     # representatives (largest rewrites first — with ~50 verified

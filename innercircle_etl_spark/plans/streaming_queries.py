@@ -925,3 +925,102 @@ def i11_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_unmatched"
         ),
     )
+
+
+_I12_ORACLE = """
+WITH t AS (
+    SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+),
+m AS (
+    SELECT user_id, ts, value,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS new_s
+    FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+    SELECT user_id, ts, value,
+           SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+    FROM m
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+FROM s GROUP BY user_id, sid
+"""
+
+_I12_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("ts_us", T.LongType()),
+    ]
+)
+
+
+@register("i12_stream_session_window", oracle=_I12_ORACLE)
+def i12_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I12 (beyond-parity): i8's sessionization as a REAL stream —
+    ``session_window`` under a watermark in append mode, so a
+    session only emits once the watermark proves no event can still
+    extend it. Same wave/sentinel discipline as i11: time-pivoted
+    arrivals keep replays inside the watermark, far-future sentinels
+    close every real session, and a final drain performs the state
+    eviction that emits them. Sentinels (negative user) filtered;
+    oracle = the batch gaps-and-islands sessionization — streaming
+    and batch answers are IDENTICAL."""
+    base = _fresh(f"{SCRATCH}/stream_i12_{os.path.basename(sf_dir)}")
+    src, sink, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "value", F.unix_micros("ts").alias("ts_us")
+    )
+    pivot_us = F.unix_micros(F.lit(_I6_PIVOT).cast("timestamp"))
+
+    def sentinel(ts_str: str) -> DataFrame:
+        return spark.range(1).select(
+            F.lit(-1).cast("long").alias("user_id"),
+            F.lit(0.0).alias("value"),
+            F.unix_micros(F.lit(ts_str).cast("timestamp")).alias("ts_us"),
+        )
+
+    waves = [
+        ev.filter(F.col("ts_us") < pivot_us),
+        ev.filter(F.col("ts_us") >= pivot_us).unionByName(
+            sentinel(_I11_SENTINELS[0])
+        ),
+        sentinel(_I11_SENTINELS[1]),
+    ]
+    for wave_df in waves:
+        wave_df.write.mode("append").json(src)
+        stream = (
+            stream_ndjson_dir(spark, src, _I12_SCHEMA)
+            .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+            .drop("ts_us")
+            .withWatermark("ts", "1 hour")
+        )
+        sess = stream.groupBy(
+            "user_id", F.session_window("ts", "30 minutes")
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("total_value"),
+        ).select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+        (
+            sess.writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .format("parquet")
+            .option("path", sink)
+            .start()
+            .awaitTermination()
+        )
+
+    return spark.read.parquet(sink).filter(F.col("user_id") >= 0)
