@@ -237,3 +237,36 @@ def test_w4b_rank_uses_range_partitioning(spark, sf_dir):
         if "Exchange SinglePartition" in ln
     ]
     assert len(data_single) <= 1, plan
+
+
+def test_dynamic_partition_pruning(spark, sf_dir):
+    """Joining a date-partitioned fact to a FILTERED dim must inject
+    a dynamic pruning subquery on the fact scan: at 100TB the dim
+    filter's surviving dates decide which fact directories are read
+    AT RUNTIME — without DPP the scan reads every partition."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from innercircle_etl_spark.pipeline import write_daily_partitioned
+    from innercircle_etl_spark.plans.registry import load
+
+    scratch = os.environ.get("SPARK_GRAFT_SCRATCH", "/root/repo/.scratch")
+    path = f"{scratch}/dpp_demo"
+    shutil.rmtree(path, ignore_errors=True)
+    ev = load(spark, sf_dir, "events").withColumn("d", F.to_date("ts"))
+    write_daily_partitioned(ev, path)
+
+    fact = spark.read.parquet(path)
+    # dim: a handful of blessed dates, filtered by a non-partition
+    # attribute so the pruning can only happen dynamically
+    dim = (
+        ev.select("d")
+        .distinct()
+        .withColumn("keep", F.dayofmonth("d") <= 3)
+        .filter(F.col("keep"))
+    )
+    joined = fact.join(dim.hint("broadcast"), "d")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
