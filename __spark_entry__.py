@@ -58,6 +58,7 @@ _PRIORITY = [
     "u5_conditional_flag",
     "u6_date_gaps",
     "u7_merge_into",
+    "u9_scd2_ranges",
     "s2_s3_csv_roundtrip",
     "s6_json_source",
     "s10_watermark",

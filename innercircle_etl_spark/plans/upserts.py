@@ -9,7 +9,7 @@ same state in SQL.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from innercircle_etl_spark.operators.upsert import (
@@ -287,4 +287,39 @@ def u7_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["c_custkey"],
         update_cols=["c_acctbal", "c_mktsegment"],
         delete_cond=F.col("op") == "D",
+    )
+
+
+@register(
+    "u9_scd2_ranges",
+    oracle="""
+    SELECT user_id,
+           event_type AS segment,
+           CAST(ts AS TIMESTAMP) AS valid_from,
+           lead(CAST(ts AS TIMESTAMP)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS valid_to,
+           (lead(CAST(ts AS TIMESTAMP)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) IS NULL) AS is_current
+    FROM events WHERE event_id % 5 = 0
+    """,
+)
+def u9_scd2_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U9 (beyond-parity): full SCD Type-2 with half-open validity
+    ranges — each segment change opens an interval closed by the
+    NEXT change's timestamp (NULL = current), derived in one lead()
+    pass instead of the reference's flag-flip UPDATE (i5 keeps that
+    parity form). Half-open [from, to) means point-in-time lookups
+    are a simple BETWEEN — the j7b backward as-of composes directly
+    on this shape."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") % 5 == 0)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        F.col("event_type").alias("segment"),
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
     )
