@@ -62,6 +62,8 @@ _PRIORITY = [
     "s2_s3_csv_roundtrip",
     "s6_json_source",
     "s10_watermark",
+    "s12_corrupt_records",
+    "p12_null_safe_eq",
     # -- errored in round 1 on the nanos-timestamp read (now fixed)
     "p2_p3_time_range",
     "f4_case_coalesce",

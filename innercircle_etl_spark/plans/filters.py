@@ -141,3 +141,48 @@ def p8_p9_p10_null_blacklist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "c_mktsegment", safe_bal.alias("safe_bal"))
         .filter(F.col("safe_bal").isNotNull())
     )
+
+
+@register(
+    "p12_null_safe_eq",
+    oracle="""
+    WITH a AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                    ELSE o_orderpriority END AS pr
+        FROM orders
+    ),
+    b AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                    ELSE o_orderpriority END AS pr
+        FROM orders
+    )
+    SELECT a.o_orderkey,
+           (a.pr IS NOT DISTINCT FROM b.pr) AS same_priority
+    FROM a JOIN b ON a.o_orderkey = b.o_orderkey
+    """,
+)
+def p12_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P12 (beyond-parity): null-safe equality (``<=>`` / IS NOT
+    DISTINCT FROM) — NULL == NULL is TRUE, NULL == value is FALSE,
+    never the three-valued UNKNOWN that silently drops rows from a
+    plain equality filter. The comparison every change-detection
+    diff needs on nullable columns."""
+    orders = load(spark, sf_dir, "orders")
+    a = orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("pr_a"),
+    )
+    b = orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit(None))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("pr_b"),
+    )
+    return a.join(b, "o_orderkey").select(
+        "o_orderkey",
+        F.col("pr_a").eqNullSafe(F.col("pr_b")).alias("same_priority"),
+    )

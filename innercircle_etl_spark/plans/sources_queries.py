@@ -160,3 +160,65 @@ def s11_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.count("source").alias("n_with_source"),
     )
+
+
+_S12_ORACLE = """
+SELECT CAST(COUNT(*) FILTER (WHERE doc_id % 31 <> 0) AS BIGINT)
+         AS n_good,
+       CAST(COUNT(*) FILTER (WHERE doc_id % 31 = 0) AS BIGINT)
+         AS n_corrupt
+FROM documents
+"""
+
+
+@register("s12_corrupt_records", oracle=_S12_ORACLE)
+def s12_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12 (beyond-parity): malformed-record containment — a feed
+    with planted broken JSON lines read in PERMISSIVE mode with a
+    corrupt-record column: bad lines become quarantine rows instead
+    of failing the job or silently vanishing (FAILFAST/DROPMALFORMED
+    are both wrong for a 100TB ingest where one bad line among
+    billions must neither kill nor disappear). The write half plants
+    truncated JSON for every 31st doc; the oracle states the
+    expected good/quarantine split relationally."""
+    import shutil
+
+    base = f"{SCRATCH}/s12_{os.path.basename(sf_dir)}"
+    shutil.rmtree(base, ignore_errors=True)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    # good lines as real JSON; corrupt lines = truncated prefix
+    lines = docs.select(
+        F.when(
+            F.col("doc_id") % 31 == 0,
+            F.concat(F.lit('{"doc_id": '), F.col("doc_id").cast("string")),
+        )
+        .otherwise(F.to_json(F.struct("doc_id", "lang")))
+        .alias("value")
+    )
+    lines.write.mode("overwrite").text(base)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("_bad", T.StringType()),
+        ]
+    )
+    # Spark disallows queries whose only referenced column is the
+    # corrupt-record column directly over the raw files — the parsed
+    # result must be materialized first (documented restriction).
+    parsed = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .json(base)
+        .cache()
+    )
+    return parsed.agg(
+        F.sum(F.when(F.col("_bad").isNull(), 1).otherwise(0)).alias(
+            "n_good"
+        ),
+        F.sum(F.when(F.col("_bad").isNotNull(), 1).otherwise(0)).alias(
+            "n_corrupt"
+        ),
+    )
