@@ -81,6 +81,7 @@ _PRIORITY = [
     "i6_watermark_window",
     # -- new this round
     "ep4_circles",
+    "ep8_corpus_pipeline",
     "q1_quality_report",
     "i3b_stateful_snapshot",
     "ann_ivf_lloyd",

@@ -11,6 +11,7 @@ from innercircle_etl_spark.plans.registry import ORACLES, QUERIES, load  # noqa:
 from innercircle_etl_spark.plans import (  # noqa: F401,E402
     aggregates,
     circle_queries,
+    corpus_pipeline,
     decode_queries,
     dedup_queries,
     filters,
