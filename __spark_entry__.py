@@ -63,6 +63,8 @@ _PRIORITY = [
     "s6_json_source",
     "s10_watermark",
     "s12_corrupt_records",
+    "s13_compaction",
+    "u10_incremental_agg",
     "p12_null_safe_eq",
     # -- errored in round 1 on the nanos-timestamp read (now fixed)
     "p2_p3_time_range",

@@ -222,3 +222,48 @@ def s12_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_corrupt"
         ),
     )
+
+
+_S13_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+FROM events GROUP BY event_type
+"""
+
+
+@register("s13_compaction", oracle=_S13_ORACLE)
+def s13_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13 (beyond-parity): small-file compaction — the maintenance
+    job every streaming/incremental sink needs: a directory
+    fragmented into hundreds of tiny files (each micro-batch/day
+    appends a few) rewritten into right-sized files with a single
+    coalesce pass, byte-for-byte content-preserving. The fragment
+    write plants 64 splinter files; the compacted rewrite targets
+    the session's parallelism; the oracle proves the data survived
+    both hops exactly. Listing overhead, not data size, is what
+    kills 100TB readers of uncompacted sinks."""
+    import shutil
+
+    base = f"{SCRATCH}/s13_{os.path.basename(sf_dir)}"
+    shutil.rmtree(base, ignore_errors=True)
+    frag, compact = f"{base}/frag", f"{base}/compact"
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    ev.repartition(64).write.parquet(frag)  # the splintered sink
+
+    n_before = len(
+        [f for f in os.listdir(frag) if f.endswith(".parquet")]
+    )
+    spark.read.parquet(frag).coalesce(4).write.parquet(compact)
+    n_after = len(
+        [f for f in os.listdir(compact) if f.endswith(".parquet")]
+    )
+    assert n_after < n_before, (n_before, n_after)
+
+    return spark.read.parquet(compact).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value").alias("total_value"),
+    )

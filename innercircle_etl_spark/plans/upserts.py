@@ -323,3 +323,47 @@ def u9_scd2_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.alias("valid_to"),
         nxt.isNull().alias("is_current"),
     )
+
+
+@register(
+    "u10_incremental_agg",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value,
+           MAX(event_id) AS last_event_id
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def u10_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U10 (beyond-parity): incremental aggregate-view maintenance —
+    the warehouse pattern that updates a per-user rollup from ONLY
+    the new day's delta instead of recomputing history: partials
+    (count/decimal-sum/max all re-merge associatively) from the
+    existing view union the delta's partials, one combine groupBy.
+    Here the 'existing view' is the aggregate over events below the
+    watermark and the delta is everything after — the oracle proves
+    merged-incremental == full recompute exactly (decimal sums make
+    the equality bit-level, not approximate)."""
+    ev = load(spark, sf_dir, "events")
+    hw = 5000  # the high watermark the previous run left behind
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)")).alias("sum_dec"),
+            F.max("event_id").alias("last_event_id"),
+        )
+
+    existing = partials(ev.filter(F.col("event_id") <= hw))
+    delta = partials(ev.filter(F.col("event_id") > hw))
+    return (
+        existing.unionByName(delta)
+        .groupBy("user_id")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_dec").cast("double").alias("total_value"),
+            F.max("last_event_id").alias("last_event_id"),
+        )
+    )
