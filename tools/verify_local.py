@@ -39,6 +39,8 @@ def duck_connection():
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     import datetime
 
+    import numpy as np
+
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if df[c].dtype == object:
@@ -49,8 +51,12 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             ):
                 df[c] = pd.to_datetime(df[c])
             else:
+                # DuckDB returns list columns as numpy arrays, Spark
+                # as Python lists — both become sortable tuples
                 df[c] = df[c].map(
-                    lambda v: tuple(v) if isinstance(v, (list, tuple)) else v
+                    lambda v: tuple(v)
+                    if isinstance(v, (list, tuple, np.ndarray))
+                    else v
                 )
         elif str(df[c].dtype).startswith("datetime64"):
             df[c] = df[c].astype("datetime64[ns]")
