@@ -20,6 +20,7 @@ from innercircle_etl_spark.plans import (  # noqa: F401,E402
     multimodal_queries,
     pipeline_queries,
     roi_cascade,
+    sampling_queries,
     scalar_funcs,
     setops,
     similarity_queries,

@@ -19,6 +19,7 @@ are bit-identical. Helper: ``dsum`` below / ``DSUM`` SQL macro text.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Optional
 
@@ -69,11 +70,32 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     # than relying on the caller's session builder (the driver supplies
     # its OWN session — round-1 lesson: 6 queries died without this).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Right-size the shuffle for the host when the session still has
+    # the stock 200: at test scale 200 partitions means 200 near-empty
+    # tasks per exchange and 200 state-store instances per stateful
+    # streaming operator (a 10x slowdown measured on the streaming
+    # queries under a vanilla session). Only the untouched default is
+    # overridden — an explicit setting is respected. On a real cluster
+    # this knob is sized ~2-3x total cores by the session factory.
+    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            os.environ.get("SPARK_GRAFT_CPUS", "32"),
+        )
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     for c in _NANO_TS_COLS.get(table, ()):
         if dict(df.dtypes).get(c) == "bigint":
-            # integer div — float division would lose precision past 2^53 ns
-            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+            # integer div — float division would lose precision past 2^53 ns.
+            # Produce TIMESTAMP_NTZ to match what the parquet reader yields
+            # for micros-typed fixtures (timestamp[us], no tz), so downstream
+            # plans see ONE type whichever generation of fixture is on disk.
+            df = df.withColumn(
+                c,
+                F.expr(
+                    f"timestampadd(MICROSECOND, `{c}` div 1000, "
+                    "CAST('1970-01-01 00:00:00' AS TIMESTAMP_NTZ))"
+                ),
+            )
     return df
 
 

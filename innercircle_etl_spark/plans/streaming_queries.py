@@ -44,6 +44,47 @@ def _wave(col) -> F.Column:
     return col % 2
 
 
+# Event-time arithmetic that survives ANY session the driver supplies.
+# The fixture's events.ts reads as TIMESTAMP_NTZ under default confs
+# (parquet timestamp[us] with no tz) but as TIMESTAMP under a session
+# that pre-dates NTZ inference; unix_micros()/timestamp_micros() only
+# speak TIMESTAMP and are session-timezone-dependent. Doing the
+# epoch arithmetic with timestamp_diff/timestamp_add in the NTZ domain
+# is wall-clock math: type-agnostic and timezone-independent.
+_EPOCH_NTZ = "CAST('1970-01-01 00:00:00' AS TIMESTAMP_NTZ)"
+
+
+def _ts_us(col) -> F.Column:
+    """Epoch micros of an event-time column (naive wall clock = UTC)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.timestamp_diff(
+        "MICROSECOND", F.expr(_EPOCH_NTZ), c.cast("timestamp_ntz")
+    )
+
+
+def _lit_us(ts_str: str) -> F.Column:
+    """Epoch micros of a wall-clock literal like '2024-03-01 00:00:00'."""
+    return _ts_us(F.lit(ts_str).cast("timestamp_ntz"))
+
+
+def _us_ts(col) -> F.Column:
+    """micros → TIMESTAMP_NTZ, the inverse of _ts_us.
+
+    NOT for the stream's event-time column — withWatermark demands
+    TIMESTAMP (LTZ); use ``F.timestamp_micros`` there (an epoch
+    instant, also timezone-independent). This is for RESULT columns,
+    so collected values are naive-UTC and match the DuckDB oracle
+    under any driver session timezone."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.timestamp_add("MICROSECOND", c, F.expr(_EPOCH_NTZ))
+
+
+def _ntz(col) -> F.Column:
+    """LTZ result column → TIMESTAMP_NTZ rendered as UTC (see _us_ts)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return _us_ts(F.unix_micros(c))
+
+
 def _events_slim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value"
@@ -378,20 +419,20 @@ def i6_watermark_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "event_type",
         "value",
-        F.unix_micros("ts").alias("ts_us"),
+        _ts_us("ts").alias("ts_us"),
     )
-    pivot = F.lit(_I6_PIVOT).cast("timestamp")
+    pivot_us = _lit_us(_I6_PIVOT)
     late = spark.createDataFrame(
         [(-1, _I6_LATE[1], 1.0)], "event_id long, event_type string, value double"
     ).select(
         "event_id",
         "event_type",
         "value",
-        F.unix_micros(F.lit(_I6_LATE[0]).cast("timestamp")).alias("ts_us"),
+        _lit_us(_I6_LATE[0]).alias("ts_us"),
     )
     waves = [
-        ev.filter(F.unix_micros(pivot) > F.col("ts_us")),
-        ev.filter(F.unix_micros(pivot) <= F.col("ts_us")).unionByName(late),
+        ev.filter(pivot_us > F.col("ts_us")),
+        ev.filter(pivot_us <= F.col("ts_us")).unionByName(late),
     ]
     for i, s_ts in enumerate(_I6_SENTINELS):
         waves.append(
@@ -402,7 +443,7 @@ def i6_watermark_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "event_id",
                 "event_type",
                 "value",
-                F.unix_micros(F.lit(s_ts).cast("timestamp")).alias("ts_us"),
+                _lit_us(s_ts).alias("ts_us"),
             )
         )
 
@@ -420,7 +461,7 @@ def i6_watermark_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("total"),
             )
             .select(
-                F.col("w.start").alias("window_start"),
+                _ntz(F.col("w.start")).alias("window_start"),
                 "event_type",
                 "n_events",
                 "total",
@@ -467,7 +508,7 @@ def i7_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "event_type",
         "value",
-        F.unix_micros("ts").alias("ts_us"),
+        _ts_us("ts").alias("ts_us"),
     )
     waves = [ev, ev.filter(F.col("event_id") % 3 == 0)]
     for wave in waves:
@@ -761,9 +802,9 @@ def i10_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _fresh(f"{SCRATCH}/stream_i10_{os.path.basename(sf_dir)}")
     src, sink, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
     ev = load(spark, sf_dir, "events").select(
-        "event_id", "user_id", F.unix_micros("ts").alias("ts_us")
+        "event_id", "user_id", _ts_us("ts").alias("ts_us")
     )
-    pivot_us = F.unix_micros(F.lit(_I6_PIVOT).cast("timestamp"))
+    pivot_us = _lit_us(_I6_PIVOT)
 
     for wave_df in (
         ev.filter(F.col("ts_us") < pivot_us),
@@ -854,15 +895,15 @@ def i11_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _fresh(f"{SCRATCH}/stream_i11_{os.path.basename(sf_dir)}")
     src, sink, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
     ev = load(spark, sf_dir, "events").select(
-        "event_id", "user_id", F.unix_micros("ts").alias("ts_us")
+        "event_id", "user_id", _ts_us("ts").alias("ts_us")
     )
-    pivot_us = F.unix_micros(F.lit(_I6_PIVOT).cast("timestamp"))
+    pivot_us = _lit_us(_I6_PIVOT)
 
     def sentinel(ts_str: str, parity: int) -> DataFrame:
         return spark.range(1).select(
             F.lit(10_000_000_000 + parity).alias("event_id"),
             F.lit(-1).cast("long").alias("user_id"),
-            F.unix_micros(F.lit(ts_str).cast("timestamp")).alias("ts_us"),
+            _lit_us(ts_str).alias("ts_us"),
         )
 
     waves = [
@@ -975,15 +1016,15 @@ def i12_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _fresh(f"{SCRATCH}/stream_i12_{os.path.basename(sf_dir)}")
     src, sink, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
     ev = load(spark, sf_dir, "events").select(
-        "user_id", "value", F.unix_micros("ts").alias("ts_us")
+        "user_id", "value", _ts_us("ts").alias("ts_us")
     )
-    pivot_us = F.unix_micros(F.lit(_I6_PIVOT).cast("timestamp"))
+    pivot_us = _lit_us(_I6_PIVOT)
 
     def sentinel(ts_str: str) -> DataFrame:
         return spark.range(1).select(
             F.lit(-1).cast("long").alias("user_id"),
             F.lit(0.0).alias("value"),
-            F.unix_micros(F.lit(ts_str).cast("timestamp")).alias("ts_us"),
+            _lit_us(ts_str).alias("ts_us"),
         )
 
     waves = [
@@ -1008,8 +1049,8 @@ def i12_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("value").alias("total_value"),
         ).select(
             "user_id",
-            F.col("session_window.start").alias("session_start"),
-            F.col("session_window.end").alias("session_end"),
+            _ntz(F.col("session_window.start")).alias("session_start"),
+            _ntz(F.col("session_window.end")).alias("session_end"),
             "n_events",
             "total_value",
         )

@@ -293,3 +293,67 @@ def text_train_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy("lang", split.alias("split")).agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+
+
+_TFIDF_ORACLE = """
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+    SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM toks GROUP BY 1, 2
+),
+dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+           tf.tf * ((n.n * 1000) // dfq.df) AS score
+    FROM tf JOIN dfq ON tf.term = dfq.term CROSS JOIN n
+),
+r AS (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY score DESC, term) AS rnk
+    FROM scored
+)
+SELECT doc_id, term, tf, df, score FROM r WHERE rnk <= 3
+"""
+
+
+@register("text_tfidf_terms", oracle=_TFIDF_ORACLE)
+def text_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF distinctive-term extraction: top-3 rarity-weighted terms
+    per document — the per-doc keyword signal a corpus search/pruning
+    pass runs over every shard.
+
+    The idf is INTEGER-QUANTIZED: ``(N*1000) div df`` instead of
+    ``ln(N/df)``. Floating idf would make the ranking depend on each
+    engine's last-ulp ``ln`` (Spark's Math.log and DuckDB's std::log
+    are not bit-identical, and near-ties like 2*ln(4) vs 4*ln(2) flip
+    ranks), so the score stays in exact BIGINT arithmetic end to end —
+    same monotone rarity weighting, hash-stable across engines. At
+    cluster scale the shape is unchanged: one doc-sized shuffle for
+    tf, one vocab-sized shuffle for df, a vocab-sized join AQE turns
+    into a broadcast, and a per-doc window.
+    """
+    docs = load(spark, sf_dir, "documents")
+    n_df = docs.agg(F.count(F.lit(1)).alias("n"))
+    terms = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(dfq, "term")
+        .crossJoin(F.broadcast(n_df))
+        .withColumn("score", F.expr("tf * ((n * 1000) div df)"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tf", "df", "score")
+    )

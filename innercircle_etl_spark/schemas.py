@@ -40,7 +40,9 @@ EXPECTED_SCHEMAS: dict[str, str] = {
         "l_linestatus string, l_shipdate timestamp_ntz"
     ),
     "events": (
-        "event_id bigint, ts timestamp, user_id bigint, "
+        # naive micros (parquet timestamp[us], no tz); the legacy nanos
+        # fixture is converted to the SAME type by registry.load()
+        "event_id bigint, ts timestamp_ntz, user_id bigint, "
         "event_type string, value double, props string"
     ),
     "documents": (

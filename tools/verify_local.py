@@ -68,7 +68,18 @@ def main() -> int:
     from innercircle_etl_spark.session import get_spark
 
     only = set(sys.argv[1:])
-    spark = get_spark(shuffle_partitions=8)
+    if os.environ.get("SPARK_GRAFT_VANILLA"):
+        # Simulate the driver: a session with NONE of our factory confs
+        # (and optionally a hostile timezone via SPARK_GRAFT_TZ).
+        from pyspark.sql import SparkSession
+
+        b = SparkSession.builder.appName("vanilla").master("local[8]")
+        tz = os.environ.get("SPARK_GRAFT_TZ")
+        if tz:
+            b = b.config("spark.sql.session.timeZone", tz)
+        spark = b.getOrCreate()
+    else:
+        spark = get_spark(shuffle_partitions=8)
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     con = duck_connection()
