@@ -66,11 +66,10 @@ _PRIORITY = [
     "text_pii_scrub",
     "text_pack_shards",
     "text_train_eval_split",
-    # ---- 28-31: new this round ----
+    # ---- 28-30: new this round ----
     "text_tfidf_terms",
     "dedup_edit_distance",
     "samp_stratified_hash",
-    "x13_bucketed_join",
     # ---- 32-50: one representative per family so any prefix of the
     # window still spans the operator inventory ----
     "ep3_roi_cascade",
@@ -92,6 +91,7 @@ _PRIORITY = [
     "ann_cosine_topk",
     "mm_image_features",
     "i3b_stateful_snapshot",
+    "x_bucketed_colocated_join",
     # ---- beyond 50: rotation pool (all green in r01 ∪ r02) ----
     "t1_union_all_legs",
     "f1_string_funcs",

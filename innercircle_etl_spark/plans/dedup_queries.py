@@ -454,6 +454,14 @@ def ngram_jaccard_pairs(
     sets = docs_v.mapInPandas(
         build, "doc_id long, n long, idx array<long>, bits binary"
     ).cache()
+    # Eager materialization: `sets` feeds THREE subtrees (the prefix
+    # index and both verify-side broadcasts). Lazily, those race to
+    # populate the cache and each runs the pandas build pass again —
+    # measured ~2x the whole query's cost at sf0.1. One count() fills
+    # the cache once; every consumer then reads memory. At cluster
+    # scale this is one extra pass over a corpus-sized cached RDD —
+    # noise next to the joins it de-duplicates.
+    sets.count()
 
     # prefix = the n - ceil(t*n) + 1 rarest grams, with positions.
     # ceil(t*n) = (t_num*n + t_den - 1) div t_den — exact integers.

@@ -562,56 +562,3 @@ def j7b_asof_backward(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r_prev_price").alias("prev_totalprice"),
     )
 
-
-_X13_ORACLE = f"""
-SELECT o.o_orderpriority,
-       CAST(COUNT(*) AS BIGINT) AS n_items,
-       {duck_dsum('l.l_extendedprice')} AS revenue
-FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-GROUP BY o.o_orderpriority
-"""
-
-
-@register("x13_bucketed_join", oracle=_X13_ORACLE)
-def x13_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X13 (beyond-parity): the shuffle-free co-located fact-fact
-    join — both sides written ``bucketBy(8, orderkey).sortBy`` so the
-    join key IS the storage layout and the sort-merge join runs with
-    ZERO exchange on either leg (tests/test_physical_plans.py pins
-    that plan shape).
-
-    This is the Spark answer to the reference's year-sharded tables +
-    manual indexes (schema.sql:276-287, update_etl.py:343,355): at
-    100 TB you pay ONE bucketed write per fact table, then every
-    subsequent orderkey-grain join — daily incremental loads joining
-    to the same facts over and over — skips both the shuffle and the
-    sort. The per-run table rebuild here is test scaffolding; a real
-    deployment writes buckets once at ingest.
-    """
-    import os
-
-    scratch = os.environ.get("SPARK_GRAFT_SCRATCH", "/root/repo/.scratch")
-    sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    names = {}
-    for src, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
-        name = f"x13_{src}_{sf_tag}"
-        names[src] = name
-        spark.sql(f"DROP TABLE IF EXISTS {name}")
-        (
-            load(spark, sf_dir, src)
-            .write.mode("overwrite")
-            .option("path", f"{scratch}/bucketed/{name}")
-            .bucketBy(8, key)
-            .sortBy(key)
-            .format("parquet")
-            .saveAsTable(name)
-        )
-    o = spark.table(names["orders"]).select("o_orderkey", "o_orderpriority")
-    li = spark.table(names["lineitem"]).select(
-        "l_orderkey", "l_extendedprice"
-    )
-    joined = o.join(li, o.o_orderkey == li.l_orderkey)
-    return joined.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n_items"),
-        dsum("l_extendedprice").alias("revenue"),
-    )
