@@ -66,10 +66,11 @@ _PRIORITY = [
     "text_pii_scrub",
     "text_pack_shards",
     "text_train_eval_split",
-    # ---- 28-30: new this round ----
+    # ---- 28-31: new this round ----
     "text_tfidf_terms",
     "dedup_edit_distance",
     "samp_stratified_hash",
+    "mm_image_resize",
     # ---- 32-50: one representative per family so any prefix of the
     # window still spans the operator inventory ----
     "ep3_roi_cascade",

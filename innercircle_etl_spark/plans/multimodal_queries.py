@@ -141,3 +141,47 @@ def mm_av_frame_sample_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.lateralJoin(
         FrameSampler(F.col("media").outer())
     ).select("doc_id", "frame_idx", "frame_len", "frame_md5")
+
+
+_RESIZE_ORACLE = """
+WITH media AS (
+    SELECT doc_id, text,
+           doc_id % 64 + 1 AS width,
+           doc_id % 48 + 1 AS height,
+           array_to_string(
+               list_transform(
+                   generate_series(1, (length(text) + 1) // 2),
+                   i -> substr(text, 2 * i - 1, 1)),
+               '') AS resized
+    FROM documents
+)
+SELECT doc_id,
+       greatest(width // 2, 1) AS resize_w,
+       greatest(height // 2, 1) AS resize_h,
+       CAST(length(resized) AS BIGINT) AS byte_len,
+       md5(resized) AS media_md5,
+       false AS decoded_real
+FROM media
+"""
+
+
+@register("mm_image_resize", oracle=_RESIZE_ORACLE)
+def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize with BINARY OUTPUT — the transform (not just
+    feature-extract) member of the multimodal family: blob in,
+    smaller blob out, new typed dims, integrity md5 (the result
+    projects the md5+len instead of the blob itself — binary stays
+    executor-side, as it should at 100TB). Deterministic
+    fake transform (every-other-byte downsample) on codec-less
+    boxes; a register_decoder('image') plug-in upgrades it to a real
+    codec without touching this plan. The blob stays inside the scan
+    stage (repartition-then-map: no binary ever crosses a post-UDF
+    shuffle) and the output is written-ready for a partitioned
+    parquet sink at 100TB."""
+    media = _media(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    resized = media.mapInPandas(
+        MM.image_resize_batches, MM.IMAGE_RESIZE_SCHEMA
+    )
+    return resized.drop("media")

@@ -56,6 +56,8 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
                 df[c] = df[c].map(
                     lambda v: tuple(v)
                     if isinstance(v, (list, tuple, np.ndarray))
+                    else v.hex()
+                    if isinstance(v, (bytes, bytearray))
                     else v
                 )
         elif str(df[c].dtype).startswith("datetime64"):
