@@ -296,3 +296,57 @@ def a8b_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p20_approx"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+_A13_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(value) AS BIGINT) AS n,
+       MIN(value) AS vmin,
+       MAX(value) AS vmax,
+       median(value) AS vmedian
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("a13_grouped_pandas_stats", oracle=_A13_ORACLE)
+def a13_grouped_pandas_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GROUPED-MAP UDAF surface (SURVEY §2.10): per-group stats
+    via ``groupBy().applyInPandas`` — each group lands in one Arrow
+    batch and an arbitrary numpy/pandas computation emits the
+    aggregate row. This is the escape hatch for aggregations Spark
+    SQL can't express (robust stats, model fits, per-entity
+    sketches); the built-in path (a3) stays the hot default.
+
+    Every emitted stat is ORDER-INDEPENDENT (count/min/max/median),
+    so the result is hash-exact against the SQL oracle — the same
+    discipline as dsum's decimal trick, achieved here by choosing
+    statistics whose float evaluation has no accumulation order.
+    Median interpolation for even n is (a+b)/2 in IEEE double on
+    both engines — bit-identical.
+
+    Scale: one shuffle on the group key; a group must fit one
+    executor's Arrow batch (event_type cardinality ~unbounded rows —
+    at 100TB pre-aggregate per (key, salt) first or switch to the
+    built-ins; the operator is for many-small-groups workloads)."""
+    import numpy as np
+    import pandas as pd
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"].dropna().to_numpy()
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n": [np.int64(v.size)],
+                "vmin": [v.min() if v.size else None],
+                "vmax": [v.max() if v.size else None],
+                "vmedian": [float(np.median(v)) if v.size else None],
+            }
+        )
+
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    return ev.groupBy("event_type").applyInPandas(
+        stats,
+        "event_type string, n long, vmin double, vmax double, "
+        "vmedian double",
+    )
