@@ -267,3 +267,27 @@ def s13_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         dsum("value").alias("total_value"),
     )
+
+
+@register(
+    "s14_orc_roundtrip",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey
+    FROM nation
+    """,
+)
+def s14_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S14 (beyond-parity): ORC as a second columnar wire format —
+    write the dim out as ORC, read it back, prove byte-exact
+    round-trip against the parquet original. Pushdown/pruning work
+    identically (ORC carries its own min/max stripes); a lake that
+    standardizes on ORC swaps one literal in the writer. Avro is the
+    remaining built-in-but-external module (needs the spark-avro jar,
+    absent here) — gated out the same way the codec registry gates
+    multimodal decode."""
+    path = f"{SCRATCH}/orc_nation_{os.path.basename(sf_dir)}"
+    nation = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    nation.write.mode("overwrite").orc(path)
+    return spark.read.orc(path)
