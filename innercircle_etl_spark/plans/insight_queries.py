@@ -161,9 +161,13 @@ def ep5_shadow_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact = _fact(spark, sf_dir).cache()
     insiders = _insiders(spark, sf_dir)
 
+    # floor_daily feeds TWO consumers (the entry-floor join and the
+    # latest-floor broadcast) — cache so the within-group percentile
+    # sort runs once; the broadcast job that evaluates latest_floor
+    # fills the cache before the main job's entry-floor join scans it
     floor_daily = percentile_disc(
         fact, ["coll", "ev_date"], "price", 0.2, out_col="floor_price"
-    )
+    ).cache()
     latest_floor = latest_per_key(floor_daily, ["coll"], "ev_date").select(
         "coll", F.col("floor_price").alias("latest_price")
     )
