@@ -15,6 +15,7 @@ from innercircle_etl_spark.plans import (  # noqa: F401,E402
     decode_queries,
     dedup_queries,
     filters,
+    graph_queries,
     insight_queries,
     joins,
     multimodal_queries,
