@@ -66,7 +66,7 @@ _PRIORITY = [
     "text_pii_scrub",
     "text_pack_shards",
     "text_train_eval_split",
-    # ---- 28-35: new this round ----
+    # ---- 28-36: new this round ----
     "text_tfidf_terms",
     "dedup_edit_distance",
     "samp_stratified_hash",
@@ -75,6 +75,7 @@ _PRIORITY = [
     "u11_dynamic_partition_overwrite",
     "s14_orc_roundtrip",
     "graph_pagerank3",
+    "a14_grouped_agg_udf",
     # ---- 32-50: one representative per family so any prefix of the
     # window still spans the operator inventory ----
     "ep3_roi_cascade",

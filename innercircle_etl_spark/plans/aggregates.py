@@ -350,3 +350,48 @@ def a13_grouped_pandas_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type string, n long, vmin double, vmax double, "
         "vmedian double",
     )
+
+
+_A14_ORACLE = """
+SELECT event_type,
+       median(value) AS vmedian,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("a14_grouped_agg_udf", oracle=_A14_ORACLE)
+def a14_grouped_agg_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GROUPED_AGG pandas-UDF surface: a vectorized Python
+    aggregate (Series → scalar) used directly inside ``.agg()``
+    alongside built-ins — the lighter sibling of a13's grouped-map
+    (no per-group DataFrame, composes with other aggregates in one
+    pass; note Spark disallows mixing it with JVM aggregates in one
+    .agg(), so the row count is a second pandas aggregate).
+    Median is order-independent, so the Python path stays hash-exact
+    against the SQL oracle. Spilling caveat: a GROUPED_AGG UDF
+    materializes each group's column in memory (no partial
+    aggregation) — same many-small-groups constraint as a13."""
+    import numpy as np
+
+    # explicit functionType: the module's `from __future__ import
+    # annotations` stringifies type hints, which defeats pandas_udf's
+    # signature inference
+    @F.pandas_udf("double", F.PandasUDFType.GROUPED_AGG)
+    def py_median(v):
+        arr = v.dropna().to_numpy()
+        return float(np.median(arr)) if arr.size else None
+
+    # a GROUPED_AGG UDF cannot share an .agg() with JVM aggregates
+    # (INVALID_PANDAS_UDF_PLACEMENT) — the count rides a second
+    # pandas aggregate instead
+    @F.pandas_udf("long", F.PandasUDFType.GROUPED_AGG)
+    def py_count(v):
+        return len(v)
+
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    return ev.groupBy("event_type").agg(
+        py_median("value").alias("vmedian"),
+        py_count("value").alias("n"),
+    )

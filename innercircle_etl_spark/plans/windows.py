@@ -179,6 +179,15 @@ def w4b_global_rank_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = cust.repartitionByRange(
         nparts, F.col("c_acctbal").desc()
     ).withColumn("pid", F.spark_partition_id())
+    # repartitionByRange SAMPLES its split bounds per evaluation, and
+    # `parts` feeds two subtrees (local ranks + the offset counts).
+    # Evaluated independently they can draw DIFFERENT bounds, and the
+    # offset table then describes a partitioning the rank rows don't
+    # have (caught by the vanilla-session gate: ranks off by the rows
+    # that switched partitions). Cache + eager materialization pins
+    # ONE partitioning for every consumer.
+    parts = parts.cache()
+    parts.count()
 
     w_local = Window.partitionBy("pid").orderBy(F.col("c_acctbal").desc())
     local = parts.withColumn("local_rank", F.rank().over(w_local))
