@@ -163,10 +163,14 @@ def test_salted_agg_two_phase_exchanges(spark, sf_dir):
         "ann_pq_adc",
         "ann_lsh_multiprobe",
         "ep4_circles",
+        "text_tfidf_terms",
+        "dedup_edit_distance",
+        "graph_pagerank3",
+        "samp_stratified_hash",
     ],
 )
 def test_new_queries_no_cartesian(spark, sf_dir, name):
-    """Round-2 additions keep the no-cartesian guarantee (the
+    """Round-2/3 additions keep the no-cartesian guarantee (the
     1-row broadcast crossJoins used for scalar/codebook delivery are
     BroadcastNestedLoopJoin over a single row — allowed; a
     CartesianProduct over data-sized inputs is not)."""
