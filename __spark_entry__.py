@@ -66,7 +66,7 @@ _PRIORITY = [
     "text_pii_scrub",
     "text_pack_shards",
     "text_train_eval_split",
-    # ---- 28-36: new this round ----
+    # ---- 28-37: new this round ----
     "text_tfidf_terms",
     "dedup_edit_distance",
     "samp_stratified_hash",
@@ -76,6 +76,7 @@ _PRIORITY = [
     "s14_orc_roundtrip",
     "graph_pagerank3",
     "a14_grouped_agg_udf",
+    "seq_event_assembly",
     # ---- 32-50: one representative per family so any prefix of the
     # window still spans the operator inventory ----
     "ep3_roi_cascade",

@@ -357,3 +357,65 @@ def text_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("doc_id", "term", "tf", "df", "score")
     )
+
+
+_SEQ_ORACLE = """
+WITH e AS (
+    SELECT user_id, event_id, event_type,
+           CAST(date_diff('microsecond',
+                          TIMESTAMP '1970-01-01 00:00:00',
+                          CAST(ts AS TIMESTAMP)) AS BIGINT) AS ts_us
+    FROM events
+)
+SELECT user_id,
+       string_agg(event_type || '@' || ts_us, '|'
+                  ORDER BY ts_us, event_id) AS seq,
+       CAST(COUNT(*) AS BIGINT) AS seq_len,
+       MIN(ts_us) AS t_first,
+       MAX(ts_us) AS t_last
+FROM e GROUP BY user_id
+"""
+
+
+@register("seq_event_assembly", oracle=_SEQ_ORACLE)
+def seq_event_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity event-sequence assembly — the operator that turns
+    an event log into model-ready sequences (next-event prediction,
+    session LLM pretraining): one shuffle on the entity key, events
+    ordered by (time, id) INSIDE the aggregate via array_sort over
+    structs (collect_list alone is partition-order-nondeterministic —
+    the sort is what makes re-runs and engines agree), then folded to
+    a delimited string.
+
+    Scale: state per user is their event list — for power users at
+    100TB, pre-truncate with a windowed top-N per user or shard long
+    histories by time range before assembly (the text_pack_shards
+    pattern); the shuffle key and plan shape are unchanged."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.expr(
+            "timestampdiff(MICROSECOND, "
+            "CAST('1970-01-01 00:00:00' AS TIMESTAMP_NTZ), "
+            "CAST(ts AS TIMESTAMP_NTZ))"
+        ).alias("ts_us"),
+    )
+    return ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("ts_us", "event_id", "event_type")
+                    )
+                ),
+                lambda x: F.concat_ws(
+                    "@", x["event_type"], x["ts_us"].cast("string")
+                ),
+            ),
+            "|",
+        ).alias("seq"),
+        F.count(F.lit(1)).alias("seq_len"),
+        F.min("ts_us").alias("t_first"),
+        F.max("ts_us").alias("t_last"),
+    )
