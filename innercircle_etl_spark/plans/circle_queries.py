@@ -178,8 +178,12 @@ def _circle_staging(fact: DataFrame) -> DataFrame:
         )
     )
 
-    # circle 2 — top traders from the shared ROI cascade core
-    cet = build_cet_roi(fact)
+    # circle 2 — top traders from the shared ROI cascade core.
+    # cet feeds the best-position window AND the total rollup: cache
+    # + eager materialization, or the whole cascade (floor percentile,
+    # as-of match, fallback join) executes once per consumer
+    cet = build_cet_roi(fact).cache()
+    cet.count()
     best = (
         cet.withColumn(
             "rnk",
