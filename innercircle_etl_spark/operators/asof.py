@@ -5,13 +5,16 @@ for each left row (a "buy"), find the earliest right row (a "sell")
 with matching equi-keys and ``right.on_col >= left.on_col``; keep the
 left row even when no match exists (left outer as-of).
 
-Spark-first design: non-equi join conditions force a broadcast or
-cartesian strategy, so instead we express the as-of as
-  equi-join on keys  →  range filter  →  window first-match
-which shuffles both sides once on the equi keys — the plan Catalyst
-would pick for the equivalent SQL, and the one that scales: state per
-key group, no cross product. When the right side is small,
-``F.broadcast`` the right input before calling.
+Spark-first design — the LINEAR merge-scan form: both sides union
+into one stream, shuffle ONCE on the equi keys, sort within each key
+group by the time axis, and a running ``last(ignorenulls)`` window
+(unbounded-preceding frame — incremental, O(group)) carries the best
+candidate right row onto every left row. Nothing ever builds the
+per-key left×right cross product: a hot (wallet, collection) with
+10^4 buys and 10^4 sells costs 2·10^4 scanned rows, not 10^8 joined
+ones. (The first implementation was equi-join → range mask → window
+first-match, which explodes exactly that product before collapsing
+it; the union scan replaces it with identical semantics.)
 
 Determinism: ties on the right order column are broken by
 ``right_tiebreakers`` (the reference's row_number has no unique order
@@ -47,59 +50,90 @@ def asof_join(
 
     Left columns are kept as-is; right columns are prefixed with
     ``r_`` unless they are join keys.
+
+    How the scan encodes the semantics: rows sort by the time axis
+    AWAY from the match direction (forward scans DESC, backward ASC),
+    so the running last() at any left row has seen exactly the right
+    rows on the qualifying side of it — and the most recently seen
+    one is the nearest. Equal-timestamp handling is one bit: the side
+    marker orders right rows before left rows iff the comparison is
+    inclusive. Tiebreakers sort DESCENDING so the last-seen (winning)
+    right row among equal timestamps is the tiebreaker-smallest —
+    the same row the reference's row_number()=1 picks.
     """
     if direction not in ("forward", "backward"):
         raise ValueError(direction)
+    keys = list(keys)
 
     lcols = left.columns
-    # Tag row identity so the window can collapse back to one row per left row.
-    left_t = left.withColumn("__lid", F.monotonically_increasing_id())
-    # Track the EXACT set of renamed right columns (not a name-prefix
-    # test) so a left column that happens to start with "r_" is never
-    # mistaken for right payload. Internal names use a collision-proof
-    # "__r_" prefix, stripped to the documented "r_" on output.
+    l_payload = [c for c in lcols if c not in keys]
     r_payload = [c for c in right.columns if c not in keys]
-    rren = [
-        F.col(c).alias(c if c in keys else f"__r_{c}") for c in right.columns
-    ]
-    right_t = right.select(*rren)
-    r_on = right_on if right_on in keys else f"__r_{right_on}"
-
-    joined = left_t.join(right_t, on=list(keys), how="left")
-    lcol, rcol = F.col(left_on), F.col(r_on)
-    if direction == "forward":
-        cond = rcol > lcol if strict else rcol >= lcol
-        order = [F.col(r_on).asc_nulls_last()]
-    else:
-        cond = rcol < lcol if strict else rcol <= lcol
-        order = [F.col(r_on).desc_nulls_last()]
-    order += [
-        F.col(t if t in keys else f"__r_{t}").asc_nulls_last()
-        for t in right_tiebreakers
-    ]
-
-    # Null out non-matching right rows instead of filtering, so a left
-    # row whose only partner rows miss the range still survives.
-    internal = [f"__r_{c}" for c in r_payload]
-    masked = joined.select(
-        *[c for c in joined.columns if c not in internal],
-        *[F.when(cond, F.col(c)).alias(c) for c in internal],
-    )
-    w = Window.partitionBy("__lid").orderBy(*order)
-    out = (
-        masked.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", "__lid")
-    )
-    if how == "inner":
-        out = out.filter(F.col(r_on).isNotNull())
     clash = [c for c in lcols if c in (f"r_{p}" for p in r_payload)]
     if clash:
         raise ValueError(
             f"asof_join output name collision on {clash}: left already "
             "has columns named like renamed right payload"
         )
+
+    # A right row with a null order value can never satisfy the range
+    # predicate — drop before the scan (mirrors the masked-join form).
+    rt = right.filter(F.col(right_on).isNotNull()).select(
+        *keys,
+        F.col(right_on).alias("__ts"),
+        F.struct(*[F.col(c) for c in r_payload]).alias("__r"),
+    )
+    r_struct_t = rt.schema["__r"].dataType
+
+    # Inclusive compare: rights sort BEFORE lefts at equal __ts so the
+    # running frame (which ends at the current row) already contains
+    # them; strict compare: after, so it doesn't.
+    side_left = 1 if not strict else 0
+    lt = left.select(
+        *keys,
+        F.col(left_on).alias("__ts"),
+        F.lit(None).cast(r_struct_t).alias("__r"),
+        F.lit(side_left).alias("__side"),
+        *[F.col(c) for c in l_payload],
+    )
+    rt = rt.select(
+        *keys,
+        "__ts",
+        "__r",
+        F.lit(1 - side_left).alias("__side"),
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in l_payload
+        ],
+    )
+    u = lt.unionByName(rt)
+
+    ts_ord = (
+        F.col("__ts").desc_nulls_last()
+        if direction == "forward"
+        else F.col("__ts").asc_nulls_last()
+    )
+    order = [ts_ord, F.col("__side").asc()] + [
+        F.col("__r").getField(t).desc_nulls_first()
+        for t in right_tiebreakers
+    ]
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # a left row with a null order value matches nothing (the range
+    # predicate is null) — mask it out of the carried candidate
+    matched = u.withColumn(
+        "__m",
+        F.when(
+            F.col("__ts").isNotNull(),
+            F.last("__r", ignorenulls=True).over(w),
+        ),
+    )
+    out = matched.filter(F.col("__side") == side_left)
+    if how == "inner":
+        out = out.filter(F.col("__m").isNotNull())
     return out.select(
         *lcols,
-        *[F.col(f"__r_{c}").alias(f"r_{c}") for c in r_payload],
+        *[F.col("__m").getField(c).alias(f"r_{c}") for c in r_payload],
     )
