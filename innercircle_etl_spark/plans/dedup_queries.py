@@ -156,6 +156,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed = sh.select(
         "doc_id", "sh", h1.alias("h1"), h2.alias("h2")
     ).cache()
+    # eager: three consumers (banding + both verify sides) would race
+    # to fill the cache, each re-running the md5 pass
+    hashed.count()
     sigs = SK.minhash_from_hashes(F.col("h1"), F.col("h2"), _NUM_HASHES)
     banded = hashed.select(
         "doc_id",
@@ -252,6 +255,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # explode + 32-way bit-vote aggregation (aliasing defeats
     # ReusedExchange).
     sim = SK.simhash32(corpus, "doc_id", "text").cache()
+    # eager: both join sides otherwise race to fill the cache and
+    # each re-runs the explode + bit-vote build (the ngram lesson)
+    sim.count()
 
     # pigeonhole blocking: 4 blocks of 8 bits
     blocked = sim.select(
