@@ -655,6 +655,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     bkt = corpus.withColumn(
         "bucket", V.sign_bucket(F.col("v"), planes)
     ).cache()
+    # eager: the two join sides otherwise race to fill the cache and
+    # each re-runs the 16-plane projection (the ngram lesson)
+    bkt.count()
     a = bkt.select(
         "bucket", F.col("vec_id").alias("vec_a"), F.col("v").alias("va")
     )
@@ -800,6 +803,9 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
         )
     ).cache()
+    # eager: edges embed the WHOLE minhash pipeline — racing consumers
+    # (label init + first-iteration join) would run it twice
+    edges.count()
     labels = (
         edges.select(F.col("doc_a").alias("n"))
         .distinct()
