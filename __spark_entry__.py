@@ -66,7 +66,7 @@ _PRIORITY = [
     "text_pii_scrub",
     "text_pack_shards",
     "text_train_eval_split",
-    # ---- 28-37: new this round ----
+    # ---- 28-38: new this round ----
     "text_tfidf_terms",
     "dedup_edit_distance",
     "samp_stratified_hash",
@@ -77,6 +77,7 @@ _PRIORITY = [
     "graph_pagerank3",
     "a14_grouped_agg_udf",
     "seq_event_assembly",
+    "q2_column_profile",
     # ---- 32-50: one representative per family so any prefix of the
     # window still spans the operator inventory ----
     "ep3_roi_cascade",

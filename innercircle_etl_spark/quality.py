@@ -272,3 +272,69 @@ def q1_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bad",
         (F.col("n_bad").cast("double") / F.col("n_total")).alias("bad_rate"),
     )
+
+
+_Q2_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderpriority",
+    "o_orderdate",
+)
+
+_Q2_ORACLE = "\nUNION ALL\n".join(
+    f"""
+SELECT '{c}' AS col_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       MIN(CAST({c} AS VARCHAR)) AS min_str,
+       MAX(CAST({c} AS VARCHAR)) AS max_str
+FROM orders"""
+    for c in _Q2_COLS
+)
+
+
+@register("q2_column_profile", oracle=_Q2_ORACLE)
+def q2_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling — the pre-flight every ingest runs: per
+    column, null count, exact distinct count, and lexicographic
+    min/max (string-rendered so one schema fits all types).
+
+    ONE pass over the table computes every column's profile
+    (count/min/max partial-aggregate map-side; the distincts expand
+    per-column but stay inside the same scan), then a unpivot-shaped
+    union emits one row per column. At 100TB swap the exact distinct
+    for approx_count_distinct (a1b) and the shape is unchanged.
+    Profile drift between loads is the cheapest schema-regression
+    alarm a pipeline gets (cf. schemas.schema_drift for the typed
+    contract check)."""
+    orders = load(spark, sf_dir, "orders")
+    profiled = orders.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            a
+            for c in _Q2_COLS
+            for a in (
+                F.count(c).alias(f"{c}__nn"),
+                F.countDistinct(c).alias(f"{c}__nd"),
+                F.min(F.col(c).cast("string")).alias(f"{c}__mn"),
+                F.max(F.col(c).cast("string")).alias(f"{c}__mx"),
+            )
+        ],
+    )
+    rows = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col("__n").alias("n_rows"),
+            (F.col("__n") - F.col(f"{c}__nn")).alias("n_nulls"),
+            F.col(f"{c}__nd").alias("n_distinct"),
+            F.col(f"{c}__mn").alias("min_str"),
+            F.col(f"{c}__mx").alias("max_str"),
+        )
+        for c in _Q2_COLS
+    ]
+    return profiled.select(
+        F.explode(F.array(*rows)).alias("p")
+    ).select("p.*")
