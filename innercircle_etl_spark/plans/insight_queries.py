@@ -158,7 +158,9 @@ def ep5_shadow_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     latest-floor broadcast; the summary reuses the (wallet, coll)
     clustering left by the as-of."""
     # fact feeds the floor, buy and sell branches — one scan, cached
+    # eagerly (lazy consumers race the cache and re-scan)
     fact = _fact(spark, sf_dir).cache()
+    fact.count()
     insiders = _insiders(spark, sf_dir)
 
     # floor_daily feeds TWO consumers (the entry-floor join and the

@@ -159,8 +159,10 @@ def build_cet_roi(fact: DataFrame) -> DataFrame:
     → as-of buy/sell match → floor fallback → rollup. Shared by the
     ep3 top-K cascade and the ep4 circle-cohort assembly."""
     # fact feeds three branches (floor percentile, buys, sells) —
-    # cache so the scan+projection runs once, not three times
+    # cache + eager materialization so the scan+projection runs once;
+    # left lazy, the three branches race the cache and re-scan
     fact = fact.cache()
+    fact.count()
     # A8: daily floor percentile, then W1: latest floor per collection
     floor_daily = percentile_disc(
         fact, ["coll", "ev_date"], "price", 0.2, out_col="floor_price"
