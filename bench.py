@@ -52,9 +52,16 @@ def main() -> None:
 
     spark = get_spark(app_name="bench")
 
-    # JVM/codegen warm-up on the smallest SF so the first measured
-    # query doesn't absorb JIT + executor spin-up noise.
-    QUERIES["a3_sum_min_max_avg"](spark, "/root/testdata/sf0.001").count()
+    # JVM/codegen warm-up on the smallest SF: run EVERY headline
+    # query once at sf0.001 so no measured rep absorbs whole-stage
+    # codegen compilation (the composite cascades compile ~100
+    # generated classes; measured: ep3's first execution costs ~2x
+    # its steady state). This is the warm-code half of the bench's
+    # stated warm-code/cold-data methodology; caches are cleared so
+    # the measured reps still read data cold.
+    for name in HEADLINE:
+        QUERIES[name](spark, "/root/testdata/sf0.001").count()
+        spark.catalog.clearCache()
 
     # Two reps per query, report the min. Caches are cleared between
     # reps, so rep 2 recomputes all data — the min measures
