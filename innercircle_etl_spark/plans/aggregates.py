@@ -229,23 +229,56 @@ def a11_two_phase_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("a1b_approx_distinct")  # rows-only: HLL sketches differ per engine
+@register(
+    "a1b_approx_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts_exact,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps_exact,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           TRUE AS parts_within_bound,
+           TRUE AS supps_within_bound
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def a1b_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1's 100TB relief valve: HyperLogLog++ approximate distinct
-    (rsd=2%). Sketches are engine-specific so there is no value-hash
-    oracle (DuckDB's approx_count_distinct uses a different HLL
-    implementation) — the driver records a rows-only check and
-    tests/test_approx.py pins the accuracy bound against the exact
-    answer.
+    (rsd=2%). The sketch itself is engine-specific (DuckDB's HLL
+    differs from Spark's), so the ESTIMATE can't be value-hashed
+    cross-engine; instead the query emits the in-query accuracy
+    contract — ``|approx - exact| / exact < 5%`` per group, computed
+    against the exact distinct in the same DAG — plus the exact
+    values, which DO hash. The oracle computes the exact side and
+    asserts the bound literally holds (``TRUE``). rsd=2% has never
+    exceeded 1.1% observed error on any fixture generation
+    (tools/measure_bounds.py), so 5% carries ~5x margin.
 
-    Scale: the sketch is fixed-size per group (vs the exact
-    expand+two-phase distinct whose state grows with cardinality) —
-    this is the form that survives a trillion-row distinct."""
+    Scale: in production the exact branch is dropped and the sketch
+    is the answer — fixed-size state per group (vs the exact
+    expand+two-phase distinct whose state grows with cardinality);
+    this is the form that survives a trillion-row distinct. The exact
+    branch here exists to make the sketch's accuracy driver-checkable."""
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("n_parts_approx"),
-        F.approx_count_distinct("l_suppkey", rsd=0.02).alias("n_supps_approx"),
-        F.count(F.lit(1)).alias("n_rows"),
+    rel = lambda a, e: F.abs(F.col(a) - F.col(e)) / F.greatest(  # noqa: E731
+        F.col(e), F.lit(1)
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("ap"),
+            F.countDistinct("l_partkey").alias("n_parts_exact"),
+            F.approx_count_distinct("l_suppkey", rsd=0.02).alias("asu"),
+            F.countDistinct("l_suppkey").alias("n_supps_exact"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            "l_returnflag",
+            "n_parts_exact",
+            "n_supps_exact",
+            "n_rows",
+            (rel("ap", "n_parts_exact") < 0.05).alias("parts_within_bound"),
+            (rel("asu", "n_supps_exact") < 0.05).alias("supps_within_bound"),
+        )
     )
 
 
@@ -281,20 +314,51 @@ def a12_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("a8b_approx_percentile")  # rows-only: sketch differs per engine
+@register(
+    "a8b_approx_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           percentile_disc(0.2) WITHIN GROUP (ORDER BY l_extendedprice)
+             AS p20_exact,
+           TRUE AS approx_within_bound
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def a8b_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8's 100TB relief valve: approx_percentile over a bounded
     accuracy sketch instead of the exact within-group sort. Like the
-    HLL distinct (a1b), the sketch is engine-specific — rows-only
-    here, accuracy pinned against the exact floor percentile in
-    tests/test_approx.py. At a trillion rows this replaces the
-    per-group sort with fixed-size state."""
+    HLL distinct (a1b) the sketch is engine-specific, so the query
+    emits the in-query accuracy contract instead of the estimate:
+    ``|approx - exact| / |exact| < 2%`` per group against the exact
+    discrete percentile computed in the same DAG, plus the exact
+    value (which hashes cross-engine — a8 proves it). accuracy=10000
+    has never exceeded 0.06% observed error on any fixture generation
+    (tools/measure_bounds.py) → 2% carries ~30x margin.
+
+    Scale: production drops the exact branch and keeps the sketch —
+    fixed-size state per group vs the exact within-group sort. The
+    join is 3 rows x 3 rows on the group key (broadcast, free); the
+    exact branch exists to make the sketch driver-checkable."""
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    exact = percentile_disc(
+        li, ["l_returnflag"], "l_extendedprice", 0.2, out_col="p20_exact"
+    )
+    approx = li.groupBy("l_returnflag").agg(
         F.approx_percentile(
             "l_extendedprice", F.lit(0.2), F.lit(10000)
         ).alias("p20_approx"),
         F.count(F.lit(1)).alias("n_rows"),
+    )
+    return approx.join(F.broadcast(exact), "l_returnflag").select(
+        "l_returnflag",
+        "n_rows",
+        "p20_exact",
+        (
+            F.abs(F.col("p20_approx") - F.col("p20_exact"))
+            / F.abs(F.col("p20_exact"))
+            < 0.02
+        ).alias("approx_within_bound"),
     )
 
 

@@ -441,46 +441,111 @@ def lloyd_codebook(
     return cent
 
 
-@register("ann_ivf_lloyd")  # rows-only: iterative training, no SQL oracle
+_LLOYD_TOP1_MARGIN = 0.25  # observed worst gap 0.14 across all SFs
+_LLOYD_ORACLE = f"""
+SELECT CAST(vec_id AS BIGINT) AS query_id,
+       CAST(3 AS BIGINT) AS n_retrieved,
+       TRUE AS top1_within_margin
+FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id < {_N_QUERIES})
+"""
+
+
+@register("ann_ivf_lloyd", oracle=_LLOYD_ORACLE)
 def ann_ivf_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF probe over a Lloyd-trained codebook — identical plan to
-    ann_ivf_probe (``ivf_topk``), different codebook. Registered
-    rows-only (k-means is iterative; SURVEY's oracle contract
-    exempts it)."""
+    """IVF probe over a Lloyd-trained codebook — identical retrieval
+    plan to ann_ivf_probe (``ivf_topk``), different codebook. The
+    training loop is iterative (no SQL oracle can express k-means),
+    so the query emits the driver-checkable QUALITY CONTRACT of the
+    retrieval instead of the retrieved list: per query, (a) the
+    probe returned a full top-3 (``n_retrieved``) and (b) the best
+    retrieved cosine is within ``_LLOYD_TOP1_MARGIN`` of the exact
+    brute-force best cosine, computed in the same DAG. The worst
+    observed gap is 0.14 across every fixture scale
+    (tools/measure_bounds.py); 0.25 carries ~2x margin. The oracle
+    asserts both invariants hold literally.
+
+    Scale: the exact side is the already-verified broadcast
+    brute-force scan (ann_cosine_topk) — in production it's the
+    offline eval job run on a sample, not part of serving."""
     emb = load(spark, sf_dir, "embeddings")
     e = emb.select("vec_id", V.as_double(F.col("embedding")).alias("v"))
-    return ivf_topk(e, lloyd_codebook(e))
+    approx = ivf_topk(e, lloyd_codebook(e))
+    a = approx.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_retrieved"),
+        F.max("cos").alias("approx_top1"),
+    )
+    brute1 = (
+        ann_cosine_topk(spark, sf_dir)
+        .filter(F.col("rank") == 1)
+        .select("query_id", F.col("cos").alias("brute_top1"))
+    )
+    return a.join(brute1, "query_id").select(
+        F.col("query_id").cast("long").alias("query_id"),
+        "n_retrieved",
+        (
+            F.col("brute_top1") - F.col("approx_top1") <= _LLOYD_TOP1_MARGIN
+        ).alias("top1_within_margin"),
+    )
 
 
-@register("ann_recall_lloyd")  # rows-only: composes the Lloyd variant
+_RECALL_FLOOR = 0.2  # observed mean recall 0.40-0.63 across all SFs
+
+_RECALL_LLOYD_ORACLE = f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+       TRUE AS sampled_recall_ok,
+       TRUE AS lloyd_recall_ok
+FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id < {_N_QUERIES})
+"""
+
+
+@register("ann_recall_lloyd", oracle=_RECALL_LLOYD_ORACLE)
 def ann_recall_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@3 of the sampled codebook vs the Lloyd-trained one,
     side by side against the exact baseline — the before/after
-    measurement a codebook rollout needs."""
+    measurement a codebook rollout needs. The Lloyd training loop is
+    iterative (no SQL oracle), so the query emits the driver-checkable
+    contract: MEAN recall@3 over the query set >= ``_RECALL_FLOOR``
+    for both codebooks, computed in the same DAG against the exact
+    brute-force top-3. Observed means are 0.40-0.63 on every fixture
+    generation (tools/measure_bounds.py); 0.2 carries 2x margin.
+    (Per-query floors would be fragile: a single query whose true
+    neighbors straddle an unprobed cell can legitimately score 0.)"""
     brute = (
         ann_cosine_topk(spark, sf_dir)
         .filter(F.col("rank") <= _RECALL_K)
         .select("query_id", "neighbor_id")
     )
 
-    def recall(approx: DataFrame, name: str) -> DataFrame:
+    def mean_recall(approx: DataFrame, name: str) -> DataFrame:
         hits = brute.join(approx, ["query_id", "neighbor_id"]).groupBy(
             "query_id"
         ).agg(F.count(F.lit(1)).alias("h"))
         tot = brute.groupBy("query_id").agg(F.count(F.lit(1)).alias("t"))
-        return tot.join(hits, "query_id", "left").select(
+        per_q = tot.join(hits, "query_id", "left").select(
             "query_id",
-            (F.coalesce(F.col("h"), F.lit(0)) * 1.0 / F.col("t")).alias(name),
+            (F.coalesce(F.col("h"), F.lit(0)) * 1.0 / F.col("t")).alias("r"),
+        )
+        return per_q.agg(
+            F.count(F.lit(1)).alias(f"{name}_n"),
+            (F.avg("r") >= _RECALL_FLOOR).alias(f"{name}_recall_ok"),
         )
 
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", V.as_double(F.col("embedding")).alias("v"))
     sampled = ann_ivf_probe(spark, sf_dir).filter(
         F.col("rank") <= _RECALL_K
     ).select("query_id", "neighbor_id")
-    lloyd = ann_ivf_lloyd(spark, sf_dir).filter(
+    lloyd = ivf_topk(e, lloyd_codebook(e)).filter(
         F.col("rank") <= _RECALL_K
     ).select("query_id", "neighbor_id")
-    return recall(sampled, "recall_sampled").join(
-        recall(lloyd, "recall_lloyd"), "query_id"
+    return (
+        mean_recall(sampled, "sampled")
+        .crossJoin(mean_recall(lloyd, "lloyd"))
+        .select(
+            F.col("sampled_n").cast("long").alias("n_queries"),
+            "sampled_recall_ok",
+            "lloyd_recall_ok",
+        )
     )
 
 
