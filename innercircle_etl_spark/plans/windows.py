@@ -184,10 +184,14 @@ def w4b_global_rank_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Evaluated independently they can draw DIFFERENT bounds, and the
     # offset table then describes a partitioning the rank rows don't
     # have (caught by the vanilla-session gate: ranks off by the rows
-    # that switched partitions). Cache + eager materialization pins
-    # ONE partitioning for every consumer.
-    parts = parts.cache()
-    parts.count()
+    # that switched partitions). Partitioning determinism is a
+    # CORRECTNESS requirement here, so cache() is not enough — a
+    # cached block evicted under memory pressure (or lost with its
+    # executor) silently recomputes with freshly sampled bounds.
+    # localCheckpoint truncates the lineage entirely: consumers can
+    # only ever read the materialized blocks, and losing one fails
+    # the job loudly for a retry instead of returning wrong ranks.
+    parts = parts.localCheckpoint(eager=True)
 
     w_local = Window.partitionBy("pid").orderBy(F.col("c_acctbal").desc())
     local = parts.withColumn("local_rank", F.rank().over(w_local))

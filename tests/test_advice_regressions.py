@@ -100,3 +100,60 @@ def test_orders_matched_price_non_hex_word_yields_null(spark):
     assert vals[0] == 1.0
     assert vals[1] is None
     assert vals[2] is None
+
+
+def test_edit_distance_suffix_key_short_text_parity(spark):
+    """The suffix blocking key must agree between Spark and DuckDB
+    for texts SHORTER than the 16-char block (round-4 ADVICE: the
+    engines diverge on non-positive substr start positions; the
+    clamped `greatest(length-15, 1)` form is identical in both)."""
+    import duckdb
+
+    texts = ["short", "exactly16chars!!", "a", "", "seventeen chars!!",
+             "this one is comfortably longer than the block size"]
+    expr = "substr(t, greatest(length(t) - 15, 1), 16)"
+    got_spark = [
+        r["sk"]
+        for r in spark.createDataFrame([(t,) for t in texts], ["t"])
+        .select(F.expr(expr).alias("sk"))
+        .collect()
+    ]
+    con = duckdb.connect()
+    got_duck = [
+        con.execute(f"SELECT {expr} FROM (SELECT ? AS t)", [t]).fetchone()[0]
+        for t in texts
+    ]
+    assert got_spark == got_duck
+
+
+def test_shuffle_sizing_is_once_per_session_and_validated(spark, monkeypatch):
+    """registry._size_shuffle_once must (a) run once per session,
+    (b) respect the marker conf, (c) survive a malformed
+    SPARK_GRAFT_CPUS without blowing up (round-4 ADVICE)."""
+    from innercircle_etl_spark.plans import registry as R
+
+    prev_mark = spark.conf.get(R._SHUFFLE_SIZED_MARK, None)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        # marker pre-set -> conf untouched even at the stock value
+        spark.conf.set(R._SHUFFLE_SIZED_MARK, "1")
+        spark.conf.set("spark.sql.shuffle.partitions", "200")
+        R._size_shuffle_once(spark)
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "200"
+
+        # fresh session state + malformed env var -> sane default, no crash
+        spark.conf.unset(R._SHUFFLE_SIZED_MARK)
+        monkeypatch.setenv("SPARK_GRAFT_CPUS", "not-a-number")
+        R._size_shuffle_once(spark)
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "32"
+
+        # second call is a no-op even if the caller re-sets 200
+        spark.conf.set("spark.sql.shuffle.partitions", "200")
+        R._size_shuffle_once(spark)
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "200"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        if prev_mark is None:
+            spark.conf.unset(R._SHUFFLE_SIZED_MARK)
+        else:
+            spark.conf.set(R._SHUFFLE_SIZED_MARK, prev_mark)
