@@ -27,6 +27,7 @@ from innercircle_etl_spark.plans.registry import (
     duck_dsum,
     load,
     register,
+    widen,
 )
 
 RUN_DATE = "2002-01-01"
@@ -158,8 +159,10 @@ def ep5_shadow_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     latest-floor broadcast; the summary reuses the (wallet, coll)
     clustering left by the as-of."""
     # fact feeds the floor, buy and sell branches — one scan, cached
-    # eagerly (lazy consumers race the cache and re-scan)
-    fact = _fact(spark, sf_dir).cache()
+    # eagerly (lazy consumers race the cache and re-scan); widen()
+    # first so the cached layout doesn't inherit the local fixture's
+    # near-serial scan partitioning (no-op on a cluster scan)
+    fact = widen(_fact(spark, sf_dir)).cache()
     fact.count()
     insiders = _insiders(spark, sf_dir)
 
@@ -348,8 +351,11 @@ def ep6_insight_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact = _fact(spark, sf_dir)
     insiders = _insiders(spark, sf_dir)
     # insider restriction once, reused by every branch (the reference
-    # re-filters per CTE; one cached semi-join is the Spark shape)
-    ifact = fact.join(F.broadcast(insiders), "wallet").cache()
+    # re-filters per CTE; one cached semi-join is the Spark shape).
+    # The broadcast join preserves the scan's partitioning, so widen()
+    # the cached result past the fixture's near-serial layout.
+    ifact = widen(fact.join(F.broadcast(insiders), "wallet")).cache()
+    ifact.count()  # eager: lazy consumers race the cache and re-scan
 
     cutoff = F.lit(_TRX_CUTOFF).cast("date")
     legs = (

@@ -117,6 +117,22 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return df
 
 
+def widen(df: DataFrame) -> DataFrame:
+    """Raise a DataFrame's partition count to the session's default
+    parallelism when the scan produced far fewer. The local fixtures
+    are single-row-group parquet files — ONE task decodes the whole
+    table, and anything cached downstream inherits that near-serial
+    layout, serializing every consumer's map side (measured 26% of
+    ep3's wall time at sf0.1). On a real cluster a 100TB table scans
+    as thousands of splits, the guard fails, and NO shuffle is added
+    — this is a local-layout corrective, not a plan stage."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() * 2 <= target:
+        return df.repartition(target)
+    return df
+
+
 def dsum(col: Column | str) -> Column:
     """Order-independent exact sum of a double column (see module doc).
 

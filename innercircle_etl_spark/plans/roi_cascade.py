@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from innercircle_etl_spark.operators.asof import asof_join
 from innercircle_etl_spark.operators.percentiles import percentile_disc
 from innercircle_etl_spark.operators.window_dedup import latest_per_key
-from innercircle_etl_spark.plans.registry import dsum, load, register
+from innercircle_etl_spark.plans.registry import dsum, load, register, widen
 
 _TOP_WALLETS = 100
 
@@ -160,8 +160,11 @@ def build_cet_roi(fact: DataFrame) -> DataFrame:
     ep3 top-K cascade and the ep4 circle-cohort assembly."""
     # fact feeds three branches (floor percentile, buys, sells) —
     # cache + eager materialization so the scan+projection runs once;
-    # left lazy, the three branches race the cache and re-scan
-    fact = fact.cache()
+    # left lazy, the three branches race the cache and re-scan.
+    # widen() first: cached partitions inherit the scan layout, and
+    # the local single-row-group fixture would otherwise serialize
+    # every consumer's map side (no-op on a many-split cluster scan).
+    fact = widen(fact).cache()
     fact.count()
     # A8: daily floor percentile, then W1: latest floor per collection
     floor_daily = percentile_disc(
@@ -187,14 +190,18 @@ def build_cet_roi(fact: DataFrame) -> DataFrame:
         F.col("line").alias("s_line"),
     )
 
-    # J7: earliest sell at-or-after each buy, at (wallet, coll,
-    # buy_date) granularity — the match depends only on those three,
-    # and the synthetic fact has no unique row key to anchor a
-    # per-row window on. sell_price joins the tiebreak chain so ties
-    # between duplicate sell rows resolve identically everywhere.
-    buy_keys = buys.select("wallet", "coll", "buy_date").distinct()
+    # J7: earliest sell at-or-after each buy. The buy PAYLOAD rides
+    # through the merge-scan directly: every left row independently
+    # carries the running best-match, so duplicate (wallet, coll,
+    # buy_date) buys each receive the identical match the oracle's
+    # per-key row_number picks — no distinct pre-pass and no
+    # join-back afterwards (round 3 staged the scan at buy-key grain
+    # and joined buys back on; that cost two extra exchanges per run
+    # and was 47% of the round-3 bench headline). sell_price joins
+    # the tiebreak chain so ties between duplicate sell rows resolve
+    # identically everywhere.
     matched = asof_join(
-        buy_keys,
+        buys,
         sells,
         keys=["wallet", "coll"],
         left_on="buy_date",
@@ -202,12 +209,11 @@ def build_cet_roi(fact: DataFrame) -> DataFrame:
         direction="forward",
         strict=False,
         right_tiebreakers=["s_okey", "s_line", "sell_price"],
-    ).select("wallet", "coll", "buy_date", "r_sell_price")
+    ).select("wallet", "coll", "buy_date", "buy_price", "r_sell_price")
 
     # J9: latest-floor fallback for unrealized positions
     gains = (
-        buys.join(matched, ["wallet", "coll", "buy_date"])
-        .join(F.broadcast(latest_floor), "coll")
+        matched.join(F.broadcast(latest_floor), "coll")
         .select(
             "wallet",
             "coll",
