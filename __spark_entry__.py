@@ -36,97 +36,95 @@ def entry(spark: SparkSession) -> DataFrame:
 # not listed (or not yet registered) keep registration order at the
 # end — the list is advisory, never a filter.
 _PRIORITY = [
-    # ---- positions 1-27: every query with NO green driver row across
-    # r01 ∪ r02 (the three streaming queries at the top errored in r02
-    # on the NTZ event-time read — fixed this round, rows needed) ----
-    "i6_watermark_window",
-    "i7_stream_dedup",
-    "i10_stream_stream_join",
-    "i11_stream_outer_join",
-    "i12_stream_session_window",
-    "u9_scd2_ranges",
-    "u10_incremental_agg",
-    "s11_schema_evolution",
-    "s12_corrupt_records",
-    "s13_compaction",
-    "w4b_global_rank_scalable",
-    "w6_gap_fill_ffill",
-    "w7_rolling_7day",
-    "w8_day_over_day",
-    "w9_ntile_deciles",
-    "a12_rollup",
-    "a8b_approx_percentile",
+    # ---- positions 1-9: queries whose ORACLE or IMPLEMENTATION
+    # changed in round 4 — the four former rows-only sketch queries
+    # (now with in-query bound-check oracles), the hermetic resize
+    # schema, the length-safe edit-distance key, w4b's checkpointed
+    # partitioning, and the refolded ROI cascades ----
     "a1b_approx_distinct",
-    "t4_pivot",
-    "t5_unpivot",
-    "f7_array_hof",
-    "p12_null_safe_eq",
-    "j7b_asof_backward",
-    "mm_av_frame_sample_udtf",
-    "text_pii_scrub",
-    "text_pack_shards",
-    "text_train_eval_split",
-    # ---- 28-38: new this round ----
-    "text_tfidf_terms",
-    "dedup_edit_distance",
-    "samp_stratified_hash",
+    "a8b_approx_percentile",
+    "ann_ivf_lloyd",
+    "ann_recall_lloyd",
     "mm_image_resize",
-    "a13_grouped_pandas_stats",
-    "u11_dynamic_partition_overwrite",
-    "s14_orc_roundtrip",
-    "graph_pagerank3",
-    "a14_grouped_agg_udf",
-    "seq_event_assembly",
-    "q2_column_profile",
-    # ---- 32-50: one representative per family so any prefix of the
-    # window still spans the operator inventory ----
+    "dedup_edit_distance",
+    "w4b_global_rank_scalable",
     "ep3_roi_cascade",
     "ep4_circles",
+    # ---- 10-46: every query whose most recent driver-green row is
+    # round 1, BEFORE the driver's fixture regeneration — re-prove
+    # them on the current fixtures (goal: every registered query has
+    # a green row in r03 ∪ r04) ----
+    "ep5_shadow_trade",
+    "ep6_insight_feed",
+    "ep1_daily_pipeline",
+    "j2_left_enrich",
+    "j3_range_in_on",
+    "j4_left_anti",
+    "j5_left_semi",
+    "j6_double_anti",
+    "j9_join_to_latest",
+    "j11_pairs_jaccard",
+    "a1_count_distinct",
+    "a4_scalar_subquery",
+    "a6_having",
+    "a7_conditional_agg",
+    "a9_dedup_groupby",
+    "a11_two_phase_agg",
+    "p1_project_arithmetic",
+    "p4_p5_inlist_like",
+    "p6_p7_membership",
+    "p8_p9_p10_null_blacklist",
+    "f1_string_funcs",
+    "f2_datetime_funcs",
+    "f3_math_decay",
+    "f5_array_access",
+    "t1_union_all_legs",
+    "t2_except",
+    "t3_intersect",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "ann_lsh_bucketed",
+    "ann_ivf_probe",
+    "x11_salted_skew_join",
+    "x_bucketed_colocated_join",
+    "mm_image_features",
+    "mm_av_frame_sample",
+    # ---- 47-50: family representatives already green post-regen so
+    # any ~50 prefix still spans streaming/upsert/corpus/as-of ----
+    "i6_watermark_window",
+    "u7_merge_into",
     "ep8_corpus_pipeline",
+    "j7_asof_join",
+    # ---- beyond 50: rotation pool (green in r02 ∪ r03, unchanged
+    # this round) ----
     "q1_quality_report",
     "a3_sum_min_max_avg",
     "a8_percentile_disc",
     "j1_multiway_join",
-    "j7_asof_join",
     "w1_latest_per_key",
     "o1_global_topk",
     "u1_insert_if_absent",
-    "u7_merge_into",
     "p2_p3_time_range",
     "f6_json_extract",
     "d12_trade_decode_pipeline",
-    "dedup_minhash_lsh",
-    "ann_cosine_topk",
-    "mm_image_features",
-    "i3b_stateful_snapshot",
-    "x_bucketed_colocated_join",
-    # ---- beyond 50: rotation pool (all green in r01 ∪ r02) ----
-    "t1_union_all_legs",
-    "f1_string_funcs",
-    "p1_project_arithmetic",
-    "dedup_exact",
-    "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
     "dedup_minhash_recall",
     "dedup_cluster_canonical",
-    "ann_lsh_bucketed",
-    "ann_ivf_probe",
-    "ann_ivf_lloyd",
-    "ann_recall_lloyd",
     "ann_pq_adc",
     "ann_lsh_multiprobe",
     "ann_recall_at_k",
-    "ep1_daily_pipeline",
-    "ep5_shadow_trade",
-    "ep6_insight_feed",
     "ep7_posts",
+    "i7_stream_dedup",
     "i8_session_window",
     "i9_stream_static_join",
-    "x11_salted_skew_join",
+    "i10_stream_stream_join",
+    "i11_stream_outer_join",
+    "i12_stream_session_window",
+    "i3b_stateful_snapshot",
     "x12_salted_agg",
-    "j11_pairs_jaccard",
-    "mm_av_frame_sample",
     "text_token_stats",
     "text_quality_score",
     "text_lang_id",

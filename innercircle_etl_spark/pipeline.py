@@ -16,12 +16,14 @@ custom-3).
 
 from __future__ import annotations
 
-from collections.abc import Callable
+import logging
+from collections.abc import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from innercircle_etl_spark.operators.upsert import date_gaps
+
+_LOG = logging.getLogger(__name__)
 
 
 def write_daily_partitioned(df: DataFrame, path: str, date_col: str = "d"):
@@ -38,22 +40,35 @@ def write_daily_partitioned(df: DataFrame, path: str, date_col: str = "d"):
 def run_daily(
     spark: SparkSession,
     warehouse_path: str,
-    build_day: Callable[[str], DataFrame],
+    build_days: Callable[[Sequence[str]], DataFrame],
     run_date: str,
     lookback_start: str,
     lookback_end: str,
     date_col: str = "d",
+    batch_days: int = 1000,
 ) -> DataFrame:
     """One cron cycle: gap-scan the lookback window, then repair every
     missing day PLUS the run date (the reference always reloads the
-    current day, `daily_update_script.py:6-39`) in a single dynamic
-    partition overwrite. Returns the repaired table.
+    current day, `daily_update_script.py:6-39`) via dynamic partition
+    overwrite. Returns the repaired table.
 
-    ``build_day(day) -> DataFrame`` recomputes one day's rows from the
-    source of truth — the reference's per-day BigQuery extract. Days
-    are recomputed as one union so the write is one job; at cluster
-    scale each day is an independent partition directory and the
-    repair parallelizes across executors.
+    ``build_days(days) -> DataFrame`` recomputes ALL the given days'
+    rows from the source of truth in ONE DataFrame (filter the source
+    with ``isin(days)`` or a join against a day spine built from the
+    list) and must emit only rows whose ``date_col`` is in ``days``.
+    The SET-based contract is what keeps a months-long backfill
+    scale-safe: the round-3 per-day form built one ``unionByName``
+    branch per missing day, so a 1000-day gap meant a
+    thousand-branch plan assembled on the driver — here the plan size
+    is O(1) in the gap length and each day is still an independent
+    output partition, so the repair parallelizes across executors.
+
+    The day list itself lives on the driver, bounded by the lookback
+    window length (a 10-year window is ~3.6k strings — trivial, but
+    logged when large so a misconfigured window is visible). Repairs
+    run in ``batch_days`` chunks: one overwrite job per chunk keeps
+    the IN-list/spine and the write's partition set bounded no matter
+    how long the outage being repaired was.
     """
     loaded = spark.read.parquet(warehouse_path)
     missing = [
@@ -63,10 +78,14 @@ def run_daily(
         ).collect()
     ]
     repair_days = sorted(set(missing) | {run_date})
-    fresh = None
-    for day in repair_days:
-        day_df = build_day(day)
-        fresh = day_df if fresh is None else fresh.unionByName(day_df)
-    if fresh is not None:
-        write_daily_partitioned(fresh, warehouse_path, date_col)
+    if len(repair_days) > batch_days:
+        _LOG.warning(
+            "run_daily repairing %d days in %d batches of <=%d",
+            len(repair_days),
+            -(-len(repair_days) // batch_days),
+            batch_days,
+        )
+    for i in range(0, len(repair_days), batch_days):
+        chunk = repair_days[i : i + batch_days]
+        write_daily_partitioned(build_days(chunk), warehouse_path, date_col)
     return spark.read.parquet(warehouse_path)

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import os
 import shutil
+from datetime import date
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -61,15 +62,20 @@ def repair_cycle(spark: SparkSession, sf_dir: str, wh: str) -> DataFrame:
     """
     month = _month(spark, sf_dir)
 
-    def build_day(day: str) -> DataFrame:
-        return _day_agg(
-            month.filter(F.col("d") == F.lit(day).cast("date"))
-        ).select("o_orderstatus", "n_orders", "total", "d")
+    def build_days(days) -> DataFrame:
+        # ONE filtered recompute for the whole repair set — the plan
+        # is the same size for 3 missing days or 300 (typed date
+        # literals so the IN-list prunes against the date column
+        # directly, no implicit string casts)
+        wanted = [date.fromisoformat(x) for x in days]
+        return _day_agg(month.filter(F.col("d").isin(wanted))).select(
+            "o_orderstatus", "n_orders", "total", "d"
+        )
 
     return run_daily(
         spark,
         wh,
-        build_day,
+        build_days,
         run_date=_RUN_DATE,
         lookback_start=_START,
         lookback_end=_END,

@@ -138,3 +138,79 @@ def test_merge_into_subsumes_insert_if_absent(spark, sf_dir):
     assert sorted(map(tuple, via_merge.collect())) == sorted(
         map(tuple, via_u1.collect())
     )
+
+
+def test_backfill_180_day_gap_bounded_plan(spark):
+    """A 180-day outage repairs through run_daily with a plan whose
+    size does not grow with the gap length (round-3 built one union
+    branch per day — a months-long backfill was a driver-side plan
+    bomb), and in ONE builder invocation when the batch allows it."""
+    import datetime as dt
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from innercircle_etl_spark.pipeline import (
+        run_daily,
+        write_daily_partitioned,
+    )
+
+    d0 = dt.date(2001, 1, 1)
+    days = [d0 + dt.timedelta(i) for i in range(200)]
+    src = spark.createDataFrame(
+        [(d, i % 5, float(i)) for i, d in enumerate(days)],
+        "d date, k int, v double",
+    )
+    wh = "/root/repo/.scratch/test_backfill_180"
+    shutil.rmtree(wh, ignore_errors=True)
+    write_daily_partitioned(src.filter(F.col("d") < days[20]), wh)
+
+    calls: list[list[str]] = []
+
+    def build_days(ds):
+        calls.append(list(ds))
+        wanted = [dt.date.fromisoformat(x) for x in ds]
+        return src.filter(F.col("d").isin(wanted))
+
+    # plan size must not scale with the day count: no per-day unions
+    plan = (
+        build_days([str(d) for d in days[20:]])
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    calls.clear()
+    assert "Union" not in plan
+
+    repaired = run_daily(
+        spark,
+        wh,
+        build_days,
+        run_date=str(days[-1]),
+        lookback_start=str(days[0]),
+        lookback_end=str(days[-1]),
+    )
+    # one batch -> one builder call covering all 180 missing days
+    assert len(calls) == 1
+    assert len(calls[0]) == 180
+    got = sorted(map(tuple, repaired.select("d", "k", "v").collect()))
+    want = sorted(map(tuple, src.collect()))
+    assert got == want
+
+    # chunked path: small batches still converge to the same table
+    shutil.rmtree(wh, ignore_errors=True)
+    write_daily_partitioned(src.filter(F.col("d") < days[20]), wh)
+    calls.clear()
+    repaired = run_daily(
+        spark,
+        wh,
+        build_days,
+        run_date=str(days[-1]),
+        lookback_start=str(days[0]),
+        lookback_end=str(days[-1]),
+        batch_days=50,
+    )
+    assert [len(c) for c in calls] == [50, 50, 50, 30]
+    got = sorted(map(tuple, repaired.select("d", "k", "v").collect()))
+    assert got == want
+    shutil.rmtree(wh, ignore_errors=True)
