@@ -50,6 +50,7 @@ _PRIORITY = [
     "w4b_global_rank_scalable",
     "ep3_roi_cascade",
     "ep4_circles",
+    "dedup_embedding_multiprobe",  # new this round
     # ---- 10-46: every query whose most recent driver-green row is
     # round 1, BEFORE the driver's fixture regeneration — re-prove
     # them on the current fixtures (goal: every registered query has

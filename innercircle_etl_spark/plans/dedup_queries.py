@@ -631,10 +631,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
        For this corpus the bucketing is provably LOSSLESS: every true
        pair (verified against the all-pairs oracle at sf0.01/0.1) is
        a positive-scalar copy, and positive scaling preserves each
-       projection's sign, so copies always share a bucket. A general
-       corpus with merely-close pairs would add multi-band OR
-       Hamming-±1 multi-probe for recall (see dedup_minhash_lsh's
-       banding); the plan shape is unchanged.
+       projection's sign, so copies always share a bucket. For a
+       general corpus with merely-close pairs, the margin-multiprobe
+       variant (``dedup_embedding_multiprobe`` below) drops the
+       scalar-copy assumption with a derived per-plane probe margin;
+       the plan shape is unchanged.
     2. Exact verify: left-fold cosine (bit-identical to the oracle's
        list_reduce) on same-bucket pairs only, filter ≥ 0.99.
 
@@ -668,6 +669,188 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = V.cosine(F.col("va"), F.col("vb"))
     return (
         cand.select("vec_a", "vec_b", cos.alias("cos"))
+        .filter(F.col("cos") >= 0.99)
+    )
+
+
+# --------------------------- embedding cosine, margin multiprobe form
+
+# Perturbation step for the planted NON-scalar near-dups: two chosen
+# coordinates shift by ±_EMB_EPS. Small vs the ~1.7 vector norm, so
+# planted cosine stays >= 0.999, but projections near a hyperplane
+# CAN change sign — exactly the case plain sign-bucketing misses.
+_EMB_EPS = 0.05
+
+
+def _emb_margins(planes: list[list[int]]) -> list[float]:
+    """Per-plane probe margin = the provable bound on how far a
+    +/-eps two-coordinate perturbation can move that plane's
+    projection: |delta proj_p| <= eps*(|w_p[j1]| + |w_p[j2]|) <=
+    2*eps*max_j|w_p[j]|. A plane whose |projection| exceeds this can
+    never flip under the perturbation, so enumerating only the
+    sub-margin ("uncertain") planes is LOSSLESS by construction —
+    no fixture luck involved."""
+    return [2.0 * _EMB_EPS * max(abs(x) for x in w) for w in planes]
+
+
+_EMB_MP_ORACLE = """
+WITH orig AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+corpus AS (
+    -- oid keeps the ORIGINAL id visible: DuckDB lateral aliases
+    -- would otherwise resolve vec_id inside the transform to the
+    -- shifted output alias and perturb the wrong dims
+    SELECT vec_id, v FROM orig
+    UNION ALL
+    SELECT oid + 100000,
+           list_transform(generate_series(1, len(v)),
+               i -> CASE WHEN i = (oid %% 64) + 1 THEN v[i] + %(eps)s
+                         WHEN i = ((oid * 7) %% 64) + 1 THEN v[i] - %(eps)s
+                         ELSE v[i] END)
+    FROM (SELECT vec_id AS oid, v FROM orig WHERE vec_id %% 50 = 0)
+),
+pairs AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           list_reduce(list_transform(generate_series(1, len(a.v)),
+                                      i -> a.v[i] * b.v[i]),
+                       (x, y) -> x + y)
+           / (sqrt(list_reduce(list_transform(a.v, x -> x*x), (x,y) -> x+y))
+              * sqrt(list_reduce(list_transform(b.v, x -> x*x), (x,y) -> x+y)))
+             AS cos
+    FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, cos FROM pairs WHERE cos >= 0.99
+""" % {"eps": _EMB_EPS}
+
+
+def _emb_multiprobe_corpus(emb: DataFrame) -> DataFrame:
+    """Base embeddings + planted perturbed copies (+eps on dim
+    vec_id%%64, -eps on dim (7*vec_id)%%64, first-match-wins when the
+    dims coincide — the CASE order matches the oracle exactly)."""
+    base = emb.select("vec_id", V.as_double(F.col("embedding")).alias("v"))
+    # rename the original id FIRST: referencing vec_id inside the
+    # transform lambda while the same select aliases vec_id+100000 AS
+    # vec_id resolves to the lateral alias (the SHIFTED id) in Spark
+    # 3.4+, silently perturbing the wrong dims
+    j1 = F.col("oid") % 64
+    j2 = (F.col("oid") * 7) % 64
+    perturbed = (
+        emb.filter(F.col("vec_id") % 50 == 0)
+        .select(F.col("vec_id").alias("oid"), "embedding")
+        .select(
+            (F.col("oid") + 100000).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: F.when(i == j1, x.cast("double") + _EMB_EPS)
+                .when(i == j2, x.cast("double") - _EMB_EPS)
+                .otherwise(x.cast("double")),
+            ).alias("v"),
+        )
+    )
+    return base.unionByName(perturbed)
+
+
+@register("dedup_embedding_multiprobe", oracle=_EMB_MP_ORACLE)
+def dedup_embedding_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup with MARGIN MULTIPROBE candidates — the
+    generalization dedup_embedding_cosine's docstring promises: its
+    single-bucket form is lossless only for positive-scalar copies,
+    and the planted perturbation here (two coordinates shifted by
+    +/-eps) flips hyperplane signs precisely where a projection sits
+    near a plane, so plain sign-bucketing provably misses pairs
+    (tests/test_sketch_properties.py demonstrates it on this corpus).
+
+    The fix is Charikar/PLEB-style multiprobe with a DERIVED margin:
+    for each vector, planes whose |projection| <= 2*eps*max|w| are
+    "uncertain" (the perturbation could flip them — _emb_margins
+    derives the bound); the vector probes every sign-completion of
+    its uncertain planes over its certain-plane base bucket. A true
+    pair's buckets can differ only on planes uncertain for BOTH ends,
+    so the probe enumeration contains the partner's bucket — lossless
+    candidate generation WITHOUT depending on copies being scalings.
+    Exact cosine verify (bit-identical fold) filters >= 0.99 as
+    before; the oracle is the independent all-pairs scan.
+
+    Scale shape: expected probes/vector = prod_p (1 + P(|proj_p| <=
+    margin_p)) ~= 3-4 here (eps tunes it); the join stays keyed on
+    the bucket value — same shuffle as the single-bucket form, just a
+    slightly fatter probe side. No all-pairs anything."""
+    emb = load(spark, sf_dir, "embeddings")
+    corpus = _emb_multiprobe_corpus(emb)
+
+    planes = V.hyperplane_weights(_EMB_PLANES, _EMB_DIM)
+    margins = _emb_margins(planes)
+    mask, base = None, None
+    for p, (w, m) in enumerate(zip(planes, margins)):
+        warr = F.array(*[F.lit(float(x)) for x in w])
+        proj = V.dot(F.col("v"), warr)
+        mterm = F.when(F.abs(proj) <= m, F.lit(1 << p)).otherwise(F.lit(0))
+        bterm = F.when(
+            (F.abs(proj) > m) & (proj >= 0), F.lit(1 << p)
+        ).otherwise(F.lit(0))
+        mask = mterm if mask is None else mask + mterm
+        base = bterm if base is None else base + bterm
+    keyed = corpus.select(
+        "vec_id",
+        "v",
+        mask.cast("bigint").alias("mask"),
+        base.cast("bigint").alias("base"),
+        V.sign_bucket(F.col("v"), planes).alias("bucket"),
+    ).cache()
+    keyed.count()  # eager: probe + exact sides share this cache
+
+    pow_lits = ", ".join(f"{1 << p}L" for p in range(_EMB_PLANES))
+    probes = (
+        keyed.withColumn(
+            "powers",
+            F.expr(f"filter(array({pow_lits}), x -> (mask & x) != 0)"),
+        )
+        .withColumn(
+            "k",
+            F.explode(
+                F.expr(
+                    "sequence(0L, cast(pow(2, size(powers)) AS BIGINT) - 1)"
+                )
+            ),
+        )
+        .withColumn(
+            "probe",
+            # guard the all-certain case: Spark's sequence(0, -1)
+            # DESCENDS to [0, -1], and pow(2, -1) casts to 0
+            F.expr(
+                "CASE WHEN size(powers) = 0 THEN base ELSE"
+                " base + aggregate(sequence(0, size(powers) - 1), 0L,"
+                " (acc, i) -> acc + CASE WHEN"
+                " (k div cast(pow(2, i) AS BIGINT)) % 2 = 1"
+                " THEN element_at(powers, i + 1) ELSE 0L END) END"
+            ),
+        )
+        .select(F.col("vec_id").alias("pid"), F.col("probe"))
+    )
+    exact = keyed.select(
+        F.col("vec_id").alias("eid"), F.col("bucket"), F.col("v").alias("ev")
+    )
+    cand = (
+        probes.join(exact, probes.probe == exact.bucket)
+        .filter(F.col("pid") != F.col("eid"))
+        .select(
+            F.least("pid", "eid").alias("vec_a"),
+            F.greatest("pid", "eid").alias("vec_b"),
+        )
+        .distinct()
+    )
+    va = keyed.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    vb = keyed.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    return (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            V.cosine(F.col("va"), F.col("vb")).alias("cos"),
+        )
         .filter(F.col("cos") >= 0.99)
     )
 

