@@ -99,6 +99,7 @@ def ep8_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_copies = docs.filter(F.col("doc_id") % 20 == 0).select(
         (F.col("doc_id") + 200000).alias("doc_id"), "lang", "text"
     )
+    # planted synthetic near-dups (see dedup_queries module doc)
     near_copies = docs.filter(F.col("doc_id") % 25 == 0).select(
         (F.col("doc_id") + 100000).alias("doc_id"),
         "lang",

@@ -6,6 +6,15 @@ The synthetic corpus has no duplicates, so each query first builds a
 ``corpus`` with deterministically planted duplicates/near-duplicates
 (expressed identically in the oracle SQL), then runs the dedup
 operator. That keeps results non-trivial AND hash-checkable.
+
+Planting convention (FIXTURE COUPLING, on purpose): every 25th doc
+(``doc_id % 25 == 0``) / every 50th vector (``vec_id % 50 == 0``)
+spawns a mutated copy with id ``+100000`` — the result sets are
+synthetic by construction, and a reader comparing counts across
+scale factors should expect |corpus|/25 (or /50) found pairs, not
+organic duplication. The modulus lives inside each query function
+(not a shared constant) because the ORACLE SQL string must spell the
+same literal; keep them in sync when changing either.
 """
 
 from __future__ import annotations
@@ -128,6 +137,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_ngram_jaccard (exact verify) — same verify step, different
     candidate generation."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # planted synthetic near-dups (see dedup_queries module doc)
     near = docs.filter(F.col("doc_id") % 25 == 0).select(
         (F.col("doc_id") + 100000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
@@ -245,6 +255,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle does the brute-force n² compare; both produce the same
     set."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # planted synthetic near-dups (see dedup_queries module doc)
     near = docs.filter(F.col("doc_id") % 25 == 0).select(
         (F.col("doc_id") + 100000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
@@ -580,6 +591,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact (non-sketch) member of the dedup family; contrast
     dedup_minhash_lsh (probabilistic candidates, same verify)."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # planted synthetic near-dups (see dedup_queries module doc)
     near = docs.filter(F.col("doc_id") % 25 == 0).select(
         (F.col("doc_id") + 100000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
@@ -644,6 +656,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plane count tunes the bucket granularity as n grows."""
     emb = load(spark, sf_dir, "embeddings")
     base = emb.select("vec_id", V.as_double(F.col("embedding")).alias("v"))
+    # planted synthetic near-dups (see dedup_queries module doc)
     planted = emb.filter(F.col("vec_id") % 50 == 0).select(
         (F.col("vec_id") + 100000).alias("vec_id"),
         F.transform("embedding", lambda x: x.cast("double") * 1.5).alias("v"),
@@ -737,6 +750,7 @@ def _emb_multiprobe_corpus(emb: DataFrame) -> DataFrame:
     j1 = F.col("oid") % 64
     j2 = (F.col("oid") * 7) % 64
     perturbed = (
+        # planted synthetic near-dups (see dedup_queries module doc)
         emb.filter(F.col("vec_id") % 50 == 0)
         .select(F.col("vec_id").alias("oid"), "embedding")
         .select(
@@ -902,6 +916,7 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     it. The measurement loop a dedup rollout needs before trusting a
     sketch at scale."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # planted synthetic near-dups (see dedup_queries module doc)
     near = docs.filter(F.col("doc_id") % 25 == 0).select(
         (F.col("doc_id") + 100000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
