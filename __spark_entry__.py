@@ -51,6 +51,9 @@ _PRIORITY = [
     "ep3_roi_cascade",
     "ep4_circles",
     "dedup_embedding_multiprobe",  # new this round
+    "a15_cms_heavy_hitters",  # new this round
+    "a16_hll_mergeable_rollup",  # new this round
+    "text_repetition_quality",  # new this round
     # ---- 10-46: every query whose most recent driver-green row is
     # round 1, BEFORE the driver's fixture regeneration — re-prove
     # them on the current fixtures (goal: every registered query has

@@ -6,7 +6,7 @@ the DuckDB-dialect equivalent. Exact-sum discipline per registry.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from innercircle_etl_spark.operators.percentiles import percentile_disc
@@ -458,4 +458,138 @@ def a14_grouped_agg_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         py_median("value").alias("vmedian"),
         py_count("value").alias("n"),
+    )
+
+
+# --------------------------------------- sketch family (beyond-parity)
+
+_CMS_D = 4        # hash rows
+_CMS_W = 1024     # buckets per row
+_CMS_TOPK = 20
+
+_A15_ORACLE = f"""
+WITH exact AS (
+    SELECT l_partkey AS k, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+    FROM lineitem GROUP BY l_partkey
+),
+ranked AS (
+    SELECT k, exact_cnt,
+           CAST(row_number() OVER (ORDER BY exact_cnt DESC, k ASC)
+                AS INTEGER) AS hh_rank
+    FROM exact
+)
+SELECT k, exact_cnt, hh_rank,
+       TRUE AS never_underestimates, TRUE AS within_error_bound
+FROM ranked WHERE hh_rank <= {_CMS_TOPK}
+"""
+
+
+@register("a15_cms_heavy_hitters", oracle=_A15_ORACLE)
+def a15_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters (beyond-parity sketch family,
+    same in-query bound-check oracle pattern as a1b/a8b): d=4 hash
+    rows x w=1024 buckets of xxhash64 counts — fixed-size state for
+    frequency estimation over an unbounded key space, THE relief
+    valve for top-k-frequent at 100TB where an exact per-key groupBy
+    is itself the bottleneck.
+
+    The query emits the CMS contract per top-20 key: (a) the sketch
+    NEVER underestimates (structural: every bucket the key hashes to
+    counts at least all of that key's occurrences — deterministically
+    true, not probabilistically), and (b) the overestimate stays
+    under 4*N/w (classic bound is e*N/w with probability 1-e^-d per
+    lookup; observed max is 0.63*N/w on every fixture scale, so 4x
+    carries ~6x margin). Exact side (count + deterministic rank) is
+    the hashable payload the oracle recomputes.
+
+    Scale shape: the sketch build is one groupBy over (d x w) = 4096
+    cells — map-side combinable, fixed size regardless of N; the
+    exact side exists to make the contract checkable and is the part
+    production drops."""
+    li = load(spark, sf_dir, "lineitem")
+    keys = li.select(F.col("l_partkey").alias("k"))
+    n_total = keys.groupBy().agg(F.count(F.lit(1)).alias("n"))
+
+    rows = keys.select(
+        "k",
+        F.explode(F.array(*[F.lit(j) for j in range(_CMS_D)])).alias("j"),
+    ).withColumn("b", F.pmod(F.xxhash64("k", "j"), F.lit(_CMS_W)))
+    sketch = rows.groupBy("j", "b").agg(F.count(F.lit(1)).alias("c"))
+
+    exact = keys.groupBy("k").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    w_rank = Window.orderBy(F.col("exact_cnt").desc(), F.col("k").asc())
+    top = (
+        exact.withColumn("hh_rank", F.row_number().over(w_rank).cast("int"))
+        .filter(F.col("hh_rank") <= _CMS_TOPK)
+    )
+
+    probes = top.crossJoin(
+        spark.range(_CMS_D).select(F.col("id").cast("int").alias("j"))
+    ).withColumn("b", F.pmod(F.xxhash64("k", "j"), F.lit(_CMS_W)))
+    est = (
+        probes.join(sketch, ["j", "b"])
+        .groupBy("k", "exact_cnt", "hh_rank")
+        .agg(F.min("c").alias("est"))
+    )
+    return est.crossJoin(F.broadcast(n_total)).select(
+        "k",
+        "exact_cnt",
+        "hh_rank",
+        (F.col("est") >= F.col("exact_cnt")).alias("never_underestimates"),
+        (
+            F.col("est") - F.col("exact_cnt")
+            <= 4.0 * F.col("n") / _CMS_W
+        ).alias("within_error_bound"),
+    )
+
+
+_A16_ORACLE = """
+SELECT CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS n_groups,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_global_exact,
+       TRUE AS union_within_bound,
+       TRUE AS direct_within_bound
+FROM lineitem
+"""
+
+
+@register("a16_hll_mergeable_rollup", oracle=_A16_ORACLE)
+def a16_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE-sketch rollup (beyond-parity): per-group Datasketches
+    HLL sketches built with ``hll_sketch_agg``, merged with
+    ``hll_union_agg``, estimated with ``hll_sketch_estimate`` — the
+    contract that makes 100TB distinct-count rollups work: sketch
+    once per partition/day, merge cheaply at ANY later grain instead
+    of re-scanning rows. (a1b is the one-shot estimate; this is the
+    re-aggregation story.)
+
+    Sketch estimates are engine-specific AND the union estimate can
+    differ from the direct estimate in the last few counts (sparse
+    vs dense register coercion during merge), so the query emits the
+    bound contract, not the estimates: union-of-group-sketches and
+    direct global sketch must EACH land within 5% of the exact
+    global distinct computed in the same DAG (observed <=0.5% at
+    every fixture scale). Default lgConfigK=12 on both paths."""
+    li = load(spark, sf_dir, "lineitem")
+    per_group = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_partkey").alias("sk")
+    )
+    merged = per_group.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_union"),
+    )
+    direct = li.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("l_partkey")).alias(
+            "est_direct"
+        ),
+        F.countDistinct("l_partkey").alias("n_global_exact"),
+    )
+    rel = lambda est: (  # noqa: E731
+        F.abs(F.col(est) - F.col("n_global_exact"))
+        / F.col("n_global_exact")
+    )
+    return merged.crossJoin(direct).select(
+        "n_groups",
+        "n_global_exact",
+        (rel("est_union") < 0.05).alias("union_within_bound"),
+        (rel("est_direct") < 0.05).alias("direct_within_bound"),
     )

@@ -419,3 +419,78 @@ def seq_event_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts_us").alias("t_first"),
         F.max("ts_us").alias("t_last"),
     )
+
+
+# ------------------------------------------- repetition quality signal
+
+_REP_ORACLE = """
+WITH tok AS (
+    SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+sized AS (
+    SELECT doc_id, w, len(w) AS n_words FROM tok WHERE len(w) >= 2
+),
+stats AS (
+    SELECT doc_id, n_words,
+           list_max(list_transform(list_distinct(w),
+               x -> len(list_filter(w, y -> y = x)))) AS top_cnt,
+           list_transform(generate_series(1, len(w) - 1),
+               i -> w[i] || ' ' || w[i + 1]) AS bg
+    FROM sized
+)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       CAST(top_cnt AS DOUBLE) / n_words AS top_word_frac,
+       1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg)
+         AS dup_bigram_frac,
+       (CAST(top_cnt AS DOUBLE) / n_words > 0.2
+        OR 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg) > 0.3)
+         AS flagged
+FROM stats
+"""
+
+
+@register("text_repetition_quality", oracle=_REP_ORACLE)
+def text_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: most-frequent-
+    word fraction and duplicate-bigram fraction, with the
+    Rae et al. 2021 (arXiv:2112.11446) style flag thresholds (top
+    word > 20% of tokens, or > 30% repeated bigrams) — the classic
+    low-quality/boilerplate detector a pretraining corpus gate runs
+    alongside length/stopword heuristics (text_quality_score).
+
+    Scale shape: EVERYTHING is per-row array expressions inside the
+    scan — no explode, no shuffle, no UDF; at 100TB this is a pure
+    map over the corpus that fuses into whole-stage codegen. The
+    top-word count is O(distinct_words x words) per doc, fine for
+    document-sized arrays (switch to an explode+groupBy at book
+    scale)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    d = docs.select(
+        "doc_id", toks.alias("w"), F.size(toks).alias("n_words")
+    ).filter(F.col("n_words") >= 2)
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct("w"),
+            lambda x: F.size(F.filter("w", lambda y: y == x)),
+        )
+    )
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size("w") - 2),
+        lambda i: F.concat_ws(" ", F.element_at("w", i + 1),
+                              F.element_at("w", i + 2)),
+    )
+    d = d.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        (top_cnt.cast("double") / F.col("n_words")).alias("top_word_frac"),
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct(bigrams)).cast("double")
+            / F.size(bigrams)
+        ).alias("dup_bigram_frac"),
+    )
+    return d.withColumn(
+        "flagged",
+        (F.col("top_word_frac") > 0.2) | (F.col("dup_bigram_frac") > 0.3),
+    )
