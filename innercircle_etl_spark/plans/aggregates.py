@@ -516,11 +516,16 @@ def a15_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("b", F.pmod(F.xxhash64("k", "j"), F.lit(_CMS_W)))
     sketch = rows.groupBy("j", "b").agg(F.count(F.lit(1)).alias("c"))
 
+    # top-K via sorted limit (TakeOrderedAndProject — no global
+    # single-partition window over the full key table); the rank
+    # window then only ever sees the K pre-limited rows, same trick
+    # as o1_global_topk
     exact = keys.groupBy("k").agg(F.count(F.lit(1)).alias("exact_cnt"))
     w_rank = Window.orderBy(F.col("exact_cnt").desc(), F.col("k").asc())
     top = (
-        exact.withColumn("hh_rank", F.row_number().over(w_rank).cast("int"))
-        .filter(F.col("hh_rank") <= _CMS_TOPK)
+        exact.orderBy(F.col("exact_cnt").desc(), F.col("k").asc())
+        .limit(_CMS_TOPK)
+        .withColumn("hh_rank", F.row_number().over(w_rank).cast("int"))
     )
 
     probes = top.crossJoin(
