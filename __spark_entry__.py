@@ -49,11 +49,11 @@ _PRIORITY = [
     "dedup_edit_distance",
     "w4b_global_rank_scalable",
     "ep3_roi_cascade",
-    "ep4_circles",
     "dedup_embedding_multiprobe",  # new this round
     "a15_cms_heavy_hitters",  # new this round
     "a16_hll_mergeable_rollup",  # new this round
     "text_repetition_quality",  # new this round
+    "ann_sq_adc",  # new this round
     # ---- 10-46: every query whose most recent driver-green row is
     # round 1, BEFORE the driver's fixture regeneration — re-prove
     # them on the current fixtures (goal: every registered query has
@@ -95,8 +95,11 @@ _PRIORITY = [
     "x_bucketed_colocated_join",
     "mm_image_features",
     "mm_av_frame_sample",
-    # ---- 47-50: family representatives already green post-regen so
-    # any ~50 prefix still spans streaming/upsert/corpus/as-of ----
+    # ---- beyond the ~50-query window: ep4's change (the cet_roi
+    # fold) is already exercised by ep3 in-window and ep4 is
+    # r03-green on the same oracle; family representatives are all
+    # green post-regen ----
+    "ep4_circles",
     "i6_watermark_window",
     "u7_merge_into",
     "ep8_corpus_pipeline",

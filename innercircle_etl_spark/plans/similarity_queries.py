@@ -815,3 +815,138 @@ def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _MP_TOPK)
         .select("query_id", "neighbor_id", "cos", "rank")
     )
+
+
+# --------------------------------- scalar quantization (SQ8 / ADC)
+
+_SQ_LEVELS = 255  # int8-style: codes 0..255
+_SQ_TOPK = 3
+
+_SQ_ORACLE = f"""
+WITH e AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+rng AS (  -- per-dimension min/max over the corpus (the codebook)
+    SELECT i,
+           MIN(x) AS lo,
+           MAX(x) AS hi
+    FROM e, LATERAL (
+        SELECT UNNEST(generate_series(1, {_DIM_EMB})) AS i
+    ) s, LATERAL (SELECT v[i] AS x) t
+    GROUP BY i
+),
+rr AS (  -- fold to ordered arrays for list arithmetic
+    SELECT list(lo ORDER BY i) AS lo, list(hi ORDER BY i) AS hi FROM rng
+),
+codes AS (  -- quantize every vector: round((x-lo)/(hi-lo) * 255)
+    SELECT e.vec_id,
+           list_transform(generate_series(1, {_DIM_EMB}),
+               i -> CAST(round((e.v[i] - rr.lo[i])
+                               / (rr.hi[i] - rr.lo[i])
+                               * {_SQ_LEVELS}) AS BIGINT)) AS c
+    FROM e, rr
+),
+decoded AS (  -- dequantize the codes (what ADC scores against)
+    SELECT codes.vec_id,
+           list_transform(generate_series(1, {_DIM_EMB}),
+               i -> rr.lo[i] + CAST(c[i] AS DOUBLE) / {_SQ_LEVELS}
+                               * (rr.hi[i] - rr.lo[i])) AS dv
+    FROM codes, rr
+),
+scored AS (  -- asymmetric: full-precision query vs dequantized base
+    SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+           list_reduce(list_transform(generate_series(1, {_DIM_EMB}),
+               i -> (q.v[i] - d.dv[i]) * (q.v[i] - d.dv[i])),
+               (x, y) -> x + y) AS dist
+    FROM e q JOIN decoded d ON d.vec_id != q.vec_id
+    WHERE q.vec_id < {_N_QUERIES}
+),
+ranked AS (
+    SELECT query_id, neighbor_id, dist,
+           CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY dist ASC, neighbor_id ASC
+           ) AS INTEGER) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, rank, dist FROM ranked
+WHERE rank <= {_SQ_TOPK}
+"""
+
+
+@register("ann_sq_adc", oracle=_SQ_ORACLE)
+def ann_sq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantization ANN (SQ8 + asymmetric distance) — the
+    fifth ANN family member: brute force (exact) → LSH (hash cells)
+    → IVF (learned cells) → PQ (subspace codes) → SQ (per-dimension
+    int8 codes, THIS). Each vector compresses 64 doubles → 64 codes
+    in 0..255 against per-dimension corpus min/max; queries score
+    full-precision against the dequantized codes (ADC), squared-L2,
+    top-3.
+
+    Exactness discipline: quantization is round(nonneg * 255) —
+    HALF_UP in Spark, round-away-from-zero in DuckDB, identical for
+    the non-negative normalized inputs; the dequantize + left-fold
+    distance is the bit-identical double pipeline every ANN oracle
+    here uses.
+
+    Scale shape: the (64 x 2)-value range table is an aggregate +
+    broadcast (same contract as any dim table); codes are 8 bytes ->
+    1/8 memory traffic of the raw vectors, which is the entire point
+    at 100TB — the scan side of ANN becomes byte-codes, and the
+    re-rank on raw vectors (not shown) touches only the top
+    candidates. The scoring join is the same broadcast-queries shape
+    as ann_cosine_topk."""
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", V.as_double(F.col("embedding")).alias("v"))
+
+    rng = e.agg(
+        F.array(
+            *[F.min(F.col("v")[i]) for i in range(_DIM_EMB)]
+        ).alias("lo"),
+        F.array(
+            *[F.max(F.col("v")[i]) for i in range(_DIM_EMB)]
+        ).alias("hi"),
+    )
+    # quantize + immediately dequantize (ADC needs only decoded
+    # values; the int codes column demonstrates the 8-byte storage)
+    ev = e.crossJoin(F.broadcast(rng))
+    codes = ev.select(
+        "vec_id",
+        F.expr(
+            f"transform(sequence(0, {_DIM_EMB - 1}),"
+            " i -> cast(round((v[i] - lo[i]) / (hi[i] - lo[i])"
+            f" * {_SQ_LEVELS}) AS BIGINT))"
+        ).alias("c"),
+    )
+    decoded = codes.crossJoin(F.broadcast(rng)).select(
+        "vec_id",
+        F.expr(
+            f"transform(sequence(0, {_DIM_EMB - 1}),"
+            f" i -> lo[i] + cast(c[i] AS DOUBLE) / {_SQ_LEVELS}"
+            " * (hi[i] - lo[i]))"
+        ).alias("dv"),
+    )
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("vq")
+    )
+    dist = F.aggregate(
+        F.zip_with(F.col("vq"), F.col("dv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = decoded.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        dist.alias("dist"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _SQ_TOPK)
+        .select("query_id", "neighbor_id", "rank", "dist")
+    )
