@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from innercircle_etl_spark.functions import decode as DEC
-from innercircle_etl_spark.plans.registry import load, register
+from innercircle_etl_spark.plans.registry import load, register, widen
 
 # wei = round(value*100) * 1e10 — keeps the uint256 < 2^53 (exact as
 # double) while preserving real wei→ETH semantics (/1e18)
@@ -36,17 +36,24 @@ def _wei_col() -> F.Column:
     return F.round(F.col("value") * 100).cast("long") * F.lit(10000000000)
 
 
-def _orders_matched_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _orders_matched_logs(
+    spark: SparkSession, sf_dir: str, ev: DataFrame | None = None
+) -> DataFrame:
     """Fixture: OrdersMatched-shaped logs from events. data = 3 ABI
     words (buyHash, sellHash, price); topics[0] carries the event
     signature; trx_hash groups ~4 logs per transaction (the
-    reference sums multi-log trades, decode_utls.py:119)."""
-    # the source parquet is a single file — fan out so the decode UDF
-    # runs on every core, not one task (the groupBy downstream
-    # shuffles anyway; partitioning by trx id pre-aligns it)
-    ev = load(spark, sf_dir, "events").repartition(
-        spark.sparkContext.defaultParallelism, F.expr("event_id div 4")
-    )
+    reference sums multi-log trades, decode_utls.py:119).
+
+    ``ev``: pass a pre-loaded (and typically widened+cached) events
+    frame to share ONE scan across composed decode branches (d12);
+    standalone callers leave it None and get their own fanned-out
+    scan."""
+    if ev is None:
+        # the source parquet is a single file — fan out so the decode
+        # UDF runs on every core, not one task
+        ev = load(spark, sf_dir, "events").repartition(
+            spark.sparkContext.defaultParallelism, F.expr("event_id div 4")
+        )
     return ev.select(
         F.concat(
             F.lit("tx"), F.expr("event_id div 4").cast("string")
@@ -112,14 +119,18 @@ FROM events
 """
 
 
-def _atomic_match_calldata(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _atomic_match_calldata(
+    spark: SparkSession, sf_dir: str, ev: DataFrame | None = None
+) -> DataFrame:
     """Fixture: atomicMatch_-shaped calldata; word i of the inlined
     address[14] head is user_id + i. Rows with event_id % 97 == 0 are
     planted malformed (bad selector) to exercise the reference's
-    error-sentinel path (decode_utls.py:196-200)."""
-    ev = load(spark, sf_dir, "events").repartition(
-        spark.sparkContext.defaultParallelism, "event_id"
-    )
+    error-sentinel path (decode_utls.py:196-200). ``ev`` as in
+    ``_orders_matched_logs``."""
+    if ev is None:
+        ev = load(spark, sf_dir, "events").repartition(
+            spark.sparkContext.defaultParallelism, "event_id"
+        )
     words = [_word(F.col("user_id") + F.lit(i)) for i in range(14)]
     good = F.concat(F.lit(DEC.ATOMIC_MATCH_SELECTOR), *words)
     return ev.select(
@@ -180,8 +191,17 @@ def d12_trade_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     price (D1, group-summed per trx) ⋈ decoded currency (D2) on
     trx id, dropping undecodable rows — the reference's
     `pd.merge(currency, price, on='trx_hash')` as one Spark DAG with
-    no driver materialization between stages."""
-    logs = _orders_matched_logs(spark, sf_dir).withColumn(
+    no driver materialization between stages.
+
+    Both decode branches read the SAME events scan: one widened +
+    eagerly cached projection feeds the log fixture and the calldata
+    fixture (separately they each scanned and shuffled the source —
+    measured 34% of d12's wall time at sf0.1)."""
+    ev = widen(
+        load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    ).cache()
+    ev.count()  # eager: both branches otherwise race the cache
+    logs = _orders_matched_logs(spark, sf_dir, ev=ev).withColumn(
         "trx_id", F.regexp_replace("trx_hash", "^tx", "").cast("long")
     )
     price = (
@@ -191,7 +211,7 @@ def d12_trade_decode_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("trx_hash", "trx_id")
         .agg(F.sum(F.col("p").cast("decimal(38,18)")).cast("double").alias("price"))
     )
-    currency = _atomic_match_calldata(spark, sf_dir).select(
+    currency = _atomic_match_calldata(spark, sf_dir, ev=ev).select(
         F.col("trx_hash_id").alias("trx_id"),
         DEC.atomic_match_payment_token(F.col("input_data")).alias(
             "payment_token"
