@@ -59,3 +59,18 @@ def test_repetition_quality_flags_degenerate_text(spark, sf_dir):
     assert got[1]["flagged"] is True
     assert got[1]["top_word_frac"] == 1.0
     assert got[2]["flagged"] is False
+
+
+def test_widen_is_noop_on_already_parallel_input(spark):
+    """widen() must add its corrective exchange ONLY when the source
+    is far below the session parallelism — a many-split cluster scan
+    (emulated here by a pre-repartitioned frame) passes through
+    untouched, so no shuffle is ever added at scale."""
+    from innercircle_etl_spark.plans.registry import widen
+
+    target = spark.sparkContext.defaultParallelism
+    narrow = spark.range(1000).coalesce(1)
+    assert widen(narrow).rdd.getNumPartitions() == target
+
+    wide = spark.range(1000).repartition(target)
+    assert widen(wide) is wide
