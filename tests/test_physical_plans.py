@@ -167,10 +167,20 @@ def test_salted_agg_two_phase_exchanges(spark, sf_dir):
         "dedup_edit_distance",
         "graph_pagerank3",
         "samp_stratified_hash",
+        # round-4 additions
+        "dedup_embedding_multiprobe",
+        "a15_cms_heavy_hitters",
+        "a16_hll_mergeable_rollup",
+        "text_repetition_quality",
+        "ann_sq_adc",
+        "a1b_approx_distinct",
+        "a8b_approx_percentile",
+        "ann_ivf_lloyd",
+        "ann_recall_lloyd",
     ],
 )
 def test_new_queries_no_cartesian(spark, sf_dir, name):
-    """Round-2/3 additions keep the no-cartesian guarantee (the
+    """Round-2/3/4 additions keep the no-cartesian guarantee (the
     1-row broadcast crossJoins used for scalar/codebook delivery are
     BroadcastNestedLoopJoin over a single row — allowed; a
     CartesianProduct over data-sized inputs is not)."""
