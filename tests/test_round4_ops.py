@@ -74,3 +74,43 @@ def test_widen_is_noop_on_already_parallel_input(spark):
 
     wide = spark.range(1000).repartition(target)
     assert widen(wide) is wide
+
+
+def test_cet_roi_duplicate_same_day_buys(spark):
+    """The round-4 as-of fold carries the buy payload through the
+    merge-scan: duplicate (wallet, coll, buy_date) buys must EACH
+    match the same first sell (the oracle's buy-key-grain row_number
+    semantics), not collapse or cross-match. The fixtures contain
+    only 2 such groups, so pin it synthetically."""
+    import datetime as dt
+
+    from innercircle_etl_spark.plans.roi_cascade import build_cet_roi
+
+    d = dt.date
+    rows = [
+        # wallet 1, coll 1: two buys SAME day (different prices),
+        # one later sell at 50 -> both buys realize against 50
+        (1, 1, d(2020, 1, 1), 10.0, "A", 1, 1),
+        (1, 1, d(2020, 1, 1), 20.0, "A", 2, 1),
+        (1, 1, d(2020, 1, 5), 50.0, "R", 3, 1),
+        # wallet 2, coll 1: buy with NO later sell -> falls back to
+        # the latest floor of coll 1
+        (2, 1, d(2020, 1, 6), 30.0, "A", 4, 1),
+    ]
+    fact = spark.createDataFrame(
+        rows, "wallet int, coll int, ev_date date, price double,"
+        " flag string, okey int, line int"
+    )
+    got = {
+        (r["wallet"], r["coll"]): r
+        for r in build_cet_roi(fact).collect()
+    }
+    w1 = got[(1, 1)]
+    assert w1["n_buys"] == 2 and w1["n_realized"] == 2
+    # gains: (50-10) + (50-20) = 70
+    assert w1["coll_gain"] == 70.0
+    w2 = got[(2, 1)]
+    # latest floor of coll 1 = floor over the latest ev_date present:
+    # 2020-01-06 has only the 30.0 buy -> floor 30.0 -> gain 0
+    assert w2["n_buys"] == 1 and w2["n_realized"] == 0
+    assert w2["coll_gain"] == 0.0
