@@ -47,13 +47,13 @@ _PRIORITY = [
     "ann_recall_lloyd",
     "mm_image_resize",
     "dedup_edit_distance",
-    "w4b_global_rank_scalable",
     "ep3_roi_cascade",
     "dedup_embedding_multiprobe",  # new this round
     "a15_cms_heavy_hitters",  # new this round
     "a16_hll_mergeable_rollup",  # new this round
     "text_repetition_quality",  # new this round
     "ann_sq_adc",  # new this round
+    "u12_cdc_apply",  # new this round
     # ---- 10-46: every query whose most recent driver-green row is
     # round 1, BEFORE the driver's fixture regeneration — re-prove
     # them on the current fixtures (goal: every registered query has
@@ -96,10 +96,12 @@ _PRIORITY = [
     "mm_image_features",
     "mm_av_frame_sample",
     # ---- beyond the ~50-query window: ep4's change (the cet_roi
-    # fold) is already exercised by ep3 in-window and ep4 is
-    # r03-green on the same oracle; family representatives are all
-    # green post-regen ----
+    # fold) is already exercised by ep3 in-window, and w4b's change
+    # (checkpointed partitioning) kept its oracle — both r03-green
+    # and locally re-gated under the vanilla session; family
+    # representatives are all green post-regen ----
     "ep4_circles",
+    "w4b_global_rank_scalable",
     "i6_watermark_window",
     "u7_merge_into",
     "ep8_corpus_pipeline",
