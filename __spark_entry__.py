@@ -36,31 +36,88 @@ def entry(spark: SparkSession) -> DataFrame:
 # not listed (or not yet registered) keep registration order at the
 # end — the list is advisory, never a filter.
 _PRIORITY = [
-    # ---- positions 1-9: queries whose ORACLE or IMPLEMENTATION
-    # changed in round 4 — the four former rows-only sketch queries
-    # (now with in-query bound-check oracles), the hermetic resize
-    # schema, the length-safe edit-distance key, w4b's checkpointed
-    # partitioning, and the refolded ROI cascades ----
-    "a1b_approx_distinct",
-    "a8b_approx_percentile",
+    # ---- positions 1-37 (round 5): the 37 queries whose most
+    # recent DRIVER-green CORRECTNESS row is round 2, which predates
+    # the driver's fixture regeneration (micros/NTZ event-time
+    # change, commit bd96890). They all pass the builder's local
+    # full gate on current fixtures; this rotation turns that into
+    # driver proof so r03 ∪ r04 ∪ r05 covers every registered query
+    # post-regen ----
+    "d1_decode_log_price",
+    "d2_decode_calldata_token",
+    "d12_trade_decode_pipeline",
+    "u2_merge_update",
+    "u3_partition_delete_reload",
+    "u4_truncate_rebuild",
+    "u5_conditional_flag",
+    "u6_date_gaps",
+    "w2_first_per_key",
+    "w3_topn_per_group",
+    "w4_global_rank",
+    "i1_highwatermark_increment",
+    "i3_streaming_snapshot",
+    "i3b_stateful_snapshot",
+    "i4_file_stream_exactly_once",
+    "i5_scd_flag_flip",
+    "i8_session_window",
+    "i9_stream_static_join",
+    "s2_s3_csv_roundtrip",
+    "s6_json_source",
+    "s10_watermark",
+    "f4_case_coalesce",
+    "f6_json_extract",
+    "p2_p3_time_range",
+    "ep7_posts",
+    "text_lang_id",
+    "text_quality_score",
+    "text_token_stats",
+    "text_fingerprint",
+    "dedup_ngram_jaccard",
+    "dedup_cluster_canonical",
+    "dedup_embedding_cosine",
+    "dedup_minhash_recall",
+    "ann_pq_adc",
+    "ann_lsh_multiprobe",
+    "ann_recall_at_k",
+    "x12_salted_agg",
+    # ---- 38-43: queries whose implementation changed in round 5
+    # (u12's explicit presence flag, ep3's perf rework, the Lloyd
+    # loop's driver-collect demotion) — re-prove the changes ----
+    "u12_cdc_apply",
+    "ep3_roi_cascade",
     "ann_ivf_lloyd",
     "ann_recall_lloyd",
-    "mm_image_resize",
-    "dedup_edit_distance",
-    "ep3_roi_cascade",
-    "dedup_embedding_multiprobe",  # new this round
-    "a15_cms_heavy_hitters",  # new this round
-    "a16_hll_mergeable_rollup",  # new this round
-    "text_repetition_quality",  # new this round
-    "ann_sq_adc",  # new this round
-    "u12_cdc_apply",  # new this round
-    # ---- 10-46: every query whose most recent driver-green row is
-    # round 1, BEFORE the driver's fixture regeneration — re-prove
-    # them on the current fixtures (goal: every registered query has
-    # a green row in r03 ∪ r04) ----
     "ep5_shadow_trade",
-    "ep6_insight_feed",
     "ep1_daily_pipeline",
+    # ---- 44-50: one representative per family so any prefix of
+    # the window still spans the operator inventory ----
+    "j7_asof_join",
+    "a11_two_phase_agg",
+    "w1_latest_per_key",
+    "t1_union_all_legs",
+    "dedup_minhash_lsh",
+    "mm_image_features",
+    "ep8_corpus_pipeline",
+    # ---- beyond the ~50-row window: rotation pool, all green in
+    # r03 ∪ r04 and unchanged this round ----
+    "ep4_circles",
+    "ep6_insight_feed",
+    "w4b_global_rank_scalable",
+    "i6_watermark_window",
+    "u7_merge_into",
+    "q1_quality_report",
+    "a1_count_distinct",
+    "a1b_approx_distinct",
+    "a3_sum_min_max_avg",
+    "a4_scalar_subquery",
+    "a6_having",
+    "a7_conditional_agg",
+    "a8_percentile_disc",
+    "a8b_approx_percentile",
+    "a9_dedup_groupby",
+    "a15_cms_heavy_hitters",
+    "a16_hll_mergeable_rollup",
+    "j1_multiway_join",
     "j2_left_enrich",
     "j3_range_in_on",
     "j4_left_anti",
@@ -68,12 +125,6 @@ _PRIORITY = [
     "j6_double_anti",
     "j9_join_to_latest",
     "j11_pairs_jaccard",
-    "a1_count_distinct",
-    "a4_scalar_subquery",
-    "a6_having",
-    "a7_conditional_agg",
-    "a9_dedup_groupby",
-    "a11_two_phase_agg",
     "p1_project_arithmetic",
     "p4_p5_inlist_like",
     "p6_p7_membership",
@@ -82,62 +133,27 @@ _PRIORITY = [
     "f2_datetime_funcs",
     "f3_math_decay",
     "f5_array_access",
-    "t1_union_all_legs",
     "t2_except",
     "t3_intersect",
+    "o1_global_topk",
+    "u1_insert_if_absent",
     "dedup_exact",
-    "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_edit_distance",
+    "dedup_embedding_multiprobe",
     "ann_cosine_topk",
     "ann_lsh_bucketed",
     "ann_ivf_probe",
+    "ann_sq_adc",
     "x11_salted_skew_join",
     "x_bucketed_colocated_join",
-    "mm_image_features",
+    "mm_image_resize",
     "mm_av_frame_sample",
-    # ---- beyond the ~50-query window: ep4's change (the cet_roi
-    # fold) is already exercised by ep3 in-window, and w4b's change
-    # (checkpointed partitioning) kept its oracle — both r03-green
-    # and locally re-gated under the vanilla session; family
-    # representatives are all green post-regen ----
-    "ep4_circles",
-    "w4b_global_rank_scalable",
-    "i6_watermark_window",
-    "u7_merge_into",
-    "ep8_corpus_pipeline",
-    "j7_asof_join",
-    # ---- beyond 50: rotation pool (green in r02 ∪ r03, unchanged
-    # this round) ----
-    "q1_quality_report",
-    "a3_sum_min_max_avg",
-    "a8_percentile_disc",
-    "j1_multiway_join",
-    "w1_latest_per_key",
-    "o1_global_topk",
-    "u1_insert_if_absent",
-    "p2_p3_time_range",
-    "f6_json_extract",
-    "d12_trade_decode_pipeline",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "dedup_minhash_recall",
-    "dedup_cluster_canonical",
-    "ann_pq_adc",
-    "ann_lsh_multiprobe",
-    "ann_recall_at_k",
-    "ep7_posts",
     "i7_stream_dedup",
-    "i8_session_window",
-    "i9_stream_static_join",
     "i10_stream_stream_join",
     "i11_stream_outer_join",
     "i12_stream_session_window",
-    "i3b_stateful_snapshot",
-    "x12_salted_agg",
-    "text_token_stats",
-    "text_quality_score",
-    "text_lang_id",
-    "text_fingerprint",
+    "text_repetition_quality",
 ]
 
 

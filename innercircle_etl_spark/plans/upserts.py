@@ -476,14 +476,15 @@ def u12_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: changelog compaction is the W1 shuffle; the merge
     is one join keyed on the entity id. At 100TB the snapshot side
-    is date/bucket-partitioned and the join co-locates; the
-    changelog is almost always the small side after compaction and
-    broadcasts. Idempotent by construction: re-applying the same
-    changelog yields the same table (no row versions outside the
-    feed)."""
+    is date/bucket-partitioned and the join co-locates on the key.
+    (Spark cannot broadcast a FULL OUTER equi-join — both sides must
+    stream — so the merge is a sort-merge join by construction; a
+    broadcastable variant would be the U2 left-merge + U1 anti-insert
+    pair.) Idempotent by construction: re-applying the same changelog
+    yields the same table (no row versions outside the feed)."""
     cust = load(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("k"), F.col("c_acctbal").alias("bal")
-    )
+    ).withColumn("in_snap", F.lit(True))
     ev = load(spark, sf_dir, "events")
     changelog = ev.select(
         F.col("user_id").alias("k"),
@@ -502,10 +503,13 @@ def u12_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("k", "op", "new_bal")
     )
-    merged = cust.join(F.broadcast(latest), "k", "full_outer")
+    merged = cust.join(latest, "k", "full_outer")
+    # Presence must come from an explicit flag, not a payload column:
+    # a snapshot row whose bal is NULL would make bal.isNotNull()
+    # evaluate NULL and silently drop the row the oracle keeps.
     kept = merged.filter(
         (F.col("op").isNull() | (F.col("op") != "D"))
-        & (F.col("bal").isNotNull() | (F.col("op") == "U"))
+        & (F.col("in_snap").isNotNull() | (F.col("op") == "U"))
     )
     return kept.select(
         F.col("k").alias("c_custkey"),

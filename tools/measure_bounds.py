@@ -12,6 +12,10 @@ from pyspark.sql import SparkSession, functions as F
 from innercircle_etl_spark.plans import QUERIES
 from innercircle_etl_spark.operators.percentiles import percentile_disc
 from innercircle_etl_spark.plans.registry import load
+from innercircle_etl_spark.plans.similarity_queries import (
+    ivf_topk,
+    lloyd_codebook,
+)
 
 spark = (
     SparkSession.builder.master("local[32]")
@@ -61,8 +65,22 @@ for sf in ("sf0.001", "sf0.01", "sf0.1"):
     bset = {}
     for r in brute.filter(F.col("rank") <= 3).collect():
         bset.setdefault(r["query_id"], set()).add(r["neighbor_id"])
-    for name in ("ann_ivf_lloyd", "ann_ivf_probe"):
-        res = QUERIES[name](spark, sf_dir)
+    # ann_ivf_lloyd's REGISTERED query now returns the contract
+    # schema (query_id, n_retrieved, top1_within_margin), so build
+    # the raw retrieval frame directly from its building blocks;
+    # ann_ivf_probe still returns the ranked retrieval itself.
+    from innercircle_etl_spark.functions import vectors as V
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", V.as_double(F.col("embedding")).alias("v")
+    )
+    retrievals = {
+        "ann_ivf_lloyd": ivf_topk(emb, lloyd_codebook(emb)),
+        "ann_ivf_probe": QUERIES["ann_ivf_probe"],
+    }
+    for name, res in retrievals.items():
+        if callable(res):
+            res = res(spark, sf_dir)
         t1 = {r["query_id"]: r["cos"] for r in res.filter(F.col("rank") == 1).collect()}
         nn = {}
         for r in res.filter(F.col("rank") <= 3).collect():
