@@ -387,36 +387,41 @@ def ngram_jaccard_pairs(
     spark = corpus.sparkSession
     # fan out: a small source often has few input splits, and the
     # gram projection (|text| substrs per doc) is the CPU hot spot —
-    # spread it across all cores before the narrow pipeline begins
-    corpus = corpus.filter(F.length("text") >= 3).repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
+    # spread it across all cores before the narrow pipeline begins.
+    # localCheckpoint (eager) pins the repartitioned corpus: TWO
+    # subtrees consume it (the vocab DF-count and the bitset build)
+    # and a plain cache lets them race to populate it — the same
+    # duplicated-pandas-pass failure mode `sets` had (below). The
+    # checkpoint is one narrow materialization of (doc_id, text).
+    corpus = (
+        corpus.filter(F.length("text") >= 3)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .localCheckpoint(eager=True)
     )
 
     # Global document frequency → total rarity order (df, gram).
-    # Partial per-partition counts (|vocab| rows per task — the
-    # map-side combine) feed a vocab-sized groupBy; the global
+    # Pure Catalyst: per-doc distinct trigrams via transform +
+    # array_distinct, exploded into (doc, gram) rows whose gram
+    # groupBy count IS the df (partial map-side combine is free).
+    # This stays in whole-stage codegen — measured ~1s/pass cheaper
+    # at sf0.1 than the former mapInPandas partial-Counter pass,
+    # which also shipped the full text column through Arrow. The
     # row_number window then runs over the GRAM-DF TABLE —
     # dimension-sized (one row per distinct trigram), never corpus-
     # sized.
-    def partial_df(batches):
-        from collections import Counter
-
-        c: Counter = Counter()
-        for pdf in batches:
-            for t in pdf["text"]:
-                c.update(
-                    dict.fromkeys(
-                        t[i : i + 3] for i in range(len(t) - 2)
-                    ).keys()
-                )
-        yield pd.DataFrame(
-            {"gram": list(c.keys()), "pdf": list(c.values())}
-        )
-
     vocab = (
-        corpus.mapInPandas(partial_df, "gram string, pdf long")
+        corpus.select(
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(1, length(text) - 2),"
+                        " i -> substring(text, i, 3))"
+                    )
+                )
+            ).alias("gram")
+        )
         .groupBy("gram")
-        .agg(F.sum("pdf").alias("df"))
+        .agg(F.count(F.lit(1)).alias("df"))
     )
     w_vocab = Window.orderBy("df", "gram")
     vocab = vocab.select(
@@ -468,17 +473,19 @@ def ngram_jaccard_pairs(
                 {"doc_id": ids, "n": ns, "idx": idxs, "bits": blobs}
             )
 
+    # Eager localCheckpoint: `sets` feeds THREE subtrees (the prefix
+    # index and both verify-side broadcasts). Lazily, those race to
+    # populate a cache and each runs the pandas build pass again —
+    # measured ~2x the whole query's cost at sf0.1. cache()+count()
+    # fixed the recompute but left the blocks subject to eviction
+    # (and the r4 bench showed a 4-24s spread); the checkpoint
+    # materializes once, truncates the lineage, and every consumer
+    # reads the pinned blocks. At cluster scale this is one
+    # corpus-sized write to executor-local storage — noise next to
+    # the joins it de-duplicates.
     sets = docs_v.mapInPandas(
         build, "doc_id long, n long, idx array<long>, bits binary"
-    ).cache()
-    # Eager materialization: `sets` feeds THREE subtrees (the prefix
-    # index and both verify-side broadcasts). Lazily, those race to
-    # populate the cache and each runs the pandas build pass again —
-    # measured ~2x the whole query's cost at sf0.1. One count() fills
-    # the cache once; every consumer then reads memory. At cluster
-    # scale this is one extra pass over a corpus-sized cached RDD —
-    # noise next to the joins it de-duplicates.
-    sets.count()
+    ).localCheckpoint(eager=True)
 
     # prefix = the n - ceil(t*n) + 1 rarest grams, with positions.
     # ceil(t*n) = (t_num*n + t_den - 1) div t_den — exact integers.
