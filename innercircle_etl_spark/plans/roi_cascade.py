@@ -158,14 +158,17 @@ def build_cet_roi(fact: DataFrame) -> DataFrame:
     cet_roi, update_etl.py:635-798): floor percentile → latest floor
     → as-of buy/sell match → floor fallback → rollup. Shared by the
     ep3 top-K cascade and the ep4 circle-cohort assembly."""
-    # fact feeds three branches (floor percentile, buys, sells) —
-    # cache + eager materialization so the scan+projection runs once;
-    # left lazy, the three branches race the cache and re-scan.
-    # widen() first: cached partitions inherit the scan layout, and
-    # the local single-row-group fixture would otherwise serialize
-    # every consumer's map side (no-op on a many-split cluster scan).
-    fact = widen(fact).cache()
-    fact.count()
+    # fact feeds three branches (floor percentile, buys, sells) and
+    # stays LAZY: each branch re-reads the column-pruned parquet scan
+    # inside the one job. Round 3 cached + eagerly counted it, but
+    # the A/B (NOTES.md round 5) showed the 600k-row cache fill costs
+    # more than the three pruned re-scans it saves — and at 100TB
+    # caching the fact table is infeasible anyway, while three
+    # pruned, pushed-down columnar reads are the cluster-honest form.
+    # widen() stays: the local single-row-group fixture would
+    # otherwise serialize every consumer's map side (no-op on a
+    # many-split cluster scan).
+    fact = widen(fact)
     # A8: daily floor percentile, then W1: latest floor per collection
     floor_daily = percentile_disc(
         fact, ["coll", "ev_date"], "price", 0.2, out_col="floor_price"
@@ -237,30 +240,50 @@ def build_cet_roi(fact: DataFrame) -> DataFrame:
 
 @register("ep3_roi_cascade", oracle=_EP3_ORACLE)
 def ep3_roi_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full ROI cascade as one DAG — see module docstring."""
-    cet_roi = build_cet_roi(load_fact(spark, sf_dir))
+    """The full ROI cascade as one DAG — see module docstring.
 
-    # W3: top collections per wallet
+    Tail structure (reworked round 5; was 7.2s, now ~3.8s at sf0.1):
+    ``cet_roi`` is the natural materialization point — the
+    reference's cet_roi temp table (update_etl.py:760-798) — and it
+    used to feed two UNMATERIALIZED consumers (the per-wallet rank
+    window and the wallet-total groupBy), recomputing the whole
+    percentile → as-of → rollup chain twice per run. Now it's pinned
+    with one eager localCheckpoint, and BOTH the collection rank and
+    the wallet total ride a single wallet-partitioned exchange: the
+    W3 row_number and an A11 windowed sum share the same
+    ``partitionBy("wallet")``, so Catalyst plans one shuffle and one
+    sort for the pair. The global top-K then needs only the
+    coll_rank=1 row per wallet (already carrying wallet_gain) —
+    a sorted limit (TakeOrderedAndProject) whose K rows broadcast
+    back onto the ranked rows."""
+    cet_roi = build_cet_roi(load_fact(spark, sf_dir)).localCheckpoint(
+        eager=True
+    )
+
+    # W3 + A11 on ONE wallet-partitioned exchange: rank within wallet
+    # and the wallet's total gain (decimal-exact windowed sum — the
+    # window form of dsum, order-independent by decimal exactness).
+    wpart = Window.partitionBy("wallet")
     ranked = cet_roi.withColumn(
         "coll_rank",
         F.row_number()
-        .over(
-            Window.partitionBy("wallet").orderBy(
-                F.col("coll_gain").desc(), F.col("coll").asc()
-            )
-        )
+        .over(wpart.orderBy(F.col("coll_gain").desc(), F.col("coll").asc()))
         .cast("int"),
+    ).withColumn(
+        "wallet_gain",
+        F.sum(F.col("coll_gain").cast("decimal(38,6)"))
+        .over(wpart)
+        .cast("double"),
     )
 
-    # A11 + O1: wallet rollup and global top-K (TakeOrderedAndProject;
-    # the single-partition window only ever sees K<<N pre-limited rows
-    # because row_number over the global order == rank in the sorted
-    # limit output)
-    wallet_tot = cet_roi.groupBy("wallet").agg(
-        dsum("coll_gain").alias("wallet_gain")
-    )
+    # O1: global top-K wallets — the coll_rank=1 row is exactly one
+    # row per wallet and already carries wallet_gain, so the sorted
+    # limit sees |wallets| rows, and the single-partition rank window
+    # only ever sees the K<<N pre-limited output.
     top = (
-        wallet_tot.orderBy(F.col("wallet_gain").desc(), F.col("wallet").asc())
+        ranked.filter(F.col("coll_rank") == 1)
+        .select("wallet", "wallet_gain")
+        .orderBy(F.col("wallet_gain").desc(), F.col("wallet").asc())
         .limit(_TOP_WALLETS)
         .withColumn(
             "wallet_rank",
@@ -272,11 +295,12 @@ def ep3_roi_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("int"),
         )
+        .select("wallet", "wallet_rank")
     )
 
     return (
-        top.join(ranked, "wallet")
-        .filter(F.col("coll_rank") <= 3)
+        ranked.filter(F.col("coll_rank") <= 3)
+        .join(F.broadcast(top), "wallet")
         .select(
             "wallet",
             "wallet_rank",
