@@ -23,6 +23,11 @@ from innercircle_etl_spark.plans.dedup_queries import _MINHASH_ORACLE
 from innercircle_etl_spark.plans.dedup_queries import (
     dedup_minhash_lsh,
 )
+from innercircle_etl_spark.plans.planting import (
+    DOC_EXACT_MOD,
+    DOC_NEAR_MOD,
+    PLANT_ID_OFFSET,
+)
 from innercircle_etl_spark.plans.registry import load, register
 
 _MIN_WORDS = 20
@@ -32,11 +37,12 @@ _EP8_ORACLE = f"""
 WITH corpus AS (
     SELECT doc_id, lang, text FROM documents
     UNION ALL   -- planted exact copies (the dedup_exact fixture, offset
-                -- to +200000 so ids cannot collide with the near-dups)
-    SELECT doc_id + 200000, lang, text FROM documents WHERE doc_id % 20 = 0
+                -- to 2x so ids cannot collide with the near-dups)
+    SELECT doc_id + {2 * PLANT_ID_OFFSET}, lang, text FROM documents
+    WHERE doc_id % {DOC_EXACT_MOD} = 0
     UNION ALL   -- planted near-dups (the MinHash fixture's ' zzz' docs)
-    SELECT doc_id + 100000, lang, text || ' zzz'
-    FROM documents WHERE doc_id % 25 = 0
+    SELECT doc_id + {PLANT_ID_OFFSET}, lang, text || ' zzz'
+    FROM documents WHERE doc_id % {DOC_NEAR_MOD} = 0
 ),
 quality AS (
     SELECT doc_id, lang, text
@@ -96,12 +102,14 @@ def ep8_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sub-linear candidates, exact verify) and drops each pair's
     non-canonical side with one anti-join."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    exact_copies = docs.filter(F.col("doc_id") % 20 == 0).select(
-        (F.col("doc_id") + 200000).alias("doc_id"), "lang", "text"
+    exact_copies = docs.filter(F.col("doc_id") % DOC_EXACT_MOD == 0).select(
+        (F.col("doc_id") + 2 * PLANT_ID_OFFSET).alias("doc_id"),
+        "lang",
+        "text",
     )
     # planted synthetic near-dups (see dedup_queries module doc)
-    near_copies = docs.filter(F.col("doc_id") % 25 == 0).select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
+    near_copies = docs.filter(F.col("doc_id") % DOC_NEAR_MOD == 0).select(
+        (F.col("doc_id") + PLANT_ID_OFFSET).alias("doc_id"),
         "lang",
         F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
     )

@@ -7,14 +7,15 @@ The synthetic corpus has no duplicates, so each query first builds a
 (expressed identically in the oracle SQL), then runs the dedup
 operator. That keeps results non-trivial AND hash-checkable.
 
-Planting convention (FIXTURE COUPLING, on purpose): every 25th doc
-(``doc_id % 25 == 0``) / every 50th vector (``vec_id % 50 == 0``)
-spawns a mutated copy with id ``+100000`` — the result sets are
-synthetic by construction, and a reader comparing counts across
-scale factors should expect |corpus|/25 (or /50) found pairs, not
-organic duplication. The modulus lives inside each query function
-(not a shared constant) because the ORACLE SQL string must spell the
-same literal; keep them in sync when changing either.
+Planting convention (FIXTURE COUPLING, on purpose): every
+DOC_NEAR_MOD-th doc / VEC_SCALE_MOD-th vector spawns a mutated copy
+with id ``+PLANT_ID_OFFSET`` — the result sets are synthetic by
+construction, and a reader comparing counts across scale factors
+should expect |corpus|/25 (or /50) found pairs, not organic
+duplication. Since round 5 the moduli, the id offset, the DuckDB
+CTE bodies, AND the DataFrame transforms all live in ONE module
+(``planting.py``) — both language sides format from the same
+constants, so they cannot drift.
 """
 
 from __future__ import annotations
@@ -24,15 +25,22 @@ from pyspark.sql import functions as F
 
 from innercircle_etl_spark.functions import sketches as SK
 from innercircle_etl_spark.functions import vectors as V
+from innercircle_etl_spark.plans.planting import (
+    DOC_EXACT_CORPUS_SQL,
+    DOC_NEAR_CORPUS_SQL,
+    PLANT_ID_OFFSET,
+    VEC_SCALE_CORPUS_SQL,
+    VEC_SCALE_MOD,
+    plant_exact_docs,
+    plant_near_docs,
+    plant_scaled_vectors,
+)
 from innercircle_etl_spark.plans.registry import load, register
 
 # ---------------------------------------------------------------- exact
 
-_EXACT_ORACLE = """
-WITH corpus AS (
-    SELECT doc_id, text FROM documents
-    UNION ALL
-    SELECT doc_id + 100000, text FROM documents WHERE doc_id % 20 = 0
+_EXACT_ORACLE = f"""
+WITH corpus AS ({DOC_EXACT_CORPUS_SQL}
 )
 SELECT MIN(doc_id) AS keep_id,
        CAST(COUNT(*) AS BIGINT) AS n_copies
@@ -46,10 +54,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     One shuffle on the text (at 100TB: on md5(text) — 16-byte keys
     instead of document bodies; same grouping, tiny shuffle)."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    dups = docs.filter(F.col("doc_id") % 20 == 0).select(
-        (F.col("doc_id") + 100000).alias("doc_id"), "text"
-    )
-    corpus = docs.unionByName(dups)
+    corpus = plant_exact_docs(docs)
     return corpus.groupBy("text").agg(
         F.min("doc_id").alias("keep_id"),
         F.count(F.lit(1)).alias("n_copies"),
@@ -79,10 +84,7 @@ _band_list = ", ".join(
 )
 
 _MINHASH_ORACLE = f"""
-WITH corpus AS (
-    SELECT doc_id, text FROM documents
-    UNION ALL
-    SELECT doc_id + 100000, text || ' zzz' FROM documents WHERE doc_id % 25 = 0
+WITH corpus AS ({DOC_NEAR_CORPUS_SQL}
 ),
 tok AS (
     SELECT doc_id, string_split(text, ' ') AS w FROM corpus
@@ -137,17 +139,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_ngram_jaccard (exact verify) — same verify step, different
     candidate generation."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    # planted synthetic near-dups (see dedup_queries module doc)
-    near = docs.filter(F.col("doc_id") % 25 == 0).select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
-    )
     # Filter on a cheap token-count proxy BEFORE building shingle
     # arrays: filtering on size(sh) makes Catalyst inline the whole
     # shingle expression into the pushed-down predicate and evaluate
     # it twice per row.
     corpus = (
-        docs.unionByName(near)
+        plant_near_docs(docs)
         .filter(F.size(F.split(F.col("text"), " ")) >= 3)
         # tiny parquet => 1-2 input splits; spread the hash-heavy
         # compute across all cores. At 100TB the scan already yields
@@ -219,10 +216,7 @@ _sim_terms_sql = " + ".join(
 )
 
 _SIMHASH_ORACLE = f"""
-WITH corpus AS (
-    SELECT doc_id, text FROM documents
-    UNION ALL
-    SELECT doc_id + 100000, text || ' zzz' FROM documents WHERE doc_id % 25 = 0
+WITH corpus AS ({DOC_NEAR_CORPUS_SQL}
 ),
 tok AS (
     SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM corpus
@@ -255,12 +249,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle does the brute-force n² compare; both produce the same
     set."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    # planted synthetic near-dups (see dedup_queries module doc)
-    near = docs.filter(F.col("doc_id") % 25 == 0).select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
-    )
-    corpus = docs.unionByName(near)
+    corpus = plant_near_docs(docs)
     # cache: both sides of the block self-join consume the sketch
     # table; without the cache boundary each side re-runs the
     # explode + 32-way bit-vote aggregation (aliasing defeats
@@ -311,11 +300,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------- n-gram jaccard
 
-_NGRAM_ORACLE = """
-WITH corpus AS (
-    SELECT doc_id, text FROM documents
-    UNION ALL
-    SELECT doc_id + 100000, text || ' zzz' FROM documents WHERE doc_id % 25 = 0
+_NGRAM_ORACLE = f"""
+WITH corpus AS ({DOC_NEAR_CORPUS_SQL}
 ),
 grams AS (
     SELECT doc_id,
@@ -598,24 +584,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact (non-sketch) member of the dedup family; contrast
     dedup_minhash_lsh (probabilistic candidates, same verify)."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    # planted synthetic near-dups (see dedup_queries module doc)
-    near = docs.filter(F.col("doc_id") % 25 == 0).select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
-    )
-    return ngram_jaccard_pairs(docs.unionByName(near), 9, 10)
+    return ngram_jaccard_pairs(plant_near_docs(docs), 9, 10)
 
 
 # ----------------------------------------------------- embedding cosine
 
-_EMB_ORACLE = """
-WITH corpus AS (
-    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-    FROM embeddings
-    UNION ALL
-    SELECT vec_id + 100000,
-           list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.5)
-    FROM embeddings WHERE vec_id % 50 = 0
+_EMB_ORACLE = f"""
+WITH corpus AS ({VEC_SCALE_CORPUS_SQL}
 ),
 pairs AS (
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -662,13 +637,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket key; within-bucket self-join touches ~n²/2^16 pairs total.
     Plane count tunes the bucket granularity as n grows."""
     emb = load(spark, sf_dir, "embeddings")
-    base = emb.select("vec_id", V.as_double(F.col("embedding")).alias("v"))
-    # planted synthetic near-dups (see dedup_queries module doc)
-    planted = emb.filter(F.col("vec_id") % 50 == 0).select(
-        (F.col("vec_id") + 100000).alias("vec_id"),
-        F.transform("embedding", lambda x: x.cast("double") * 1.5).alias("v"),
-    )
-    corpus = base.unionByName(planted)
+    corpus = plant_scaled_vectors(emb)
 
     planes = V.hyperplane_weights(_EMB_PLANES, _EMB_DIM)
     # cache: both self-join sides read the bucketed corpus, and the
@@ -724,12 +693,12 @@ corpus AS (
     -- shifted output alias and perturb the wrong dims
     SELECT vec_id, v FROM orig
     UNION ALL
-    SELECT oid + 100000,
+    SELECT oid + %(off)s,
            list_transform(generate_series(1, len(v)),
                i -> CASE WHEN i = (oid %% 64) + 1 THEN v[i] + %(eps)s
                          WHEN i = ((oid * 7) %% 64) + 1 THEN v[i] - %(eps)s
                          ELSE v[i] END)
-    FROM (SELECT vec_id AS oid, v FROM orig WHERE vec_id %% 50 = 0)
+    FROM (SELECT vec_id AS oid, v FROM orig WHERE vec_id %% %(mod)s = 0)
 ),
 pairs AS (
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -742,7 +711,7 @@ pairs AS (
     FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
 )
 SELECT vec_a, vec_b, cos FROM pairs WHERE cos >= 0.99
-""" % {"eps": _EMB_EPS}
+""" % {"eps": _EMB_EPS, "off": PLANT_ID_OFFSET, "mod": VEC_SCALE_MOD}
 
 
 def _emb_multiprobe_corpus(emb: DataFrame) -> DataFrame:
@@ -758,10 +727,10 @@ def _emb_multiprobe_corpus(emb: DataFrame) -> DataFrame:
     j2 = (F.col("oid") * 7) % 64
     perturbed = (
         # planted synthetic near-dups (see dedup_queries module doc)
-        emb.filter(F.col("vec_id") % 50 == 0)
+        emb.filter(F.col("vec_id") % VEC_SCALE_MOD == 0)
         .select(F.col("vec_id").alias("oid"), "embedding")
         .select(
-            (F.col("oid") + 100000).alias("vec_id"),
+            (F.col("oid") + PLANT_ID_OFFSET).alias("vec_id"),
             F.transform(
                 "embedding",
                 lambda x, i: F.when(i == j1, x.cast("double") + _EMB_EPS)
@@ -879,10 +848,7 @@ def dedup_embedding_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------- minhash recall harness
 
 _MH_RECALL_ORACLE = f"""
-WITH corpus AS (
-    SELECT doc_id, text FROM documents
-    UNION ALL
-    SELECT doc_id + 100000, text || ' zzz' FROM documents WHERE doc_id % 25 = 0
+WITH corpus AS ({DOC_NEAR_CORPUS_SQL}
 ),
 tok AS (
     SELECT doc_id, string_split(text, ' ') AS w FROM corpus
@@ -895,7 +861,7 @@ shx AS (
 ),
 truth AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM shx a JOIN shx b ON b.doc_id = a.doc_id + 100000
+    FROM shx a JOIN shx b ON b.doc_id = a.doc_id + {PLANT_ID_OFFSET}
     WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
           / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
 ),
@@ -923,12 +889,7 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     it. The measurement loop a dedup rollout needs before trusting a
     sketch at scale."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    # planted synthetic near-dups (see dedup_queries module doc)
-    near = docs.filter(F.col("doc_id") % 25 == 0).select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
-    )
-    corpus = docs.unionByName(near).filter(
+    corpus = plant_near_docs(docs).filter(
         F.size(F.split(F.col("text"), " ")) >= 3
     )
     toks = F.split(F.col("text"), " ")
@@ -936,10 +897,10 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(
-        (F.col("doc_id") - 100000).alias("doc_a"),
+        (F.col("doc_id") - PLANT_ID_OFFSET).alias("doc_a"),
         F.col("doc_id").alias("doc_b"),
         F.col("sh").alias("sh_b"),
-    ).filter(F.col("doc_b") >= 100000)
+    ).filter(F.col("doc_b") >= PLANT_ID_OFFSET)
     jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
         F.array_union("sh_a", "sh_b")
     )

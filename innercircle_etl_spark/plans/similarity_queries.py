@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from innercircle_etl_spark.functions import vectors as V
+from innercircle_etl_spark.plans.planting import CODEBOOK_MOD
 from innercircle_etl_spark.plans.registry import load, register
 
 _N_QUERIES = 10  # vec_id < 10 are the query vectors
@@ -198,7 +199,7 @@ WITH e AS (
     FROM embeddings
 ),
 cent AS (
-    SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 97 = 0
+    SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % {CODEBOOK_MOD} = 0
 ),
 assign AS (
     SELECT vec_id, v, cid FROM (
@@ -310,7 +311,7 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     (learned cells)."""
     emb = load(spark, sf_dir, "embeddings")
     e = emb.select("vec_id", V.as_double(F.col("embedding")).alias("v"))
-    cent = e.filter(F.col("vec_id") % 97 == 0).select(
+    cent = e.filter(F.col("vec_id") % CODEBOOK_MOD == 0).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     )
     return ivf_topk(e, cent)
@@ -394,13 +395,17 @@ def lloyd_codebook(
     codebook is bit-deterministic; NO explode, no shuffle of the
     vectors beyond one groupBy per round).
 
-    Between rounds the k×64 centroid table collects to the driver —
-    dimension-sized (the same contract as broadcasting any dim
-    table; MLlib's KMeans does the identical collect per iteration).
-    K-means is THE canonical iterative algorithm: no SQL oracle can
-    express it, so queries built on this register rows-only."""
-    spark = e.sparkSession
-    cent = e.filter(F.col("vec_id") % 97 == 0).select(
+    Between rounds the k×64 centroid table is pinned with an eager
+    ``localCheckpoint`` — it stays executor-side (no driver
+    round-trip at all) and the checkpoint truncates the lineage,
+    which in an iterative loop would otherwise double per round
+    until the plan itself became the bottleneck. This is the
+    1000-executor form of the iterate-on-a-dimension-table pattern;
+    the next round's broadcast reads the checkpointed blocks
+    directly. K-means is THE canonical iterative algorithm: no SQL
+    oracle can express it, so queries built on this carry in-query
+    quality contracts instead (ann_ivf_lloyd / ann_recall_lloyd)."""
+    cent = e.filter(F.col("vec_id") % CODEBOOK_MOD == 0).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     )
     for _ in range(iters):
@@ -432,12 +437,11 @@ def lloyd_codebook(
                 ]
             ).alias("cv"),
         )
-        # dimension-sized collect between iterations (empty cells
-        # drop out naturally — groupBy only yields populated cells)
-        rows = mean.collect()
-        cent = spark.createDataFrame(
-            [(r["cid"], r["cv"]) for r in rows], "cid long, cv array<double>"
-        )
+        # dimension-sized executor-side materialization between
+        # iterations (empty cells drop out naturally — groupBy only
+        # yields populated cells); eager so each round's job runs
+        # now rather than nesting into the next round's plan
+        cent = mean.localCheckpoint(eager=True)
     return cent
 
 
@@ -580,7 +584,7 @@ WITH e AS (
 cbase AS (
     SELECT vec_id, v FROM (
         SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rn
-        FROM e WHERE vec_id % 97 = 0
+        FROM e WHERE vec_id % {CODEBOOK_MOD} = 0
     ) WHERE rn <= {_PQ_K}
 ),
 cents AS (  -- (subspace, cid, centroid-subvector)
@@ -588,7 +592,7 @@ cents AS (  -- (subspace, cid, centroid-subvector)
     FROM (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS s) s
     CROSS JOIN (
         SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rn
-        FROM e WHERE vec_id % 97 = 0 QUALIFY rn <= {_PQ_K}
+        FROM e WHERE vec_id % {CODEBOOK_MOD} = 0 QUALIFY rn <= {_PQ_K}
     ) c
 ),
 sub AS (    -- every vector x subspace
@@ -653,7 +657,7 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     w_sample = Window.orderBy("vec_id")
     cbase = (
-        e.filter(F.col("vec_id") % 97 == 0)
+        e.filter(F.col("vec_id") % CODEBOOK_MOD == 0)
         .withColumn("rn", F.row_number().over(w_sample))
         .filter(F.col("rn") <= _PQ_K)
     )
