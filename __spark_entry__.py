@@ -80,9 +80,11 @@ _PRIORITY = [
     "ann_lsh_multiprobe",
     "ann_recall_at_k",
     "x12_salted_agg",
-    # ---- 38-43: queries whose implementation changed in round 5
-    # (u12's explicit presence flag, ep3's perf rework, the Lloyd
-    # loop's driver-collect demotion) — re-prove the changes ----
+    # ---- 38-45: queries NEW or changed in round 5 (the S8/S9 REST
+    # connectors, u12's explicit presence flag, ep3's perf rework,
+    # the Lloyd loop's driver-collect demotion) — prove them ----
+    "s8_rest_source",
+    "s9_rest_sink",
     "u12_cdc_apply",
     "ep3_roi_cascade",
     "ann_ivf_lloyd",

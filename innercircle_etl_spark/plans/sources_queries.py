@@ -291,3 +291,106 @@ def s14_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nation.write.mode("overwrite").orc(path)
     return spark.read.orc(path)
+
+
+@register(
+    "s8_rest_source",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal FROM customer
+    """,
+)
+def s8_rest_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8: paginated REST API source — the reference's driver-side
+    requests loop (etl_utls.py:372-428: per-contract GETs with
+    429 retry handling) re-expressed as a DISTRIBUTED paginated
+    fetch: the page space is a DataFrame, each executor task pulls
+    its pages through an injected transport with per-task
+    token-bucket rate limiting and exponential-backoff retries, and
+    records land under an explicit schema (sources/rest.py).
+
+    The registered query injects the deterministic parquet-paging
+    transport (page p = rows [p*200, p*200+200) of customer.parquet
+    — exactly what a REST endpoint over that dataset would serve),
+    WRAPPED in the flaky decorator that throws a transient 429 on
+    the first attempt of every 7th page — so the oracle check
+    proves the retry path delivers every row exactly once. A real
+    deployment swaps in http_json_transport; nothing else changes."""
+    import pyarrow.parquet as pq
+
+    from innercircle_etl_spark.sources.rest import (
+        flaky_transport,
+        parquet_page_transport,
+        rest_source,
+    )
+
+    path = f"{sf_dir}/customer.parquet"
+    page_size = 200
+    cols = ["c_custkey", "c_name", "c_acctbal"]
+    # page count from footer metadata only — no driver data read
+    n_rows = pq.read_metadata(path).num_rows
+    n_pages = (n_rows + page_size - 1) // page_size
+    transport = flaky_transport(
+        parquet_page_transport(path, page_size, cols), fail_every=7
+    )
+    schema = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+        ]
+    )
+    return rest_source(
+        spark,
+        transport,
+        n_pages,
+        schema,
+        rate_limit_per_sec=500.0,
+        max_retries=3,
+    )
+
+
+@register(
+    "s9_rest_sink",
+    oracle="""
+    SELECT s_suppkey, s_name, s_acctbal FROM supplier
+    """,
+)
+def s9_rest_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9: batched REST sink — the reference's single driver PUT of
+    a whole table (adhoc queries/parsiq_push_address.py:10-14)
+    re-expressed as foreachPartition batch posts: executors drain
+    their partitions in 100-row JSON payloads through an injected
+    post() with rate limiting + retries (sources/rest.py). The
+    registered query posts the supplier dim into the NDJSON capture
+    transport, then reads the captured payloads back under an
+    explicit schema — delivery round-trip proven against the
+    DuckDB oracle (same pattern as the S2/S3 CSV round-trip).
+    At-least-once semantics documented on rest_sink; the capture
+    files are uuid-named so concurrent executor posts never
+    collide."""
+    import shutil
+
+    from innercircle_etl_spark.sources.rest import (
+        ndjson_capture_post,
+        rest_sink,
+    )
+
+    out = f"{SCRATCH}/rest_sink_{os.path.basename(sf_dir)}"
+    shutil.rmtree(out, ignore_errors=True)
+    sup = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal"
+    )
+    rest_sink(
+        sup,
+        ndjson_capture_post(out),
+        batch_size=100,
+        rate_limit_per_sec=500.0,
+    )
+    schema = T.StructType(
+        [
+            T.StructField("s_suppkey", T.LongType()),
+            T.StructField("s_name", T.StringType()),
+            T.StructField("s_acctbal", T.DoubleType()),
+        ]
+    )
+    return spark.read.schema(schema).json(out)
