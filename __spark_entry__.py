@@ -85,6 +85,7 @@ _PRIORITY = [
     # the Lloyd loop's driver-collect demotion) — prove them ----
     "s8_rest_source",
     "s9_rest_sink",
+    "j12_interval_bucket_join",
     "u12_cdc_apply",
     "ep3_roi_cascade",
     "ann_ivf_lloyd",

@@ -177,6 +177,11 @@ def test_salted_agg_two_phase_exchanges(spark, sf_dir):
         "a8b_approx_percentile",
         "ann_ivf_lloyd",
         "ann_recall_lloyd",
+        # round-5 additions
+        "u12_cdc_apply",
+        "s8_rest_source",
+        "s9_rest_sink",
+        "j12_interval_bucket_join",
     ],
 )
 def test_new_queries_no_cartesian(spark, sf_dir, name):
@@ -303,3 +308,15 @@ def test_dynamic_partition_pruning(spark, sf_dir):
     joined = fact.join(dim.hint("broadcast"), "d")
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_interval_join_buckets_not_cartesian(spark, sf_dir):
+    """j12: the pure interval-overlap join must run as an equi-join
+    on the hour bucket (SortMergeJoin/ShuffledHashJoin keyed on
+    bucket, or a broadcast of the exploded interval side) — never a
+    CartesianProduct and never a BroadcastNestedLoopJoin carrying
+    the range predicate."""
+    plan = plan_of(spark, sf_dir, "j12_interval_bucket_join")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "bucket" in plan, plan
