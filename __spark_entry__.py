@@ -86,6 +86,7 @@ _PRIORITY = [
     "s8_rest_source",
     "s9_rest_sink",
     "j12_interval_bucket_join",
+    "dedup_substring_spans",
     "u12_cdc_apply",
     "ep3_roi_cascade",
     "ann_ivf_lloyd",

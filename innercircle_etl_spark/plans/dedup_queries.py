@@ -1105,3 +1105,75 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id_b",
         F.col("bounded").cast("long").alias("edit_dist"),
     )
+
+
+# ------------------------------------------ exact substring-span dedup
+
+_SPAN_LEN = 40
+
+_SPAN_ORACLE = f"""
+WITH corpus AS ({DOC_NEAR_CORPUS_SQL}
+),
+spans AS (
+    SELECT doc_id,
+           unnest(list_distinct([substr(text, i, {_SPAN_LEN})
+                  for i in generate_series(1, length(text) - {_SPAN_LEN - 1})]))
+             AS span
+    FROM corpus WHERE length(text) >= {_SPAN_LEN}
+)
+SELECT md5(span) AS span_md5,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(doc_id) AS first_doc
+FROM spans
+GROUP BY md5(span)
+HAVING COUNT(*) >= 2
+"""
+
+
+@register("dedup_substring_spans", oracle=_SPAN_ORACLE)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-span dedup — the document-CROSSING exact-dup
+    detector from the training-data literature (find every
+    {_SPAN_LEN}-char span that appears verbatim in 2+ documents;
+    dedup at span granularity removes boilerplate/quotes that
+    whole-document dedup can never see). Complements the family:
+    dedup_exact (whole doc), MinHash/SimHash/ngram (approximate doc
+    level), this (exact sub-document level).
+
+    Plan: per-doc distinct spans via transform + array_distinct
+    (whole-stage codegen, no Python), hashed to md5 BEFORE the
+    shuffle — the groupBy moves 16-byte digests, never 40-char span
+    bodies, and because spans are already distinct within a doc a
+    plain COUNT(*) is the cross-document frequency (no
+    count-distinct state). One shuffle total.
+
+    Scale: span fan-out is |text| rows per doc — the explode is the
+    cost, and at 100TB the standard moves are a longer span (64-128
+    chars), a rolling Rabin-Karp hash in a mapInPandas pass instead
+    of materializing substrings, and sampling spans at a fixed
+    stride k (catches any repeat of length >= span+stride-1). The
+    groupBy-on-digest shape is unchanged by all three."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = plant_near_docs(docs).filter(
+        F.length("text") >= _SPAN_LEN
+    )
+    spans = corpus.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, length(text) - {_SPAN_LEN - 1}),"
+                    f" i -> substring(text, i, {_SPAN_LEN}))"
+                )
+            )
+        ).alias("span"),
+    )
+    return (
+        spans.select("doc_id", F.md5("span").alias("span_md5"))
+        .groupBy("span_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

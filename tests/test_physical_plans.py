@@ -182,6 +182,7 @@ def test_salted_agg_two_phase_exchanges(spark, sf_dir):
         "s8_rest_source",
         "s9_rest_sink",
         "j12_interval_bucket_join",
+        "dedup_substring_spans",
     ],
 )
 def test_new_queries_no_cartesian(spark, sf_dir, name):
