@@ -87,6 +87,8 @@ _PRIORITY = [
     "s9_rest_sink",
     "j12_interval_bucket_join",
     "dedup_substring_spans",
+    "dedup_shingle_containment",
+    "text_bm25_search",
     "u12_cdc_apply",
     "ep3_roi_cascade",
     "ann_ivf_lloyd",

@@ -83,8 +83,12 @@ _band_list = ", ".join(
     for b in range(_BANDS)
 )
 
-_MINHASH_ORACLE = f"""
-WITH corpus AS ({DOC_NEAR_CORPUS_SQL}
+# Shared candidate-generation CTE chain: corpus → shingles → MinHash
+# signatures → LSH band keys → colliding pairs. The Jaccard query
+# and the containment query put different verifiers on top of the
+# SAME candidates (in SQL here, and in Spark via
+# ``minhash_shingle_candidates`` below).
+_MINHASH_CAND_CTES = f"""corpus AS ({DOC_NEAR_CORPUS_SQL}
 ),
 tok AS (
     SELECT doc_id, string_split(text, ' ') AS w FROM corpus
@@ -114,7 +118,10 @@ cand AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bands a JOIN bands b
       ON a.band_key = b.band_key AND a.doc_id < b.doc_id
-)
+)"""
+
+_MINHASH_ORACLE = f"""
+WITH {_MINHASH_CAND_CTES}
 SELECT c.doc_a, c.doc_b,
        CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
          / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
@@ -126,18 +133,14 @@ WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
 """
 
 
-@register("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup detection: 3-word shingles → 16 MinHashes → 4 LSH
-    bands → band-bucket join for candidates → exact Jaccard verify
-    at 0.8.
-
-    This is the sub-linear scale path for dedup at 100TB: candidate
-    generation is a shuffle on band keys (each doc emits 4 rows
-    regardless of corpus size); only colliding docs are compared.
-    Contrast j11_pairs_jaccard (inverted-index exact) and
-    dedup_ngram_jaccard (exact verify) — same verify step, different
-    candidate generation."""
+def minhash_shingle_candidates(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared candidate generator: returns (hashed, cand) where
+    ``hashed`` is the per-doc shingle table (doc_id, sh, h1, h2) —
+    cached, since banding and both verify sides consume it — and
+    ``cand`` is the distinct LSH band-collision pair set. The
+    Spark-side twin of ``_MINHASH_CAND_CTES``."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     # Filter on a cheap token-count proxy BEFORE building shingle
     # arrays: filtering on size(sh) makes Catalyst inline the whole
@@ -182,6 +185,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
+    return hashed, cand
+
+
+@register("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection: 3-word shingles → 16 MinHashes → 4 LSH
+    bands → band-bucket join for candidates → exact Jaccard verify
+    at 0.8.
+
+    This is the sub-linear scale path for dedup at 100TB: candidate
+    generation is a shuffle on band keys (each doc emits 4 rows
+    regardless of corpus size); only colliding docs are compared.
+    Contrast j11_pairs_jaccard (inverted-index exact) and
+    dedup_ngram_jaccard (exact verify) — same verify step, different
+    candidate generation."""
+    hashed, cand = minhash_shingle_candidates(spark, sf_dir)
     sa = hashed.select(
         F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
     )
@@ -1176,4 +1195,68 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("first_doc"),
         )
         .filter(F.col("n_docs") >= 2)
+    )
+
+
+# ------------------------------------------- shingle containment dedup
+
+_CONTAIN_T = 0.9
+
+_CONTAIN_ORACLE = f"""
+WITH {_MINHASH_CAND_CTES}
+SELECT c.doc_a, c.doc_b,
+       CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         / len(sa.sh) AS contain_a,
+       CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         / len(sb.sh) AS contain_b
+FROM cand c
+JOIN sh sa ON c.doc_a = sa.doc_id
+JOIN sh sb ON c.doc_b = sb.doc_id
+WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         / len(sa.sh) >= {_CONTAIN_T}
+   OR CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         / len(sb.sh) >= {_CONTAIN_T}
+"""
+
+
+@register("dedup_shingle_containment", oracle=_CONTAIN_ORACLE)
+def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC containment dedup — the quote/superset detector:
+    a short document fully quoted inside a long one has Jaccard
+    |A|/|B| (tiny — symmetric dedup never fires) but containment
+    C(A→B) = |A∩B|/|A| ≈ 1. Web-corpus pipelines run exactly this
+    to drop pages that are boilerplate-wrapped copies of shorter
+    sources. Same LSH band candidates as dedup_minhash_lsh
+    (``minhash_shingle_candidates`` — one candidate machinery, two
+    verifiers), verify keeps any pair where EITHER direction clears
+    0.9 and reports both directions, so the consumer can tell
+    "A inside B" from "B inside A".
+
+    Note the recall asymmetry this inherits: MinHash collision
+    probability tracks JACCARD, so a tiny-doc-in-huge-doc pair can
+    evade the bands even at containment 1.0 — the documented fix at
+    scale is banding on the smaller doc's shingle sample or a
+    suffix-automaton pass (dedup_substring_spans is the exact
+    variant). The oracle computes over the same candidates, so the
+    check pins the verifier, not the S-curve."""
+    hashed, cand = minhash_shingle_candidates(spark, sf_dir)
+    sa = hashed.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
+    )
+    sb = hashed.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    contain_a = inter / F.size("sh_a")
+    contain_b = inter / F.size("sh_b")
+    withA = sa.join(F.broadcast(cand), "doc_a")
+    return (
+        sb.join(F.broadcast(withA), "doc_b")
+        .withColumn("contain_a", contain_a)
+        .withColumn("contain_b", contain_b)
+        .filter(
+            (F.col("contain_a") >= _CONTAIN_T)
+            | (F.col("contain_b") >= _CONTAIN_T)
+        )
+        .select("doc_a", "doc_b", "contain_a", "contain_b")
     )

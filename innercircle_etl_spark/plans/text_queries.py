@@ -494,3 +494,123 @@ def text_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "flagged",
         (F.col("top_word_frac") > 0.2) | (F.col("dup_bigram_frac") > 0.3),
     )
+
+
+# ------------------------------------------------------- BM25 search
+
+_BM25_TERMS = ("hash", "vector", "spark")
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+_BM25_TOPK = 10
+
+_BM25_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+    SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM toks WHERE term IN ({_BM25_TERMS_SQL}) GROUP BY 1, 2
+),
+dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+meta AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           AVG(len(string_split(text, ' '))) AS avgdl
+    FROM documents
+),
+dl AS (
+    SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+    FROM documents
+),
+ts AS (
+    SELECT tf.doc_id,
+           (((meta.n_docs - dfq.df) + 0.5) / (dfq.df + 0.5))
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (0.25 + (0.75 * dl.dl) / meta.avgdl)) AS s
+    FROM tf
+    JOIN dfq ON tf.term = dfq.term
+    JOIN dl ON tf.doc_id = dl.doc_id
+    CROSS JOIN meta
+),
+agg AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+           CAST(SUM(CAST(s AS DECIMAL(38,6))) AS DOUBLE) AS score
+    FROM ts GROUP BY 1
+),
+r AS (
+    SELECT *, CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                   AS INTEGER) AS rank
+    FROM agg
+)
+SELECT doc_id, n_terms, score, rank FROM r WHERE rank <= {_BM25_TOPK}
+"""
+
+
+@register("text_bm25_search", oracle=_BM25_ORACLE)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-weighted corpus search: top-10 documents for a fixed
+    3-term query — the relevance scan a corpus-curation pass runs to
+    pull topical subsets out of a 100TB crawl (and the retrieval
+    half of any RAG data pipeline).
+
+    Standard Okapi shape (k1=1.2, b=0.75: term-frequency saturation
+    + document-length normalization) with ONE deliberate change: the
+    idf is the RAW Robertson ratio (N - df + 0.5)/(df + 0.5), not
+    its log. ln() is the only non-algebraic step in BM25, and
+    transcendentals are the one place two engines' doubles diverge
+    (same lesson as text_tfidf_terms' integer-quantized idf); +,*,/
+    on doubles are IEEE-exact in both, so with textually parallel
+    expression trees the per-term scores are bit-identical and the
+    value-hash holds. Monotonicity in df is preserved — rankings
+    for a single-term query are unchanged; multi-term mixes weight
+    rare terms harder than the log form, which curation usually
+    wants anyway. Per-doc summation goes through DECIMAL(38,6) so
+    addition order cannot flip last-ulp ties.
+
+    Plan: the term filter prunes the exploded token stream before
+    the tf groupBy (one doc-sized shuffle); df (3 rows) and the
+    corpus meta (1 row) broadcast; doc length joins on doc_id; the
+    global top-10 is a sorted limit (TakeOrderedAndProject), with
+    the rank window running over 10 rows only."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    tf = (
+        toks.filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    meta = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.size(F.split("text", " "))).alias("avgdl"),
+    )
+    dl = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("dl")
+    )
+    idf = ((F.col("n_docs") - F.col("df")) + F.lit(0.5)) / (
+        F.col("df") + F.lit(0.5)
+    )
+    s = (idf * (F.col("tf") * F.lit(2.2))) / (
+        F.col("tf")
+        + F.lit(1.2)
+        * (F.lit(0.25) + (F.lit(0.75) * F.col("dl")) / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(dfq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(meta))
+        .select("doc_id", s.alias("s"))
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum(F.col("s").cast("decimal(38,6)")).cast("double").alias("score"),
+    )
+    top = agg.orderBy(F.col("score").desc(), F.col("doc_id")).limit(
+        _BM25_TOPK
+    )
+    return top.withColumn(
+        "rank",
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), F.col("doc_id")))
+        .cast("int"),
+    ).select("doc_id", "n_terms", "score", "rank")

@@ -183,6 +183,8 @@ def test_salted_agg_two_phase_exchanges(spark, sf_dir):
         "s9_rest_sink",
         "j12_interval_bucket_join",
         "dedup_substring_spans",
+        "dedup_shingle_containment",
+        "text_bm25_search",
     ],
 )
 def test_new_queries_no_cartesian(spark, sf_dir, name):
