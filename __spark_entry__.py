@@ -89,6 +89,7 @@ _PRIORITY = [
     "dedup_substring_spans",
     "dedup_shingle_containment",
     "text_bm25_search",
+    "w10_twap",
     "u12_cdc_apply",
     "ep3_roi_cascade",
     "ann_ivf_lloyd",

@@ -403,3 +403,86 @@ def w9_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
         F.ntile(10).over(w).cast("long").alias("wealth_decile"),
     )
+
+
+_TWAP_ORACLE = """
+WITH seq AS (
+    SELECT user_id, ts, value,
+           lead(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS nxt
+    FROM events
+),
+iv AS (
+    SELECT user_id, value,
+           (epoch_us(nxt) - epoch_us(ts)) // 1000000 AS dur_s
+    FROM seq WHERE nxt IS NOT NULL
+)
+SELECT user_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,6)) * dur_s) AS DOUBLE)
+         / SUM(dur_s) AS twap,
+       CAST(COUNT(*) AS BIGINT) AS n_intervals
+FROM iv GROUP BY user_id
+"""
+
+
+@register("w10_twap", oracle=_TWAP_ORACLE)
+def w10_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W10 (beyond-parity): time-weighted average value per user —
+    the TWAP every trading/metering pipeline computes (a price that
+    held for 6 hours must weigh more than one that held 6 seconds;
+    the reference's ROI tables average per-row, which systematically
+    over-weights bursty activity). Each observation is weighted by
+    its holding duration: the gap to the SAME key's next event via
+    lead() — one shuffle on user_id. The weighted mean is EXACT
+    decimal arithmetic end to end: value converts to DECIMAL(18,6)
+    BEFORE the multiply (at value's ~1e2 magnitude the double ulp is
+    1e-14, so scale-6 rounding can never tie — registry doctrine),
+    then decimal × integer stays exact through the sum. Durations
+    are WHOLE SECONDS (integer-div of the micros gap) by design:
+    per-user total time is calendar-bounded, so the numerator's
+    significand stays under 2^53 and the final decimal→double cast
+    is correctly rounded in both engines. Microsecond weights broke
+    exactly there — the sums agreed decimal-for-decimal, but each
+    engine's decimal→double cast rounds >2^53 significands through
+    different paths (measured: 25-29% of groups off by one ulp).
+    Sub-second flickers carry zero weight — documented semantics,
+    not an accident. The final open interval has no duration and is
+    excluded, matching the oracle's NULL lead drop.
+    Event-time epoch math uses the NTZ-safe timestamp_diff helper —
+    unix_micros throws on the fixture's TIMESTAMP_NTZ."""
+    from innercircle_etl_spark.plans.streaming_queries import _ts_us
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    seq = ev.select(
+        "user_id",
+        "ts",
+        "value",
+        F.lead("ts").over(w).alias("nxt"),
+    )
+    iv = (
+        seq.filter(F.col("nxt").isNotNull())
+        .select(
+            "user_id",
+            "value",
+            (_ts_us("nxt") - _ts_us("ts")).alias("dur_us"),
+        )
+        # integer div, matching the oracle's // — a double `/` with a
+        # truncating cast can disagree at knife-edge quotients
+        .select(
+            "user_id",
+            "value",
+            F.expr("dur_us div 1000000").alias("dur_s"),
+        )
+    )
+    return iv.groupBy("user_id").agg(
+        (
+            F.sum(
+                F.col("value").cast("decimal(18,6)") * F.col("dur_s")
+            ).cast("double")
+            / F.sum("dur_s")
+        ).alias("twap"),
+        F.count(F.lit(1)).alias("n_intervals"),
+    )

@@ -185,6 +185,7 @@ def test_salted_agg_two_phase_exchanges(spark, sf_dir):
         "dedup_substring_spans",
         "dedup_shingle_containment",
         "text_bm25_search",
+        "w10_twap",
     ],
 )
 def test_new_queries_no_cartesian(spark, sf_dir, name):
