@@ -90,6 +90,7 @@ _PRIORITY = [
     "dedup_shingle_containment",
     "text_bm25_search",
     "w10_twap",
+    "q3_outlier_zscores",
     "u12_cdc_apply",
     "ep3_roi_cascade",
     "ann_ivf_lloyd",

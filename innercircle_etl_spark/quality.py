@@ -338,3 +338,92 @@ def q2_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profiled.select(
         F.explode(F.array(*rows)).alias("p")
     ).select("p.*")
+
+
+# -------------------------------------------------- z-score outliers
+
+_Z_T = 3.0
+
+_Q3_ORACLE = f"""
+WITH cents AS (
+    SELECT l_returnflag AS flag,
+           CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
+    FROM lineitem
+),
+stats AS (
+    SELECT flag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(c) AS BIGINT) AS s,
+           CAST(SUM(c * c) AS BIGINT) AS ssq
+    FROM cents GROUP BY flag
+),
+m AS (
+    SELECT flag, n, s, ssq,
+           CAST(s AS DOUBLE) / n AS mean_c,
+           sqrt((ssq - (CAST(s AS DOUBLE) * s) / n) / (n - 1)) AS sd_c
+    FROM stats
+)
+SELECT m.flag,
+       m.n,
+       CAST(COUNT(CASE WHEN abs(c.c - m.mean_c) > {_Z_T} * m.sd_c
+                       THEN 1 END) AS BIGINT) AS n_outliers,
+       MAX(abs(c.c - m.mean_c) / m.sd_c) AS max_abs_z
+FROM cents c JOIN m ON c.flag = m.flag
+GROUP BY m.flag, m.n
+"""
+
+
+@register("q3_outlier_zscores", oracle=_Q3_ORACLE)
+def q3_outlier_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 (beyond-parity): per-group z-score outlier audit — the
+    distribution-shift tripwire a daily load runs before publishing
+    (a decode regression that 100x-es some prices moves max_abs_z
+    long before a human notices).
+
+    Cross-engine exactness discipline, end to end: prices quantize
+    to integer CENTS first (floor(x*100 + 0.5) — floor is
+    deterministic where a round() half-tie is not), so every sum is
+    EXACT int64 arithmetic (ssq tops out ~1e17 < 2^63) and the only
+    int→double conversions are single correctly-rounded casts —
+    avoiding the >2^53 decimal→double divergence w10 documented.
+    mean/variance use the textbook one-pass identity on those exact
+    sums; sqrt is IEEE-correctly-rounded in both engines, so the
+    z-scores are bit-identical. Two-pass shape: a metrics-sized
+    stats aggregate broadcast back onto the cents stream — two
+    map-side-combinable passes over the scan, no window, no
+    driver state."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("c"),
+    )
+    stats = li.groupBy("flag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ssq"),
+    )
+    m = stats.select(
+        "flag",
+        "n",
+        (F.col("s").cast("double") / F.col("n")).alias("mean_c"),
+        F.sqrt(
+            (
+                F.col("ssq")
+                - (F.col("s").cast("double") * F.col("s")) / F.col("n")
+            )
+            / (F.col("n") - 1)
+        ).alias("sd_c"),
+    )
+    z_hit = F.abs(F.col("c") - F.col("mean_c")) > _Z_T * F.col("sd_c")
+    return (
+        li.join(F.broadcast(m), "flag")
+        .groupBy("flag", "n")
+        .agg(
+            F.count(F.when(z_hit, 1)).alias("n_outliers"),
+            F.max(
+                F.abs(F.col("c") - F.col("mean_c")) / F.col("sd_c")
+            ).alias("max_abs_z"),
+        )
+        .select("flag", "n", "n_outliers", "max_abs_z")
+    )

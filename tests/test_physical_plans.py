@@ -186,6 +186,7 @@ def test_salted_agg_two_phase_exchanges(spark, sf_dir):
         "dedup_shingle_containment",
         "text_bm25_search",
         "w10_twap",
+        "q3_outlier_zscores",
     ],
 )
 def test_new_queries_no_cartesian(spark, sf_dir, name):
