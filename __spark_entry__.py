@@ -91,6 +91,7 @@ _PRIORITY = [
     "text_bm25_search",
     "w10_twap",
     "q3_outlier_zscores",
+    "ep9_vector_index_pipeline",
     "u12_cdc_apply",
     "ep3_roi_cascade",
     "ann_ivf_lloyd",

@@ -8,7 +8,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from innercircle_etl_spark.functions import vectors as V
-from innercircle_etl_spark.plans.planting import CODEBOOK_MOD
+from innercircle_etl_spark.plans.planting import (
+    CODEBOOK_MOD,
+    VEC_SCALE_CORPUS_SQL,
+)
 from innercircle_etl_spark.plans.registry import load, register
 
 _N_QUERIES = 10  # vec_id < 10 are the query vectors
@@ -953,4 +956,122 @@ def ann_sq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= _SQ_TOPK)
         .select("query_id", "neighbor_id", "rank", "dist")
+    )
+
+
+# ---------------------------------------- ep9: vector-index pipeline
+
+_EP9_ORACLE = f"""
+WITH corpus AS ({VEC_SCALE_CORPUS_SQL}
+),
+dup_pairs AS (
+    SELECT a.vec_id AS keep_id, b.vec_id AS drop_id
+    FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+    WHERE {_COS_SQL.format(a="a.v", b="b.v")} >= 0.99
+),
+survivors AS (
+    SELECT vec_id, v FROM corpus
+    WHERE vec_id NOT IN (SELECT drop_id FROM dup_pairs)
+),
+cent AS (
+    SELECT vec_id AS cid, v AS cv FROM survivors
+    WHERE vec_id % {{cbmod}} = 0
+),
+assign AS (
+    SELECT vec_id, cid, ccos FROM (
+        SELECT s.vec_id, c.cid,
+               {_COS_SQL.format(a="s.v", b="c.cv")} AS ccos,
+               row_number() OVER (
+                   PARTITION BY s.vec_id
+                   ORDER BY {_COS_SQL.format(a="s.v", b="c.cv")} DESC,
+                            c.cid ASC
+               ) AS rn
+        FROM survivors s CROSS JOIN cent c
+    ) WHERE rn = 1
+)
+SELECT cid,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       MIN(vec_id) AS min_vec_id,
+       CAST(SUM(CAST(ccos AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*)
+         AS avg_cos
+FROM assign GROUP BY cid
+""".replace("{cbmod}", str(CODEBOOK_MOD))
+
+
+@register("ep9_vector_index_pipeline", oracle=_EP9_ORACLE)
+def ep9_vector_index_pipeline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EP9: the vector-index BUILD pipeline as one DAG — the
+    offline job that turns a raw embedding dump into a servable IVF
+    index, composing the similarity and dedup families end-to-end:
+
+        near-dup removal (sign-bucket LSH candidates, cosine >= 0.99,
+        keep-canonical lower id) -> sampled coarse codebook ->
+        broadcast-argmax cell assignment -> per-cell manifest
+        (population, min id, mean assignment cosine)
+
+    The manifest is what an ANN serving layer loads: cell sizes
+    drive probe planning, and a falling mean assignment cosine is
+    the retrain signal. Dedup-before-index matters operationally:
+    planted 1.5x copies land in the same cell as their original and
+    bias its centroid fit, so they are removed first (the ep8
+    quality-gate lesson, applied to vectors).
+
+    Scale: candidate generation is the 16-plane bucket join (never
+    all-pairs — the oracle's n² compare is the small-fixture spec,
+    not the plan); the anti-join drops copies; assignment is a
+    broadcast-centroid argmax (no corpus shuffle); the manifest is
+    one cell-keyed groupBy. The mean cosine goes through
+    DECIMAL(18,12) — cos values are unit-scale, so the significand
+    stays far under 2^53 and the decimal→double cast is exact-safe
+    (the w10 rule)."""
+    emb = load(spark, sf_dir, "embeddings")
+    from innercircle_etl_spark.plans.planting import plant_scaled_vectors
+
+    corpus = plant_scaled_vectors(emb)
+
+    # near-dup candidates via 16-plane sign buckets (the
+    # dedup_embedding_cosine machinery; lossless for scalar copies)
+    planes = V.hyperplane_weights(16, _DIM_EMB)
+    bkt = corpus.withColumn(
+        "bucket", V.sign_bucket(F.col("v"), planes)
+    ).localCheckpoint(eager=True)
+    a = bkt.select(
+        "bucket", F.col("vec_id").alias("keep_id"), F.col("v").alias("va")
+    )
+    b = bkt.select(
+        "bucket", F.col("vec_id").alias("drop_id"), F.col("v").alias("vb")
+    )
+    drops = (
+        a.join(b, "bucket")
+        .filter(F.col("keep_id") < F.col("drop_id"))
+        .filter(V.cosine(F.col("va"), F.col("vb")) >= 0.99)
+        .select("drop_id")
+        .distinct()
+    )
+    survivors = bkt.select("vec_id", "v").join(
+        drops.withColumnRenamed("drop_id", "vec_id"), "vec_id", "left_anti"
+    )
+
+    cent = survivors.filter(F.col("vec_id") % CODEBOOK_MOD == 0).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    sim = V.cosine(F.col("v"), F.col("cv"))
+    crossed = survivors.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "cid", sim.alias("ccos")
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("ccos").desc(), F.col("cid").asc()
+    )
+    assign = crossed.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    return assign.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.min("vec_id").alias("min_vec_id"),
+        (
+            F.sum(F.col("ccos").cast("decimal(18,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_cos"),
     )

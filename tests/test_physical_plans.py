@@ -187,6 +187,7 @@ def test_salted_agg_two_phase_exchanges(spark, sf_dir):
         "text_bm25_search",
         "w10_twap",
         "q3_outlier_zscores",
+        "ep9_vector_index_pipeline",
     ],
 )
 def test_new_queries_no_cartesian(spark, sf_dir, name):
