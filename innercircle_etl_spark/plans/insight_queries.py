@@ -158,21 +158,24 @@ def ep5_shadow_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     the as-of shuffles once on (wallet, coll); the insider dim and
     latest-floor broadcast; the summary reuses the (wallet, coll)
     clustering left by the as-of."""
-    # fact feeds the floor, buy and sell branches — one scan, cached
-    # eagerly (lazy consumers race the cache and re-scan); widen()
-    # first so the cached layout doesn't inherit the local fixture's
-    # near-serial scan partitioning (no-op on a cluster scan)
-    fact = widen(_fact(spark, sf_dir)).cache()
-    fact.count()
+    # fact feeds the floor, buy and sell branches and stays LAZY:
+    # three column-pruned re-scans of the parquet beat the cache
+    # fill they'd save (the same A/B result as ep3, NOTES.md round
+    # 5), and re-scanning is the only viable form at cluster scale.
+    # widen() still corrects the local fixture's near-serial scan
+    # layout (no-op on a many-split cluster scan).
+    fact = widen(_fact(spark, sf_dir))
     insiders = _insiders(spark, sf_dir)
 
     # floor_daily feeds TWO consumers (the entry-floor join and the
-    # latest-floor broadcast) — cache so the within-group percentile
-    # sort runs once; the broadcast job that evaluates latest_floor
-    # fills the cache before the main job's entry-floor join scans it
+    # latest-floor broadcast) — eager localCheckpoint runs the
+    # within-group percentile sort exactly once and pins the
+    # dimension-sized result; a lazy cache left the two consumers
+    # racing to fill it (measured: lazy+ckpt 3.07s vs cache 3.49s
+    # min at sf0.1)
     floor_daily = percentile_disc(
         fact, ["coll", "ev_date"], "price", 0.2, out_col="floor_price"
-    ).cache()
+    ).localCheckpoint(eager=True)
     latest_floor = latest_per_key(floor_daily, ["coll"], "ev_date").select(
         "coll", F.col("floor_price").alias("latest_price")
     )
