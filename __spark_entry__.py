@@ -94,9 +94,11 @@ _PRIORITY = [
     "ep9_vector_index_pipeline",
     "u12_cdc_apply",
     "ep3_roi_cascade",
-    "ann_ivf_lloyd",
-    "ann_recall_lloyd",
     "ep5_shadow_trade",
+    "ann_ivf_lloyd",
+    # ann_recall_lloyd proves the same Lloyd-loop change as
+    # ann_ivf_lloyd and was r4-green — beyond the ~50 window
+    "ann_recall_lloyd",
     "ep1_daily_pipeline",
     # ---- 44-50: one representative per family so any prefix of
     # the window still spans the operator inventory ----
