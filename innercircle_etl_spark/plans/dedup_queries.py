@@ -269,14 +269,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     set."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     corpus = plant_near_docs(docs)
-    # cache: both sides of the block self-join consume the sketch
-    # table; without the cache boundary each side re-runs the
-    # explode + 32-way bit-vote aggregation (aliasing defeats
-    # ReusedExchange).
-    sim = SK.simhash32(corpus, "doc_id", "text").cache()
-    # eager: both join sides otherwise race to fill the cache and
-    # each re-runs the explode + bit-vote build (the ngram lesson)
-    sim.count()
+    # Eager localCheckpoint: both sides of the block self-join
+    # consume the sketch table; without the boundary each side
+    # re-runs the explode + 32-way bit-vote aggregation (aliasing
+    # defeats ReusedExchange), and a lazy cache leaves the sides
+    # racing to fill it. Checkpoint also removes block-eviction
+    # variance (the round-4 ngram lesson).
+    sim = SK.simhash32(corpus, "doc_id", "text").localCheckpoint(
+        eager=True
+    )
 
     # pigeonhole blocking: 4 blocks of 8 bits
     blocked = sim.select(
@@ -659,14 +660,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = plant_scaled_vectors(emb)
 
     planes = V.hyperplane_weights(_EMB_PLANES, _EMB_DIM)
-    # cache: both self-join sides read the bucketed corpus, and the
-    # 16-plane projection is the expensive expression — compute once.
+    # Eager localCheckpoint: both self-join sides read the bucketed
+    # corpus and the 16-plane projection is the expensive expression
+    # — compute once, pinned (cache+count left the blocks evictable;
+    # the round-4 ngram lesson).
     bkt = corpus.withColumn(
         "bucket", V.sign_bucket(F.col("v"), planes)
-    ).cache()
-    # eager: the two join sides otherwise race to fill the cache and
-    # each re-runs the 16-plane projection (the ngram lesson)
-    bkt.count()
+    ).localCheckpoint(eager=True)
     a = bkt.select(
         "bucket", F.col("vec_id").alias("vec_a"), F.col("v").alias("va")
     )
