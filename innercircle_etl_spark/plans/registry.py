@@ -125,7 +125,12 @@ def widen(df: DataFrame) -> DataFrame:
     layout, serializing every consumer's map side (measured 26% of
     ep3's wall time at sf0.1). On a real cluster a 100TB table scans
     as thousands of splits, the guard fails, and NO shuffle is added
-    — this is a local-layout corrective, not a plan stage."""
+    — this is a local-layout corrective, not a plan stage.
+
+    The ``df.rdd`` partition probe is plan analysis only, no job:
+    measured ~0.5ms/call warm (round 5); the `_jdf.rdd()` JVM-side
+    alternative is ~50x SLOWER per call, so the idiomatic form
+    stays."""
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() * 2 <= target:
