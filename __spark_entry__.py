@@ -92,6 +92,7 @@ _PRIORITY = [
     "w10_twap",
     "q3_outlier_zscores",
     "ep9_vector_index_pipeline",
+    "i13_stream_cdc_apply",
     "u12_cdc_apply",
     "ep3_roi_cascade",
     "ep5_shadow_trade",

@@ -1065,3 +1065,118 @@ def i12_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return spark.read.parquet(sink).filter(F.col("user_id") >= 0)
+
+
+# ------------------------------------------------ I13: streaming CDC
+
+_I13_SCHEMA = (
+    "k long, ts_us long, event_id long, op string, new_bal double"
+)
+
+# final state must equal the batch CDC apply — same oracle
+from innercircle_etl_spark.plans.upserts import _U12_ORACLE  # noqa: E402
+
+
+@register("i13_stream_cdc_apply", oracle=_U12_ORACLE)
+def i13_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I13 (beyond-parity): u12's CDC apply as a CHECKPOINTED STREAM
+    — the lakehouse continuous-ingestion form. The changelog arrives
+    in two micro-batch waves split by event id, which deliberately
+    interleaves event TIME across batches: a key's newest change can
+    land in wave 0 and an older change for the same key in wave 1.
+    Batch u12 never sees this (one global latest-per-key); a stream
+    MUST version-guard — so the snapshot stores each key's applied
+    (ts, event_id) version and an op only wins if strictly newer,
+    with DELETES kept as TOMBSTONES (version + deleted flag) so an
+    out-of-order older update cannot resurrect a deleted key. This
+    is the Delta/Hudi merge-on-read discipline in miniature.
+
+    foreachBatch: window latest-per-key WITHIN the batch, version-
+    guarded full-outer merge against the snapshot, atomic swap.
+    Restart-safe: the checkpoint replays unprocessed files only and
+    the merge is idempotent (re-applying a batch finds no strictly-
+    newer versions). Final state == batch u12 == its DuckDB oracle,
+    proving out-of-order cross-batch delivery converges to the same
+    table."""
+    base = _fresh(f"{SCRATCH}/stream_i13_{os.path.basename(sf_dir)}")
+    src, ckpt, snap = f"{base}/in", f"{base}/ckpt", f"{base}/snapshot"
+
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_acctbal").alias("bal"),
+        F.lit(False).alias("deleted"),
+        F.lit(-1).cast("long").alias("v_ts"),
+        F.lit(-1).cast("long").alias("v_eid"),
+    )
+    cust.write.mode("overwrite").parquet(snap)
+
+    ev = load(spark, sf_dir, "events")
+    changelog = ev.select(
+        F.col("user_id").alias("k"),
+        _ts_us("ts").alias("ts_us"),
+        "event_id",
+        F.when(F.col("event_id") % 10 == 0, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.col("value").alias("new_bal"),
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        w = Window.partitionBy("k").orderBy(
+            F.col("ts_us").desc(), F.col("event_id").desc()
+        )
+        latest = (
+            batch_df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "k",
+                F.col("ts_us").alias("c_ts"),
+                F.col("event_id").alias("c_eid"),
+                "op",
+                "new_bal",
+            )
+        )
+        cur = sp.read.parquet(snap)
+        m = cur.join(latest, "k", "full_outer")
+        newer = F.col("c_ts").isNotNull() & (
+            F.col("v_ts").isNull()
+            | (F.col("c_ts") > F.col("v_ts"))
+            | (
+                (F.col("c_ts") == F.col("v_ts"))
+                & (F.col("c_eid") > F.col("v_eid"))
+            )
+        )
+        merged = m.select(
+            "k",
+            F.when(newer & (F.col("op") == "U"), F.col("new_bal"))
+            .otherwise(F.col("bal"))
+            .alias("bal"),
+            F.when(newer, F.col("op") == "D")
+            .otherwise(F.coalesce(F.col("deleted"), F.lit(False)))
+            .alias("deleted"),
+            F.when(newer, F.col("c_ts"))
+            .otherwise(F.coalesce(F.col("v_ts"), F.lit(-1)))
+            .alias("v_ts"),
+            F.when(newer, F.col("c_eid"))
+            .otherwise(F.coalesce(F.col("v_eid"), F.lit(-1)))
+            .alias("v_eid"),
+        )
+        tmp = f"{snap}_tmp_{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(snap, ignore_errors=True)
+        os.rename(tmp, snap)
+
+    for wave in (0, 1):
+        changelog.filter(F.col("event_id") % 2 == wave).write.mode(
+            "append"
+        ).json(src)
+        stream = stream_ndjson_dir(spark, src, _I13_SCHEMA)
+        run_available_now(stream, ckpt, foreach_batch=apply_batch)
+
+    final = spark.read.parquet(snap).filter(~F.col("deleted"))
+    return final.select(
+        F.col("k").alias("c_custkey"),
+        F.col("bal").alias("acctbal"),
+        (F.col("v_eid") >= 0).alias("touched"),
+    )

@@ -190,6 +190,9 @@ def test_salted_agg_two_phase_exchanges(spark, sf_dir):
         "ep9_vector_index_pipeline",
     ],
 )
+# i13_stream_cdc_apply is excluded from the plan-gate parametrize:
+# building it executes the two-wave stream (side-effecting), and its
+# merge plan is the same full-outer shape u12 gates.
 def test_new_queries_no_cartesian(spark, sf_dir, name):
     """Round-2/3/4 additions keep the no-cartesian guarantee (the
     1-row broadcast crossJoins used for scalar/codebook delivery are
