@@ -80,9 +80,16 @@ _PRIORITY = [
     "ann_lsh_multiprobe",
     "ann_recall_at_k",
     "x12_salted_agg",
-    # ---- 38-45: queries NEW or changed in round 5 (the S8/S9 REST
-    # connectors, u12's explicit presence flag, ep3's perf rework,
-    # the Lloyd loop's driver-collect demotion) — prove them ----
+    # ---- 38-50: queries NEW or CHANGED in round 5, highest stakes
+    # first: the changed bench-headline cascades and the semantics
+    # fix, then the new connectors/operators. The ~50-row window is
+    # finite, so the round-5 newcomers least at risk (the two Lloyd
+    # contract queries — r4-green, their change is a mechanical
+    # localCheckpoint re-verified locally 3x — plus the three
+    # latest additions) wait for the round-6 rotation ----
+    "u12_cdc_apply",
+    "ep3_roi_cascade",
+    "ep5_shadow_trade",
     "s8_rest_source",
     "s9_rest_sink",
     "j12_interval_bucket_join",
@@ -93,12 +100,10 @@ _PRIORITY = [
     "q3_outlier_zscores",
     "ep9_vector_index_pipeline",
     "i13_stream_cdc_apply",
-    "u12_cdc_apply",
-    "ep3_roi_cascade",
-    "ep5_shadow_trade",
+    # ---- beyond ~50: round-5 items that can wait one round ----
+    "dedup_semantic_clusters",
+    "text_mix_weights",
     "ann_ivf_lloyd",
-    # ann_recall_lloyd proves the same Lloyd-loop change as
-    # ann_ivf_lloyd and was r4-green — beyond the ~50 window
     "ann_recall_lloyd",
     "ep1_daily_pipeline",
     # ---- 44-50: one representative per family so any prefix of

@@ -1260,3 +1260,133 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_a", "doc_b", "contain_a", "contain_b")
     )
+
+
+# ------------------------------------------- semantic cluster dedup
+
+_SEM_T = 0.95
+
+_SEM_ORACLE = f"""
+WITH corpus AS ({VEC_SCALE_CORPUS_SQL}
+),
+cent AS (
+    SELECT vec_id AS cid, v AS cv FROM corpus
+    WHERE vec_id % 97 = 0
+),
+assign AS (
+    SELECT vec_id, v, cid, ccos FROM (
+        SELECT c0.vec_id, c0.v, c.cid,
+               list_reduce(list_transform(generate_series(1, len(c0.v)),
+                           i -> c0.v[i] * c.cv[i]), (x, y) -> x + y)
+               / (sqrt(list_reduce(list_transform(c0.v, x -> x*x),
+                                   (x,y) -> x+y))
+                  * sqrt(list_reduce(list_transform(c.cv, x -> x*x),
+                                     (x,y) -> x+y))) AS ccos,
+               row_number() OVER (
+                   PARTITION BY c0.vec_id
+                   ORDER BY list_reduce(list_transform(
+                                generate_series(1, len(c0.v)),
+                                i -> c0.v[i] * c.cv[i]), (x, y) -> x + y)
+                            / (sqrt(list_reduce(list_transform(c0.v,
+                                        x -> x*x), (x,y) -> x+y))
+                               * sqrt(list_reduce(list_transform(c.cv,
+                                        x -> x*x), (x,y) -> x+y))) DESC,
+                            c.cid ASC
+               ) AS rn
+        FROM corpus c0 CROSS JOIN cent c
+    ) WHERE rn = 1
+),
+canon AS (
+    SELECT cid, MIN(vec_id) AS canon_id FROM assign GROUP BY cid
+),
+scored AS (
+    SELECT a.vec_id, a.cid, k.canon_id,
+           list_reduce(list_transform(generate_series(1, len(a.v)),
+                       i -> a.v[i] * c.v[i]), (x, y) -> x + y)
+           / (sqrt(list_reduce(list_transform(a.v, x -> x*x),
+                               (x,y) -> x+y))
+              * sqrt(list_reduce(list_transform(c.v, x -> x*x),
+                                 (x,y) -> x+y))) AS canon_cos
+    FROM assign a
+    JOIN canon k ON a.cid = k.cid
+    JOIN assign c ON c.vec_id = k.canon_id
+    WHERE a.vec_id <> k.canon_id
+)
+SELECT cid, canon_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(CASE WHEN canon_cos >= {_SEM_T} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_redundant,
+       MAX(canon_cos) AS max_canon_cos
+FROM scored GROUP BY cid, canon_id
+"""
+
+
+@register("dedup_semantic_clusters", oracle=_SEM_ORACLE)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC dedup, cluster-canonical form: assign every
+    embedding to its nearest codebook cell, elect each cell's
+    minimum id as the canonical exemplar, and flag members whose
+    cosine TO THE CANONICAL exceeds 0.95 — the compare-to-exemplar
+    discipline from the semantic-dedup literature. Pairwise LSH
+    (dedup_embedding_cosine) finds near-copies; this finds
+    REDUNDANT REPRESENTATIVES — vectors so close to their cluster's
+    exemplar that keeping both adds no diversity, even when they
+    are not copies of each other.
+
+    Scale shape vs pairwise: per member exactly ONE comparison
+    (against its cell's canonical), so the verify cost is linear in
+    corpus size — no candidate pair generation at all. The
+    assignment is the shared broadcast-argmax; the canonical
+    election is a cell-keyed groupBy; the canonical's vector joins
+    back via a dimension-sized broadcast (|cells| rows). Threshold
+    and codebook grain tune recall exactly like IVF probes."""
+    emb = load(spark, sf_dir, "embeddings")
+    corpus = plant_scaled_vectors(emb)
+    from innercircle_etl_spark.plans.planting import CODEBOOK_MOD
+
+    cent = corpus.filter(F.col("vec_id") % CODEBOOK_MOD == 0).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    sim = V.cosine(F.col("v"), F.col("cv"))
+    crossed = corpus.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "v", "cid", sim.alias("ccos")
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("ccos").desc(), F.col("cid").asc()
+    )
+    assign = (
+        crossed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "cid")
+        .localCheckpoint(eager=True)  # three consumers below
+    )
+    canon = assign.groupBy("cid").agg(F.min("vec_id").alias("canon_id"))
+    canon_vec = (
+        canon.join(
+            assign.select(
+                F.col("vec_id").alias("canon_id"),
+                F.col("v").alias("canon_v"),
+            ),
+            "canon_id",
+        )
+    )
+    scored = (
+        assign.join(F.broadcast(canon_vec), "cid")
+        .filter(F.col("vec_id") != F.col("canon_id"))
+        .select(
+            "cid",
+            "canon_id",
+            V.cosine(F.col("v"), F.col("canon_v")).alias("canon_cos"),
+        )
+    )
+    # per-cell audit frame: population, redundant count at the
+    # threshold, and the extreme score — a |cells|-sized manifest
+    # the curation pass reads to pick what to drop (and a much
+    # stronger hash gate than the one-or-two flagged rows alone)
+    return scored.groupBy("cid", "canon_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum(
+            F.when(F.col("canon_cos") >= _SEM_T, 1).otherwise(0)
+        ).alias("n_redundant"),
+        F.max("canon_cos").alias("max_canon_cos"),
+    )

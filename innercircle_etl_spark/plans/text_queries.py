@@ -614,3 +614,64 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.orderBy(F.col("score").desc(), F.col("doc_id")))
         .cast("int"),
     ).select("doc_id", "n_terms", "score", "rank")
+
+
+# ------------------------------------------------- mixture weighting
+
+_MIX_ORACLE = """
+WITH per_lang AS (
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+             AS lang_tokens
+    FROM documents GROUP BY lang
+),
+tot AS (
+    SELECT CAST(SUM(lang_tokens) AS BIGINT) AS total_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_langs
+    FROM per_lang
+)
+SELECT p.lang, p.n_docs, p.lang_tokens,
+       CAST(t.total_tokens AS DOUBLE)
+         / (t.n_langs * p.lang_tokens) AS sample_weight
+FROM per_lang p CROSS JOIN tot t
+"""
+
+
+@register("text_mix_weights", oracle=_MIX_ORACLE)
+def text_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture weighting: per-language token counts and the
+    per-document sampling weight that rebalances the corpus to a
+    UNIFORM token share per language — the knob every training-data
+    mix sweep turns (swap the uniform target for any published
+    mixture by replacing 1/n_langs with the target share). A weight
+    above 1 up-samples an under-represented language; below 1
+    down-samples. weight = total_tokens / (n_langs * lang_tokens)
+    stays in exact integer arithmetic until one final double
+    division (both operands < 2^53 — the w10 casting rule), so the
+    value hash-matches the oracle.
+
+    Scale: one map-side-combinable groupBy over the scan; the
+    1-row total broadcasts back. Composes with
+    samp_stratified_hash: feed these weights in as the per-stratum
+    rates to materialize the rebalanced corpus."""
+    docs = load(spark, sf_dir, "documents").select("lang", "text")
+    per_lang = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " ")).cast("long")).alias(
+            "lang_tokens"
+        ),
+    )
+    tot = per_lang.agg(
+        F.sum("lang_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_langs"),
+    )
+    return per_lang.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "lang_tokens",
+        (
+            F.col("total_tokens").cast("double")
+            / (F.col("n_langs") * F.col("lang_tokens"))
+        ).alias("sample_weight"),
+    )

@@ -188,6 +188,8 @@ def test_salted_agg_two_phase_exchanges(spark, sf_dir):
         "w10_twap",
         "q3_outlier_zscores",
         "ep9_vector_index_pipeline",
+        "dedup_semantic_clusters",
+        "text_mix_weights",
     ],
 )
 # i13_stream_cdc_apply is excluded from the plan-gate parametrize:
