@@ -103,6 +103,7 @@ _PRIORITY = [
     # ---- beyond ~50: round-5 items that can wait one round ----
     "dedup_semantic_clusters",
     "text_mix_weights",
+    "s15_partitioned_db_pull",
     "ann_ivf_lloyd",
     "ann_recall_lloyd",
     "ep1_daily_pipeline",

@@ -394,3 +394,83 @@ def s9_rest_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return spark.read.schema(schema).json(out)
+
+
+@register(
+    "s15_partitioned_db_pull",
+    oracle="""
+    SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+    WHERE c_acctbal > 0
+    """,
+)
+def s15_partitioned_db_pull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S15 (beyond-parity): partitioned pull from an EXTERNAL
+    database — the reference's warehouse reads (etl_utls.py
+    query_postgres / BigQuery pulls) are single-connection driver
+    fetches; the scale form is spark.read.jdbc's
+    partitionColumn/lowerBound/upperBound pattern: split the key
+    range into N slices, one connection PER TASK, each issuing a
+    range-predicated query so the external engine does the
+    filtering (predicate pushdown into the REMOTE system, not just
+    the parquet reader).
+
+    Here the external engine is a real second database: a DuckDB
+    file built once on the driver, then opened READ-ONLY by every
+    executor task, each pulling its own key slice with the row
+    filter pushed into the remote SQL text. The key-range split is
+    computed from cheap min/max bounds (what read.jdbc requires you
+    to supply), so no task depends on driver-side data. Skewed key
+    ranges produce skewed slices — same caveat as JDBC, fixed by
+    hash-mod predicates (`WHERE key %% N = i`) when ids cluster."""
+    import duckdb
+
+    db_path = f"{SCRATCH}/ext_{os.path.basename(sf_dir)}.duckdb"
+    # driver-side one-time setup of the "external" database
+    if os.path.exists(db_path):
+        os.remove(db_path)
+    con = duckdb.connect(db_path)
+    con.execute(
+        "CREATE TABLE customer AS "
+        f"SELECT * FROM read_parquet('{sf_dir}/customer.parquet')"
+    )
+    lo, hi = con.execute(
+        "SELECT MIN(c_custkey), MAX(c_custkey) FROM customer"
+    ).fetchone()
+    con.close()
+
+    n_parts = 8
+    step = (hi - lo + n_parts) // n_parts
+    bounds = spark.createDataFrame(
+        [
+            (lo + i * step, min(lo + (i + 1) * step - 1, hi))
+            for i in range(n_parts)
+        ],
+        "b_lo long, b_hi long",
+    ).repartition(n_parts)
+
+    def pull(batches):
+        import duckdb as dk
+        import pandas as pd
+
+        for pdf in batches:
+            frames = []
+            for b_lo, b_hi in zip(pdf["b_lo"], pdf["b_hi"]):
+                c = dk.connect(db_path, read_only=True)
+                # the row filter ships INTO the external engine —
+                # remote predicate pushdown, the point of the pattern
+                frames.append(
+                    c.execute(
+                        "SELECT c_custkey, c_nationkey, c_acctbal "
+                        "FROM customer "
+                        f"WHERE c_custkey BETWEEN {int(b_lo)} "
+                        f"AND {int(b_hi)} AND c_acctbal > 0"
+                    ).df()
+                )
+                c.close()
+            yield pd.concat(frames) if frames else pd.DataFrame(
+                {"c_custkey": [], "c_nationkey": [], "c_acctbal": []}
+            )
+
+    return bounds.mapInPandas(
+        pull, "c_custkey long, c_nationkey int, c_acctbal double"
+    )

@@ -190,6 +190,7 @@ def test_salted_agg_two_phase_exchanges(spark, sf_dir):
         "ep9_vector_index_pipeline",
         "dedup_semantic_clusters",
         "text_mix_weights",
+        "s15_partitioned_db_pull",
     ],
 )
 # i13_stream_cdc_apply is excluded from the plan-gate parametrize:
