@@ -158,17 +158,16 @@ def minhash_shingle_candidates(
     toks = F.split(F.col("text"), " ")
     sh = corpus.select("doc_id", SK.word_shingles(toks, 3).alias("sh"))
     h1, h2 = SK.shingle_hashes(F.col("sh"))
-    # cache HERE, after the md5/hash projection: it feeds candidate
-    # generation AND both sides of the verify join, and the cache
-    # boundary stops ProjectCollapse from inlining h1/h2 into all 16
-    # signature expressions (higher-order funcs are interpreted — no
-    # CSE — so inlining would run the md5 pass 32x per row).
+    # Eager localCheckpoint HERE, after the md5/hash projection: it
+    # feeds candidate generation AND both sides of the verify join,
+    # and the materialization boundary stops ProjectCollapse from
+    # inlining h1/h2 into all 16 signature expressions (higher-order
+    # funcs are interpreted — no CSE — so inlining would run the md5
+    # pass 32x per row). Checkpoint over cache+count: pinned blocks,
+    # no eviction-triggered recompute (the round-4 variance lesson).
     hashed = sh.select(
         "doc_id", "sh", h1.alias("h1"), h2.alias("h2")
-    ).cache()
-    # eager: three consumers (banding + both verify sides) would race
-    # to fill the cache, each re-running the md5 pass
-    hashed.count()
+    ).localCheckpoint(eager=True)
     sigs = SK.minhash_from_hashes(F.col("h1"), F.col("h2"), _NUM_HASHES)
     banded = hashed.select(
         "doc_id",
