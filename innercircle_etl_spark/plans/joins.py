@@ -583,50 +583,28 @@ def j12_interval_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     BroadcastNestedLoop (small side only) or a cartesian — the
     classic missing operator for large×large temporal joins.
 
-    The scale form is BUCKETIZATION: quantize time to hour buckets,
-    explode each interval into the buckets it covers (a 6-hour
-    window emits 7 rows — bounded by interval length, not data),
-    map each event to its bucket, equi-join on the bucket, then
-    apply the EXACT half-open predicate inside the join. An event
-    maps to exactly one bucket and an interval covers each bucket
-    once, so the output needs no dedup. Both sides shuffle once on
-    the bucket key; at 100TB this is a standard partitioned hash
-    join whose key cardinality (hours) also lines up with calendar
-    partition pruning. Bucket granularity trades fan-out
-    (interval_len/bucket) against per-bucket skew — tune it to the
-    typical interval length. The plan gate asserts no
+    The scale form is BUCKETIZATION — see
+    ``operators/interval_join.py`` (the reusable operator this
+    query instantiates over 6-hour event windows with hour
+    buckets; hypothesis-tested against the quadratic model in
+    tests/test_interval_hypothesis.py). The plan gate asserts no
     CartesianProduct survives."""
+    from innercircle_etl_spark.operators.interval_join import (
+        interval_bucket_join,
+    )
+
     ev = load(spark, sf_dir, "events")
     intervals = ev.filter(F.col("event_id") % 499 == 0).select(
         F.col("event_id").alias("window_id"),
         F.col("ts").alias("win_start"),
         (F.col("ts") + F.expr("INTERVAL 6 HOURS")).alias("win_end"),
     )
-    # one row per (interval, covered hour bucket); the end bucket is
-    # included because a half-open end mid-hour still admits events
-    buckets = intervals.select(
-        "window_id",
-        "win_start",
-        "win_end",
-        F.explode(
-            F.sequence(
-                F.date_trunc("hour", F.col("win_start")),
-                F.date_trunc("hour", F.col("win_end")),
-                F.expr("INTERVAL 1 HOUR"),
-            )
-        ).alias("bucket"),
-    )
-    events = ev.select(
-        "event_id",
-        "ts",
-        "value",
-        F.date_trunc("hour", F.col("ts")).alias("bucket"),
-    )
-    return (
-        buckets.join(events, "bucket")
-        .filter(
-            (F.col("ts") >= F.col("win_start"))
-            & (F.col("ts") < F.col("win_end"))
-        )
-        .select("window_id", "event_id", "value")
-    )
+    events = ev.select("event_id", F.col("ts").alias("ev_ts"), "value")
+    return interval_bucket_join(
+        intervals,
+        events,
+        left_start="win_start",
+        left_end="win_end",
+        right_time="ev_ts",
+        bucket_unit="hour",
+    ).select("window_id", "event_id", "value")
