@@ -1121,51 +1121,10 @@ def i13_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("new_bal"),
     )
 
+    from innercircle_etl_spark.operators.cdc import apply_cdc_batch
+
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        sp = batch_df.sparkSession
-        w = Window.partitionBy("k").orderBy(
-            F.col("ts_us").desc(), F.col("event_id").desc()
-        )
-        latest = (
-            batch_df.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(
-                "k",
-                F.col("ts_us").alias("c_ts"),
-                F.col("event_id").alias("c_eid"),
-                "op",
-                "new_bal",
-            )
-        )
-        cur = sp.read.parquet(snap)
-        m = cur.join(latest, "k", "full_outer")
-        newer = F.col("c_ts").isNotNull() & (
-            F.col("v_ts").isNull()
-            | (F.col("c_ts") > F.col("v_ts"))
-            | (
-                (F.col("c_ts") == F.col("v_ts"))
-                & (F.col("c_eid") > F.col("v_eid"))
-            )
-        )
-        merged = m.select(
-            "k",
-            F.when(newer & (F.col("op") == "U"), F.col("new_bal"))
-            .otherwise(F.col("bal"))
-            .alias("bal"),
-            F.when(newer, F.col("op") == "D")
-            .otherwise(F.coalesce(F.col("deleted"), F.lit(False)))
-            .alias("deleted"),
-            F.when(newer, F.col("c_ts"))
-            .otherwise(F.coalesce(F.col("v_ts"), F.lit(-1)))
-            .alias("v_ts"),
-            F.when(newer, F.col("c_eid"))
-            .otherwise(F.coalesce(F.col("v_eid"), F.lit(-1)))
-            .alias("v_eid"),
-        )
-        tmp = f"{snap}_tmp_{batch_id}"
-        merged.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(snap, ignore_errors=True)
-        os.rename(tmp, snap)
+        apply_cdc_batch(snap, batch_df, batch_id)
 
     for wave in (0, 1):
         changelog.filter(F.col("event_id") % 2 == wave).write.mode(

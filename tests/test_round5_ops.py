@@ -205,95 +205,60 @@ def test_ep9_manifest_invariants(spark, sf_dir):
 
 def test_i13_tombstone_blocks_out_of_order_resurrection(spark, sf_dir):
     """The version-guard + tombstone core of the streaming CDC
-    apply, driven directly: a DELETE applied in batch 1 must not be
-    resurrected by an OLDER update arriving in batch 2, while a
-    genuinely newer update must re-insert the key."""
-    import importlib
-
-    sq = importlib.import_module(
-        "innercircle_etl_spark.plans.streaming_queries"
-    )
+    apply (operators/cdc.py — the REAL code i13 runs), driven
+    directly: a DELETE applied in batch 1 must not be resurrected
+    by an OLDER update arriving in batch 2, while a genuinely newer
+    update must re-insert the key."""
     import os
     import shutil
+
+    from innercircle_etl_spark.operators.cdc import apply_cdc_batch
 
     base = "/root/repo/.scratch/i13_tombstone_test"
     shutil.rmtree(base, ignore_errors=True)
     os.makedirs(base)
     snap = f"{base}/snapshot"
-    from pyspark.sql import Window
-    from pyspark.sql import functions as FF
-
     spark.createDataFrame(
         [(1, 100.0, False, -1, -1), (2, 200.0, False, -1, -1)],
         "k long, bal double, deleted boolean, v_ts long, v_eid long",
     ).write.mode("overwrite").parquet(snap)
 
-    def apply_batch(batch_df, batch_id):
-        sp = batch_df.sparkSession
-        w = Window.partitionBy("k").orderBy(
-            FF.col("ts_us").desc(), FF.col("event_id").desc()
-        )
-        latest = (
-            batch_df.withColumn("rn", FF.row_number().over(w))
-            .filter(FF.col("rn") == 1)
-            .select(
-                "k",
-                FF.col("ts_us").alias("c_ts"),
-                FF.col("event_id").alias("c_eid"),
-                "op",
-                "new_bal",
-            )
-        )
-        cur = sp.read.parquet(snap)
-        m = cur.join(latest, "k", "full_outer")
-        newer = FF.col("c_ts").isNotNull() & (
-            FF.col("v_ts").isNull()
-            | (FF.col("c_ts") > FF.col("v_ts"))
-            | (
-                (FF.col("c_ts") == FF.col("v_ts"))
-                & (FF.col("c_eid") > FF.col("v_eid"))
-            )
-        )
-        merged = m.select(
-            "k",
-            FF.when(newer & (FF.col("op") == "U"), FF.col("new_bal"))
-            .otherwise(FF.col("bal"))
-            .alias("bal"),
-            FF.when(newer, FF.col("op") == "D")
-            .otherwise(FF.coalesce(FF.col("deleted"), FF.lit(False)))
-            .alias("deleted"),
-            FF.when(newer, FF.col("c_ts"))
-            .otherwise(FF.coalesce(FF.col("v_ts"), FF.lit(-1)))
-            .alias("v_ts"),
-            FF.when(newer, FF.col("c_eid"))
-            .otherwise(FF.coalesce(FF.col("v_eid"), FF.lit(-1)))
-            .alias("v_eid"),
-        )
-        tmp = f"{snap}_tmp_{batch_id}"
-        merged.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(snap, ignore_errors=True)
-        os.rename(tmp, snap)
-
     schema = "k long, ts_us long, event_id long, op string, new_bal double"
     # batch 1: key 1 deleted at t=100; key 2 updated at t=100
-    b1 = spark.createDataFrame(
-        [(1, 100, 10, "D", None), (2, 100, 11, "U", 222.0)], schema
+    apply_cdc_batch(
+        snap,
+        spark.createDataFrame(
+            [(1, 100, 10, "D", None), (2, 100, 11, "U", 222.0)], schema
+        ),
+        1,
     )
-    apply_batch(b1, 1)
     # batch 2 (out of order): OLDER update for key 1 (t=50) must NOT
     # resurrect it; NEWER update for key 2 (t=150) must win
-    b2 = spark.createDataFrame(
-        [(1, 50, 5, "U", 111.0), (2, 150, 12, "U", 333.0)], schema
+    apply_cdc_batch(
+        snap,
+        spark.createDataFrame(
+            [(1, 50, 5, "U", 111.0), (2, 150, 12, "U", 333.0)], schema
+        ),
+        2,
     )
-    apply_batch(b2, 2)
-    state = {
-        r["k"]: r for r in spark.read.parquet(snap).collect()
-    }
+    state = {r["k"]: r for r in spark.read.parquet(snap).collect()}
     assert state[1]["deleted"] is True  # tombstone survived
     assert state[2]["deleted"] is False and state[2]["bal"] == 333.0
     # batch 3: genuinely newer re-insert of key 1 (t=200) wins
-    b3 = spark.createDataFrame([(1, 200, 20, "U", 444.0)], schema)
-    apply_batch(b3, 3)
+    apply_cdc_batch(
+        snap,
+        spark.createDataFrame([(1, 200, 20, "U", 444.0)], schema),
+        3,
+    )
     state = {r["k"]: r for r in spark.read.parquet(snap).collect()}
     assert state[1]["deleted"] is False and state[1]["bal"] == 444.0
-    assert sq is not None
+    # idempotence: re-applying batch 3 changes nothing
+    apply_cdc_batch(
+        snap,
+        spark.createDataFrame([(1, 200, 20, "U", 444.0)], schema),
+        4,
+    )
+    state2 = {r["k"]: r for r in spark.read.parquet(snap).collect()}
+    assert {k: (v["bal"], v["deleted"]) for k, v in state.items()} == {
+        k: (v["bal"], v["deleted"]) for k, v in state2.items()
+    }
