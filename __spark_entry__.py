@@ -104,6 +104,7 @@ _PRIORITY = [
     "dedup_semantic_clusters",
     "text_mix_weights",
     "s15_partitioned_db_pull",
+    "q4_key_skew_report",
     "ann_ivf_lloyd",
     "ann_recall_lloyd",
     "ep1_daily_pipeline",

@@ -427,3 +427,71 @@ def q3_outlier_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("flag", "n", "n_outliers", "max_abs_z")
     )
+
+
+# ---------------------------------------------------- key-skew report
+
+_Q4_ORACLE = """
+SELECT * FROM (
+    SELECT 'l_partkey' AS key_col,
+           CAST(SUM(cnt) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+           CAST(MAX(cnt) AS DOUBLE) / SUM(cnt) AS top1_share,
+           CAST(SUM(cnt * cnt) AS DOUBLE)
+             / (CAST(SUM(cnt) AS DOUBLE) * SUM(cnt)) AS hhi
+    FROM (SELECT l_partkey AS k, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM lineitem GROUP BY 1)
+    UNION ALL
+    SELECT 'l_suppkey',
+           CAST(SUM(cnt) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT),
+           CAST(MAX(cnt) AS BIGINT),
+           CAST(MAX(cnt) AS DOUBLE) / SUM(cnt),
+           CAST(SUM(cnt * cnt) AS DOUBLE)
+             / (CAST(SUM(cnt) AS DOUBLE) * SUM(cnt))
+    FROM (SELECT l_suppkey AS k, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM lineitem GROUP BY 1)
+)
+"""
+
+
+@register("q4_key_skew_report", oracle=_Q4_ORACLE)
+def q4_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 (beyond-parity): join-key skew profile — the diagnostic a
+    planner runs BEFORE sizing salt factors (x11/x12) or trusting
+    AQE's skew split: per candidate key column, the distinct-key
+    count, the hottest key's row count and share, and the
+    Herfindahl concentration (hhi = sum over keys of share² — 1/hhi
+    is the effective number of keys; hhi near 1 means one key owns
+    the shuffle and salting is mandatory).
+
+    Exactness: counts are exact ints; sum(cnt²) stays in int64
+    (cnt ≤ |table|, so the sum is bounded by |table|² ~ 3.6e11 at
+    sf0.1 — far inside 2^63); shares and hhi are single double
+    divisions of under-2^53 integers (the w10 casting rule), so the
+    values hash-match the oracle. Plan: one groupBy per profiled
+    column (map-side combinable), each collapsing to a 1-row
+    profile; the union is metrics-sized."""
+
+    def profile(col: str) -> DataFrame:
+        cnts = (
+            load(spark, sf_dir, "lineitem")
+            .groupBy(F.col(col).alias("k"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        return cnts.agg(
+            F.lit(col).alias("key_col"),
+            F.sum("cnt").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.max("cnt").alias("max_cnt"),
+            (
+                F.max("cnt").cast("double") / F.sum("cnt")
+            ).alias("top1_share"),
+            (
+                F.sum(F.col("cnt") * F.col("cnt")).cast("double")
+                / (F.sum("cnt").cast("double") * F.sum("cnt"))
+            ).alias("hhi"),
+        )
+
+    return profile("l_partkey").unionByName(profile("l_suppkey"))

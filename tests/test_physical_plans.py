@@ -191,6 +191,7 @@ def test_salted_agg_two_phase_exchanges(spark, sf_dir):
         "dedup_semantic_clusters",
         "text_mix_weights",
         "s15_partitioned_db_pull",
+        "q4_key_skew_report",
     ],
 )
 # i13_stream_cdc_apply is excluded from the plan-gate parametrize:
