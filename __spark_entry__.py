@@ -105,6 +105,7 @@ _PRIORITY = [
     "text_mix_weights",
     "s15_partitioned_db_pull",
     "q4_key_skew_report",
+    "text_decontaminate",
     "ann_ivf_lloyd",
     "ann_recall_lloyd",
     "ep1_daily_pipeline",

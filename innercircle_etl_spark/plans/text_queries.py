@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from innercircle_etl_spark.functions import text as TX
+from innercircle_etl_spark.plans.planting import PLANT_ID_OFFSET
 from innercircle_etl_spark.plans.registry import load, register
 
 
@@ -674,4 +675,83 @@ def text_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total_tokens").cast("double")
             / (F.col("n_langs") * F.col("lang_tokens"))
         ).alias("sample_weight"),
+    )
+
+
+# ----------------------------------------------- decontamination
+
+_DECON_K = 8       # shingle width: 8-word exact overlap
+_EVAL_MOD = 101    # every 101st doc is the held-out eval set
+
+_DECON_ORACLE = f"""
+WITH corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL   -- planted leaks: copies of EVAL docs inside train
+    SELECT doc_id + {PLANT_ID_OFFSET}, text FROM documents
+    WHERE doc_id % {_EVAL_MOD} = 0
+),
+sh AS (
+    SELECT doc_id,
+           unnest(list_distinct(
+               [array_to_string(w[i:i+{_DECON_K - 1}], ' ')
+                for i in generate_series(1, len(w) - {_DECON_K - 1})]
+           )) AS g
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus)
+    WHERE len(w) >= {_DECON_K}
+),
+eval_sh AS (
+    SELECT DISTINCT g FROM sh WHERE doc_id % {_EVAL_MOD} = 0
+)
+SELECT s.doc_id AS train_doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM sh s JOIN eval_sh e ON s.g = e.g
+WHERE s.doc_id % {_EVAL_MOD} <> 0
+GROUP BY s.doc_id
+"""
+
+
+@register("text_decontaminate", oracle=_DECON_ORACLE)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval DECONTAMINATION — the audit every benchmark-clean
+    training run requires: flag training documents that share any
+    exact 8-word shingle with the held-out evaluation set, so
+    benchmark text cannot leak into the corpus. The fixture plants
+    the leak deliberately: verbatim copies of eval docs re-enter as
+    training ids (offset +100000, which is never ≡ 0 mod 101, so
+    every copy is a TRAIN doc carrying eval text).
+
+    Plan: per-doc distinct 8-gram shingles JVM-side (the shared
+    let-bound transform), the eval side reduces to a DISTINCT
+    shingle set — eval sets are benchmark-sized, so at 100TB this
+    side is small and broadcasts — and the train stream semi-joins
+    against it; output is (train_doc_id, n_shared) for flagged docs
+    only. Raising the shingle width k trades recall for precision
+    exactly as in the published decontamination setups; hash the
+    shingles (md5) when the eval set outgrows string-key joins."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    leaked = docs.filter(F.col("doc_id") % _EVAL_MOD == 0).select(
+        (F.col("doc_id") + PLANT_ID_OFFSET).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(leaked)
+
+    from innercircle_etl_spark.functions import sketches as SK
+
+    toks = F.split(F.col("text"), " ")
+    sh = (
+        corpus.filter(F.size(F.split(F.col("text"), " ")) >= _DECON_K)
+        .select(
+            "doc_id",
+            F.explode(SK.word_shingles(toks, _DECON_K)).alias("g"),
+        )
+    )
+    eval_sh = (
+        sh.filter(F.col("doc_id") % _EVAL_MOD == 0)
+        .select("g")
+        .distinct()
+    )
+    return (
+        sh.filter(F.col("doc_id") % _EVAL_MOD != 0)
+        .join(F.broadcast(eval_sh), "g")
+        .groupBy(F.col("doc_id").alias("train_doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
     )
