@@ -108,7 +108,6 @@ def mm_av_frame_sample_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
 
     from pyspark.sql.types import (
-        BinaryType,
         LongType,
         StringType,
         StructField,
