@@ -67,16 +67,43 @@ def versioned_cdc_merge(
     )
 
 
+def recover_snapshot(snap_path: str) -> None:
+    """Crash recovery: if a previous swap died between moving the
+    live snapshot aside and moving the new one into place, the table
+    exists only at ``<snap_path>_old`` — restore it. Never touches a
+    live snapshot (the ``_old`` copy is strictly older)."""
+    old = f"{snap_path}_old"
+    if not os.path.exists(snap_path) and os.path.exists(old):
+        os.rename(old, snap_path)
+
+
 def apply_cdc_batch(
     snap_path: str, batch: DataFrame, batch_id: int
 ) -> None:
     """foreachBatch body: merge ``batch`` into the parquet snapshot
-    at ``snap_path`` and atomically swap it into place. Idempotent —
-    re-applying a batch finds no strictly-newer versions."""
+    at ``snap_path`` and swap it into place crash-safely. Idempotent
+    — re-applying a batch finds no strictly-newer versions.
+
+    Swap discipline (no single-syscall atomic dir replace on POSIX):
+    write to ``_tmp``, rename live → ``_old``, rename ``_tmp`` →
+    live, drop ``_old``. At every crash point at least one complete
+    snapshot directory survives: before the first rename it is the
+    live dir; between the renames it is ``_old`` (restored by
+    ``recover_snapshot`` on the next batch / reader); after it is
+    the new live dir. A failed write cleans up its ``_tmp`` dir."""
     sp = batch.sparkSession
+    old = f"{snap_path}_old"
+    recover_snapshot(snap_path)
     cur = sp.read.parquet(snap_path)
     merged = versioned_cdc_merge(cur, batch)
     tmp = f"{snap_path}_tmp_{batch_id}"
-    merged.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(snap_path, ignore_errors=True)
+    try:
+        merged.write.mode("overwrite").parquet(tmp)
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    shutil.rmtree(old, ignore_errors=True)  # stale copy from a
+    # crash after the new snapshot landed — safe to drop
+    os.rename(snap_path, old)
     os.rename(tmp, snap_path)
+    shutil.rmtree(old, ignore_errors=True)

@@ -1248,9 +1248,20 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     contain_a = inter / F.size("sh_a")
     contain_b = inter / F.size("sh_b")
+    # Broadcast direction matters at scale: only the id-pair table
+    # ``cand`` (and its distinct-id semi filter) is ever broadcast —
+    # INTO the corpus-sized shingle scan. The shingle payloads
+    # themselves (sh_a / sh_b) are never broadcast: the A side picks
+    # up its partner id via the broadcast cand join, the B side is
+    # semi-filtered to candidate docs, and the two candidate-bounded
+    # payload streams meet in ONE shuffle join on doc_b — the same
+    # discipline dedup_minhash_lsh's verifier uses.
     withA = sa.join(F.broadcast(cand), "doc_a")
+    sb_cand = sb.join(
+        F.broadcast(cand.select("doc_b").distinct()), "doc_b", "semi"
+    )
     return (
-        sb.join(F.broadcast(withA), "doc_b")
+        sb_cand.join(withA, "doc_b")
         .withColumn("contain_a", contain_a)
         .withColumn("contain_b", contain_b)
         .filter(

@@ -850,7 +850,7 @@ codes AS (  -- quantize every vector: round((x-lo)/(hi-lo) * 255)
     SELECT e.vec_id,
            list_transform(generate_series(1, {_DIM_EMB}),
                i -> CAST(round((e.v[i] - rr.lo[i])
-                               / (rr.hi[i] - rr.lo[i])
+                               / greatest(rr.hi[i] - rr.lo[i], 1e-300)
                                * {_SQ_LEVELS}) AS BIGINT)) AS c
     FROM e, rr
 ),
@@ -922,7 +922,12 @@ def ann_sq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.expr(
             f"transform(sequence(0, {_DIM_EMB - 1}),"
-            " i -> cast(round((v[i] - lo[i]) / (hi[i] - lo[i])"
+            # greatest(range, 1e-300): a constant dimension after a
+            # fixture change would otherwise give NULL (Spark
+            # non-ANSI x/0) vs inf (DuckDB IEEE) — guard BOTH
+            # engines with the same spelling so codes stay 0 there
+            " i -> cast(round((v[i] - lo[i])"
+            " / greatest(hi[i] - lo[i], 1e-300)"
             f" * {_SQ_LEVELS}) AS BIGINT))"
         ).alias("c"),
     )

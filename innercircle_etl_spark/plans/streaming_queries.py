@@ -1121,7 +1121,10 @@ def i13_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("new_bal"),
     )
 
-    from innercircle_etl_spark.operators.cdc import apply_cdc_batch
+    from innercircle_etl_spark.operators.cdc import (
+        apply_cdc_batch,
+        recover_snapshot,
+    )
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         apply_cdc_batch(snap, batch_df, batch_id)
@@ -1133,6 +1136,7 @@ def i13_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream = stream_ndjson_dir(spark, src, _I13_SCHEMA)
         run_available_now(stream, ckpt, foreach_batch=apply_batch)
 
+    recover_snapshot(snap)
     final = spark.read.parquet(snap).filter(~F.col("deleted"))
     return final.select(
         F.col("k").alias("c_custkey"),

