@@ -36,16 +36,123 @@ def entry(spark: SparkSession) -> DataFrame:
 # not listed (or not yet registered) keep registration order at the
 # end — the list is advisory, never a filter.
 _PRIORITY = [
-    # ---- positions 1-37 (round 5): the 37 queries whose most
-    # recent DRIVER-green CORRECTNESS row is round 2, which predates
-    # the driver's fixture regeneration (micros/NTZ event-time
-    # change, commit bd96890). They all pass the builder's local
-    # full gate on current fixtures; this rotation turns that into
-    # driver proof so r03 ∪ r04 ∪ r05 covers every registered query
-    # post-regen ----
-    "d1_decode_log_price",
-    "d2_decode_calldata_token",
-    "d12_trade_decode_pipeline",
+    # ---- positions 1-5 (round 6): the ONLY five queries with no
+    # driver CORRECTNESS row in any round (they registered past the
+    # round-5 50-slot window; judge-verified green locally). With
+    # these, r01–r06 union covers all 147 queries driver-green ----
+    "dedup_semantic_clusters",
+    "q4_key_skew_report",
+    "s15_partitioned_db_pull",
+    "text_decontaminate",
+    "text_mix_weights",
+    # ---- 6: the SURVEY §3 entry-point-1 composite (gap scan +
+    # dynamic-partition repair); last driver row r4, re-prove on
+    # current fixtures per the round-5 verdict ----
+    "ep1_daily_pipeline",
+    # ---- 7-10: queries whose oracle or plan CHANGED this round
+    # (sq range guard, twap zero-duration guard, containment
+    # broadcast restructure, CDC swap rework) — must re-prove ----
+    "ann_sq_adc",
+    "w10_twap",
+    "dedup_shingle_containment",
+    "i13_stream_cdc_apply",
+    # ---- 11-50: the queries whose most recent driver-green row is
+    # round 3 — two rounds stale. All pass the local full gate;
+    # rotating them forward keeps every green claim ≤2 rounds old.
+    # Ordered rarest-coverage-first; the ubiquitous core operators
+    # (joins/aggs exercised inside every cascade) sit at the tail
+    # where falling past the window costs least ----
+    "a12_rollup",
+    "a13_grouped_pandas_stats",
+    "a14_grouped_agg_udf",
+    "f7_array_hof",
+    "p12_null_safe_eq",
+    "graph_pagerank3",
+    "seq_event_assembly",
+    "t4_pivot",
+    "t5_unpivot",
+    "u9_scd2_ranges",
+    "u10_incremental_agg",
+    "u11_dynamic_partition_overwrite",
+    "w6_gap_fill_ffill",
+    "w7_rolling_7day",
+    "w8_day_over_day",
+    "w9_ntile_deciles",
+    "q2_column_profile",
+    "s11_schema_evolution",
+    "s12_corrupt_records",
+    "s13_compaction",
+    "s14_orc_roundtrip",
+    "samp_stratified_hash",
+    "text_pack_shards",
+    "text_pii_scrub",
+    "text_tfidf_terms",
+    "text_train_eval_split",
+    "mm_av_frame_sample_udtf",
+    "i6_watermark_window",
+    "i7_stream_dedup",
+    "i10_stream_stream_join",
+    "i11_stream_outer_join",
+    "i12_stream_session_window",
+    "j7b_asof_backward",
+    "j7_asof_join",
+    "a8_percentile_disc",
+    "a3_sum_min_max_avg",
+    "ep4_circles",
+    "ep8_corpus_pipeline",
+    "q1_quality_report",
+    "u7_merge_into",
+    # ---- 51-55: rest of the r3-stale set, just past the nominal
+    # window — all implicitly exercised inside the cascades above ----
+    "w4b_global_rank_scalable",
+    "w1_latest_per_key",
+    "u1_insert_if_absent",
+    "o1_global_topk",
+    "j1_multiway_join",
+    # ---- rotation pool: green in r04 ∪ r05 and unchanged this
+    # round; registration order beyond the list is advisory ----
+    "ep3_roi_cascade",
+    "ep5_shadow_trade",
+    "ep6_insight_feed",
+    "ep9_vector_index_pipeline",
+    "u12_cdc_apply",
+    "a1_count_distinct",
+    "a1b_approx_distinct",
+    "a4_scalar_subquery",
+    "a6_having",
+    "a7_conditional_agg",
+    "a8b_approx_percentile",
+    "a9_dedup_groupby",
+    "a11_two_phase_agg",
+    "a15_cms_heavy_hitters",
+    "a16_hll_mergeable_rollup",
+    "j2_left_enrich",
+    "j3_range_in_on",
+    "j4_left_anti",
+    "j5_left_semi",
+    "j6_double_anti",
+    "j9_join_to_latest",
+    "j11_pairs_jaccard",
+    "j12_interval_bucket_join",
+    "p1_project_arithmetic",
+    "p2_p3_time_range",
+    "p4_p5_inlist_like",
+    "p6_p7_membership",
+    "p8_p9_p10_null_blacklist",
+    "f1_string_funcs",
+    "f2_datetime_funcs",
+    "f3_math_decay",
+    "f4_case_coalesce",
+    "f5_array_access",
+    "f6_json_extract",
+    "t1_union_all_legs",
+    "t2_except",
+    "t3_intersect",
+    "s2_s3_csv_roundtrip",
+    "s6_json_source",
+    "s8_rest_source",
+    "s9_rest_sink",
+    "s10_watermark",
     "u2_merge_update",
     "u3_partition_delete_reload",
     "u4_truncate_rebuild",
@@ -54,6 +161,9 @@ _PRIORITY = [
     "w2_first_per_key",
     "w3_topn_per_group",
     "w4_global_rank",
+    "d1_decode_log_price",
+    "d2_decode_calldata_token",
+    "d12_trade_decode_pipeline",
     "i1_highwatermark_increment",
     "i3_streaming_snapshot",
     "i3b_stateful_snapshot",
@@ -61,119 +171,38 @@ _PRIORITY = [
     "i5_scd_flag_flip",
     "i8_session_window",
     "i9_stream_static_join",
-    "s2_s3_csv_roundtrip",
-    "s6_json_source",
-    "s10_watermark",
-    "f4_case_coalesce",
-    "f6_json_extract",
-    "p2_p3_time_range",
     "ep7_posts",
     "text_lang_id",
     "text_quality_score",
     "text_token_stats",
     "text_fingerprint",
-    "dedup_ngram_jaccard",
-    "dedup_cluster_canonical",
-    "dedup_embedding_cosine",
-    "dedup_minhash_recall",
-    "ann_pq_adc",
-    "ann_lsh_multiprobe",
-    "ann_recall_at_k",
-    "x12_salted_agg",
-    # ---- 38-50: queries NEW or CHANGED in round 5, highest stakes
-    # first: the changed bench-headline cascades and the semantics
-    # fix, then the new connectors/operators. The ~50-row window is
-    # finite, so the round-5 newcomers least at risk (the two Lloyd
-    # contract queries — r4-green, their change is a mechanical
-    # localCheckpoint re-verified locally 3x — plus the three
-    # latest additions) wait for the round-6 rotation ----
-    "u12_cdc_apply",
-    "ep3_roi_cascade",
-    "ep5_shadow_trade",
-    "s8_rest_source",
-    "s9_rest_sink",
-    "j12_interval_bucket_join",
-    "dedup_substring_spans",
-    "dedup_shingle_containment",
     "text_bm25_search",
-    "w10_twap",
-    "q3_outlier_zscores",
-    "ep9_vector_index_pipeline",
-    "i13_stream_cdc_apply",
-    # ---- beyond ~50: round-5 items that can wait one round ----
-    "dedup_semantic_clusters",
-    "text_mix_weights",
-    "s15_partitioned_db_pull",
-    "q4_key_skew_report",
-    "text_decontaminate",
-    "ann_ivf_lloyd",
-    "ann_recall_lloyd",
-    "ep1_daily_pipeline",
-    # ---- 44-50: one representative per family so any prefix of
-    # the window still spans the operator inventory ----
-    "j7_asof_join",
-    "a11_two_phase_agg",
-    "w1_latest_per_key",
-    "t1_union_all_legs",
-    "dedup_minhash_lsh",
-    "mm_image_features",
-    "ep8_corpus_pipeline",
-    # ---- beyond the ~50-row window: rotation pool, all green in
-    # r03 ∪ r04 and unchanged this round ----
-    "ep4_circles",
-    "ep6_insight_feed",
-    "w4b_global_rank_scalable",
-    "i6_watermark_window",
-    "u7_merge_into",
-    "q1_quality_report",
-    "a1_count_distinct",
-    "a1b_approx_distinct",
-    "a3_sum_min_max_avg",
-    "a4_scalar_subquery",
-    "a6_having",
-    "a7_conditional_agg",
-    "a8_percentile_disc",
-    "a8b_approx_percentile",
-    "a9_dedup_groupby",
-    "a15_cms_heavy_hitters",
-    "a16_hll_mergeable_rollup",
-    "j1_multiway_join",
-    "j2_left_enrich",
-    "j3_range_in_on",
-    "j4_left_anti",
-    "j5_left_semi",
-    "j6_double_anti",
-    "j9_join_to_latest",
-    "j11_pairs_jaccard",
-    "p1_project_arithmetic",
-    "p4_p5_inlist_like",
-    "p6_p7_membership",
-    "p8_p9_p10_null_blacklist",
-    "f1_string_funcs",
-    "f2_datetime_funcs",
-    "f3_math_decay",
-    "f5_array_access",
-    "t2_except",
-    "t3_intersect",
-    "o1_global_topk",
-    "u1_insert_if_absent",
+    "text_repetition_quality",
     "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_edit_distance",
+    "dedup_cluster_canonical",
+    "dedup_embedding_cosine",
     "dedup_embedding_multiprobe",
+    "dedup_minhash_recall",
+    "dedup_substring_spans",
     "ann_cosine_topk",
     "ann_lsh_bucketed",
+    "ann_lsh_multiprobe",
     "ann_ivf_probe",
-    "ann_sq_adc",
+    "ann_ivf_lloyd",
+    "ann_pq_adc",
+    "ann_recall_at_k",
+    "ann_recall_lloyd",
+    "q3_outlier_zscores",
     "x11_salted_skew_join",
+    "x12_salted_agg",
     "x_bucketed_colocated_join",
+    "mm_image_features",
     "mm_image_resize",
     "mm_av_frame_sample",
-    "i7_stream_dedup",
-    "i10_stream_stream_join",
-    "i11_stream_outer_join",
-    "i12_stream_session_window",
-    "text_repetition_quality",
 ]
 
 
