@@ -17,10 +17,59 @@ the rest. Two mitigations compose here:
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def salt_factor(
+    df: DataFrame,
+    key: str | Column,
+    shuffle_partitions: int | None = None,
+    min_salts: int = 1,
+    max_salts: int = 256,
+) -> int:
+    """Size a salt factor from the measured key distribution — the
+    loop-closer between the q4_key_skew_report diagnostic and the
+    salted operators below (static salt constants under-split a
+    pathological key and over-split a uniform one).
+
+    A key is pathological when it exceeds its balanced shuffle share
+    1/P (P = shuffle partitions): its reducer holds top1_share * P
+    times the average load. Spreading it over
+    ``ceil(top1_share * P)`` salts brings every sub-key back under
+    the balanced share, so that is the computed factor, clamped to
+    [min_salts, max_salts]. (The Herfindahl view agrees: 1/hhi is
+    the effective key count, and ceil(P * hhi) = ceil(P / eff_keys)
+    is within a constant of the top-1 rule; top-1 is the binding
+    constraint because ONE oversized reducer sets the stage's wall
+    clock.)
+
+    Cost: one map-side-combinable count per key + a 1-row collect —
+    the same driver-bounded-metadata class as a watermark read. At
+    100TB run it on a sample or reuse a maintained q4 profile table
+    rather than re-scanning per query."""
+    sp = df.sparkSession
+    if shuffle_partitions is None:
+        shuffle_partitions = int(
+            sp.conf.get("spark.sql.shuffle.partitions")
+        )
+    prof = (
+        df.groupBy(F.col(key).alias("__k") if isinstance(key, str) else key.alias("__k"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(
+            F.sum("cnt").alias("n_rows"),
+            F.max("cnt").alias("max_cnt"),
+        )
+        .collect()[0]
+    )
+    if not prof["n_rows"]:
+        return max(1, min_salts)
+    top1_share = prof["max_cnt"] / prof["n_rows"]
+    needed = math.ceil(top1_share * shuffle_partitions)
+    return max(min_salts, min(max_salts, needed))
 
 
 def salted_join(

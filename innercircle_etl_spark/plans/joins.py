@@ -372,12 +372,18 @@ def j11_pairs_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x11_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X11: skew-mitigated join — orders x customer-nation with the
-    nation side salted 8 ways (operators/skew.py). c_nationkey has
-    only 25 distinct values: the textbook skew shape where one hot
-    shuffle partition straggles. Salting spreads each nation across
-    8 sub-partitions; the result is identical to the plain join, so
-    the plain join IS the oracle."""
-    from innercircle_etl_spark.operators.skew import salted_join
+    nation side salted (operators/skew.py). c_nationkey has only 25
+    distinct values: the textbook skew shape where one hot shuffle
+    partition straggles. The salt factor is COMPUTED from the
+    measured key distribution (salt_factor — the q4_key_skew_report
+    rule: ceil(top1_share x shuffle partitions), clamped), not a
+    hardcoded constant: a uniform key costs a near-1 factor, a
+    pathological one spreads wide. Salting never changes the result
+    set, so the plain join IS the oracle."""
+    from innercircle_etl_spark.operators.skew import (
+        salt_factor,
+        salted_join,
+    )
 
     orders = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
@@ -390,12 +396,18 @@ def x11_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust.withColumnRenamed("c_custkey", "o_custkey"),
         "o_custkey",
     )
+    # profile the skewed key on CUSTOMER (rows-per-nation there is
+    # proportional to post-join rows-per-nation since orders spread
+    # ~uniformly over customers) — one dimension-sized scan instead
+    # of re-running the enrich join just to size the salt. Floor 2
+    # so the salted plan shape stays demonstrable on uniform data.
+    n_salts = salt_factor(cust, "c_nationkey", min_salts=2)
     salted = salted_join(
         enriched.withColumnRenamed("c_nationkey", "n_nationkey"),
         nation,
         ["n_nationkey"],
         salt_src=F.col("o_custkey"),
-        n_salts=8,
+        n_salts=n_salts,
     )
     return salted.groupBy("n_name").agg(
         F.count(F.lit(1)).alias("n_orders"),
@@ -468,15 +480,22 @@ def x12_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X12: two-phase salted aggregation (operators/skew.py
     salted_agg). l_returnflag has THREE distinct values — the
     worst-case skew for a grouped aggregate: one reducer per flag.
-    Phase 1 aggregates on (flag, salt-of-orderkey) so each flag's
-    rows spread over 8 reducers; phase 2 re-combines 8 partials per
-    flag. The result is identical to the plain groupBy (the oracle).
-    The decimal-sum runs entirely in decimal through BOTH phases
-    (decimal addition is associative) and casts to double once at
-    the end, keeping the value hash order-independent."""
-    from innercircle_etl_spark.operators.skew import salted_agg
+    The salt factor is computed from the measured flag distribution
+    (salt_factor: the hottest flag owns ~half the rows, so at P=32
+    it spreads ~16 ways; a hardcoded 8 under-split it). Phase 1
+    aggregates on (flag, salt-of-orderkey); phase 2 re-combines the
+    partials per flag. The result is identical to the plain groupBy
+    (the oracle). The decimal-sum runs entirely in decimal through
+    BOTH phases (decimal addition is associative) and casts to
+    double once at the end, keeping the value hash
+    order-independent."""
+    from innercircle_etl_spark.operators.skew import (
+        salt_factor,
+        salted_agg,
+    )
 
     li = load(spark, sf_dir, "lineitem")
+    n_salts = salt_factor(li, "l_returnflag", min_salts=2)
     out = salted_agg(
         li,
         ["l_returnflag"],
@@ -490,7 +509,7 @@ def x12_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_price": ("max", F.max("l_extendedprice")),
         },
         salt_src=F.col("l_orderkey"),
-        n_salts=8,
+        n_salts=n_salts,
     )
     return out.select(
         F.col("l_returnflag").alias("flag"),

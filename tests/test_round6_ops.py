@@ -132,3 +132,84 @@ def test_sq_adc_degenerate_dimension_guard(spark, duck):
         " / greatest(5.0 - 5.0, 1e-300) * 255) AS BIGINT)"
     ).fetchone()[0]
     assert duck_code == 0
+
+
+def test_salt_factor_scales_with_measured_skew(spark):
+    """salt_factor (the q4-report → x11/x12 loop-closer) must size
+    from the data: a uniform key needs ~no salting, a pathological
+    key (one value owning half the rows) spreads proportionally to
+    its share of the shuffle, and the factor respects the clamps."""
+    from innercircle_etl_spark.operators.skew import salt_factor
+
+    uniform = spark.range(1000).select(
+        (F.col("id") % 500).alias("k"), F.col("id").alias("v")
+    )
+    skewed = spark.range(1000).select(
+        F.when(F.col("id") < 500, F.lit(7))
+        .otherwise(F.col("id"))
+        .alias("k"),
+        F.col("id").alias("v"),
+    )
+    p = 32
+    f_uni = salt_factor(uniform, "k", shuffle_partitions=p)
+    f_skew = salt_factor(skewed, "k", shuffle_partitions=p)
+    # uniform: top1_share = 2/1000 → ceil(0.002*32) = 1
+    assert f_uni == 1
+    # skewed: top1_share = 0.5 → ceil(0.5*32) = 16
+    assert f_skew == 16
+    assert f_skew > f_uni
+    assert salt_factor(skewed, "k", shuffle_partitions=p, max_salts=4) == 4
+    assert salt_factor(uniform, "k", shuffle_partitions=p, min_salts=2) == 2
+    # empty input: defined, minimal
+    empty = uniform.filter(F.lit(False))
+    assert salt_factor(empty, "k", shuffle_partitions=p) == 1
+
+
+def test_salted_ops_with_computed_factor_match_plain(spark):
+    """The identical-result contract holds for a COMPUTED factor on
+    skewed data: salted_agg == plain groupBy, salted_join == plain
+    join, row for row."""
+    from innercircle_etl_spark.operators.skew import (
+        salt_factor,
+        salted_agg,
+        salted_join,
+    )
+
+    fact = spark.range(2000).select(
+        F.when(F.col("id") < 1200, F.lit(3))
+        .otherwise(F.col("id") % 10)
+        .alias("k"),
+        F.col("id").alias("v"),
+    )
+    dim = spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") * 100).alias("label")
+    )
+    n = salt_factor(fact, "k")
+    assert n > 1  # the fixture is genuinely skewed
+    plain_j = sorted(
+        fact.join(dim, "k").select("k", "v", "label").collect()
+    )
+    salted_j = sorted(
+        salted_join(fact, dim, ["k"], salt_src=F.col("v"), n_salts=n)
+        .select("k", "v", "label")
+        .collect()
+    )
+    assert plain_j == salted_j
+    plain_a = sorted(
+        fact.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("v").alias("s"))
+        .collect()
+    )
+    salted_a = sorted(
+        salted_agg(
+            fact,
+            ["k"],
+            {
+                "n_rows": ("sum", F.count(F.lit(1))),
+                "s": ("sum", F.sum("v")),
+            },
+            salt_src=F.col("v"),
+            n_salts=n,
+        ).collect()
+    )
+    assert plain_a == salted_a
