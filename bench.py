@@ -73,6 +73,35 @@ def main() -> None:
     # query whose max is 3x its min was measured on a loaded box,
     # not regressed).
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    # Up to this many EXTRA reps per query when the observed spread
+    # exceeds 2x — on a co-tenant-loaded box a bad rep can cost 3-6x
+    # steady state, and three samples may all land on load spikes;
+    # extra sampling lets the min converge to the plan's true cost.
+    # Every sample (including the noisy ones) stays in the recorded
+    # spread, so this adds information rather than hiding any.
+    extra_cap = int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA", "3"))
+
+    def calibrate() -> dict[str, float]:
+        """Fixed synthetic job (32-task shuffle + agg, no parquet,
+        no Python) timed 3x: a pure probe of the box's current
+        parallel throughput. Recording it at start and end makes
+        the co-tenant-noise claim checkable from the artifact: if
+        the calibration spread is 2-3x, so is every query's."""
+        samples = []
+        for _ in range(3):
+            t0 = time.time()
+            spark.range(30_000_000).selectExpr(
+                "id % 32 AS k", "id AS v"
+            ).groupBy("k").sum("v").count()
+            samples.append(time.time() - t0)
+        samples.sort()
+        return {
+            "min": round(samples[0], 3),
+            "median": round(samples[1], 3),
+            "max": round(samples[-1], 3),
+        }
+
+    cal_start = calibrate()
     # Wall-clock budget guard: on a loaded box the warm reps could
     # push the whole run past a harness timeout, which would lose
     # the artifact entirely — worse than a noisier min. Past 60% of
@@ -106,6 +135,18 @@ def main() -> None:
             # drop caches a query built for itself: reps are timed
             # data-cold and queries can't interfere with each other
             spark.catalog.clearCache()
+        # adaptive extra reps while the spread looks load-polluted
+        extra = 0
+        while (
+            extra < extra_cap
+            and max(samples) > 2 * min(samples)
+            and time.time() - bench_t0 < 0.85 * budget_s
+        ):
+            t0 = time.time()
+            n = fn(spark, sf_dir).count()
+            samples.append(time.time() - t0)
+            spark.catalog.clearCache()
+            extra += 1
         samples.sort()
         timings[name] = round(samples[0], 3)
         spread[name] = {
@@ -122,6 +163,7 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    cal_end = calibrate()
     print(
         json.dumps(
             {
@@ -130,6 +172,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "spread": spread,
+                "calibration": {"start": cal_start, "end": cal_end},
                 "sf": float(sf) if sf else sf_dir,
             }
         )

@@ -181,15 +181,40 @@ def ep5_shadow_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     cutoff = F.lit(_ENTRY_CUTOFF).cast("date")
-    buys = (
-        fact.filter(
-            (F.col("flag") != "R")
-            & (F.col("price") > 0)
-            & (F.col("ev_date") >= cutoff)
-        )
+    # buy and sell legs differ only in their flag filter and the
+    # price>0 guard, so ONE insider-filtered scan + ONE shuffle on
+    # (wallet, coll, ev_date, leg) replaces the two separate
+    # scan+groupBy passes (conditional min carries the buys' price>0
+    # semantics: a buy group whose every price ≤ 0 aggregates to
+    # NULL and is dropped, exactly what the pre-filter did). The
+    # fused legs frame feeds both as-of sides — eager localCheckpoint
+    # pins it (insider-day-grain, dimension-sized) so the two
+    # consumers neither race nor recompute the lineitem pass.
+    legs = (
+        fact.filter(F.col("ev_date") >= cutoff)
         .join(F.broadcast(insiders), "wallet")
-        .groupBy("wallet", "coll", F.col("ev_date").alias("entry_date"))
-        .agg(F.min("price").alias("entry_price"))
+        .groupBy(
+            "wallet",
+            "coll",
+            "ev_date",
+            (F.col("flag") == "R").alias("is_sell"),
+        )
+        .agg(
+            F.min(
+                F.when(F.col("price") > 0, F.col("price"))
+            ).alias("min_pos_price"),
+            F.min("price").alias("min_price"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    buys = (
+        legs.filter(~F.col("is_sell") & F.col("min_pos_price").isNotNull())
+        .select(
+            "wallet",
+            "coll",
+            F.col("ev_date").alias("entry_date"),
+            F.col("min_pos_price").alias("entry_price"),
+        )
     )
     buys_f = buys.join(
         floor_daily.select(
@@ -201,10 +226,13 @@ def ep5_shadow_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left",
     )
     sells = (
-        fact.filter((F.col("flag") == "R") & (F.col("ev_date") >= cutoff))
-        .join(F.broadcast(insiders), "wallet")
-        .groupBy("wallet", "coll", F.col("ev_date").alias("exit_date"))
-        .agg(F.min("price").alias("exit_price"))
+        legs.filter(F.col("is_sell"))
+        .select(
+            "wallet",
+            "coll",
+            F.col("ev_date").alias("exit_date"),
+            F.col("min_price").alias("exit_price"),
+        )
         .withColumn(
             "action",
             F.when(F.dayofmonth("exit_date") % 7 == 0, "burn")
