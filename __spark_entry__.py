@@ -56,6 +56,10 @@ _PRIORITY = [
     "w10_twap",
     "dedup_shingle_containment",
     "i13_stream_cdc_apply",
+    # ---- new this round: deterministic epoch shuffle + weighted
+    # resample (the mix-weights loop-closer) ----
+    "samp_epoch_shuffle",
+    "samp_weighted_resample",
     # ---- 11-50: the queries whose most recent driver-green row is
     # round 3 — two rounds stale. All pass the local full gate;
     # rotating them forward keeps every green claim ≤2 rounds old.

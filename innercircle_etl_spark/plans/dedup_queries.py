@@ -364,19 +364,35 @@ def ngram_jaccard_pairs(
     exact integer arithmetic (float ceil(0.9n) rounds wrong at n=10
     and would drop true pairs).
 
-    Fully distributed, zero driver state:
+    Fully distributed; driver holds only the dimension-sized vocab:
     - gram rarity ranks come from a row_number window over the
       GRAM-DF TABLE — dimension-sized (one row per distinct trigram,
       not per occurrence), so the single-partition global window is a
       dim-table operation, never corpus-sized.
     - ZERO corpus shuffles before the candidate join: the vocab
-      folds into a broadcast single-row column, so each doc's sorted
-      rank array and packed verify bitset come from one narrow
-      pandas pass; the prefix index falls out by slice/posexplode.
-    - verify is a vectorized bitset-popcount over candidate pairs
-      (bit width delivered via a broadcast scalar join, not a driver
-      constant) — same int/int double division as the oracle SQL, so
-      the jaccard value is bit-identical.
+      (hard-bounded by the shingle space, <= charset^3) collects to
+      the driver once and ships as an sc.broadcast into one narrow
+      pandas pass that emits each doc's sorted rank array and packed
+      verify bitset; the prefix index falls out by slice/posexplode.
+      (A single-row crossJoined vocab column kept the driver out of
+      the loop but Arrow re-serialized it per corpus row — measured
+      quadratic transfer at 10x scale; the broadcast ships once per
+      executor.)
+    - verify is a vectorized bitset-popcount over candidate pairs —
+      same int/int double division as the oracle SQL, so the jaccard
+      value is bit-identical.
+
+    Known scale ceiling (measured at the synthesized 10x factor):
+    candidate-pair count — NOT any one stage's transfer — is the
+    asymptote. When the shingle space saturates (this synthetic
+    corpus uses ~2k distinct trigrams), every doc shares its rare
+    grams with ~1/vocab of the corpus and the lossless prefix+
+    positional pruning still admits O(|corpus|^2/|vocab|) pairs.
+    The production answer is a wider shingle (vocab grows
+    exponentially with width, prefixes become selective again) or
+    the MinHash member, which is banded (sub-linear, 2.8x measured
+    at 10x data) — this exact-verify member is the right tool only
+    while prefixes stay selective.
 
     Input: (doc_id long, text string). Output: (doc_a, doc_b,
     jaccard) for all pairs with jaccard >= t.
@@ -433,21 +449,28 @@ def ngram_jaccard_pairs(
         "gram", F.row_number().over(w_vocab).cast("long").alias("rank")
     )
 
-    # Rank lookup WITHOUT re-shuffling the corpus-sized gram stream:
-    # the vocab folds into a single-row (gram, rank) array aggregate,
-    # broadcast-crossJoined onto the corpus — the same memory
-    # envelope as broadcasting the dim table, but never a driver
-    # round-trip. One pandas pass then emits each doc's sorted rank
+    # Rank lookup via a TRUE sc.broadcast of the vocab dict. The
+    # vocab is dimension-sized and hard-bounded by the shingle space
+    # (<= charset^3 for char trigrams), so the driver hop is the
+    # same bounded-metadata class as a watermark read — and one
+    # broadcast is shipped once per executor. The previous form
+    # (single-row array aggregate crossJoined onto the corpus) was
+    # leaner on paper but Arrow serializes the struct array PER ROW
+    # into the pandas pass: |corpus| x |vocab| duplicated transfer,
+    # measured ~2GB / 60s at the 10x scale factor vs ~3s with the
+    # broadcast. One pandas pass then emits each doc's sorted rank
     # array AND its packed verify bitset together (Python slicing +
     # dict lookup beat per-element Catalyst HOFs ~30× on this
     # projection; measured, not assumed). A multilingual vocab that
-    # outgrows broadcast switches this to explode → broadcast-join →
-    # groupBy(doc) — one extra corpus shuffle, plan shape unchanged.
-    ventry = vocab.agg(
-        F.collect_list(F.struct("gram", "rank")).alias("vc"),
-        F.max("rank").alias("vmax"),
+    # outgrows executor memory switches this to explode →
+    # broadcast-join → groupBy(doc) — one extra corpus shuffle,
+    # plan shape unchanged.
+    voc_rows = vocab.collect()
+    vmax = max(r["rank"] for r in voc_rows) if voc_rows else 0
+    bvoc = spark.sparkContext.broadcast(
+        {r["gram"]: r["rank"] for r in voc_rows}
     )
-    docs_v = corpus.crossJoin(F.broadcast(ventry))
+    nlongs = (vmax + 63) >> 6  # bitset packed into 64-bit words
 
     def build(batches):
         voc, nb = None, 0
@@ -455,11 +478,9 @@ def ngram_jaccard_pairs(
             if not len(pdf):
                 continue
             if voc is None:
-                voc = {
-                    d["gram"]: d["rank"] for d in pdf["vc"].iloc[0]
-                }
-                nb = (int(pdf["vmax"].iloc[0]) + 7) >> 3
-            ids, ns, idxs, blobs = [], [], [], []
+                voc = bvoc.value
+                nb = nlongs
+            ids, ns, idxs, words = [], [], [], []
             for doc, t in zip(pdf["doc_id"], pdf["text"]):
                 gs = dict.fromkeys(
                     t[i : i + 3] for i in range(len(t) - 2)
@@ -468,14 +489,17 @@ def ngram_jaccard_pairs(
                     (voc[g] for g in gs), dtype=np.int64, count=len(gs)
                 ) - 1  # ranks are 1-based; bits 0-based
                 a.sort()
-                row = np.zeros(nb, dtype=np.uint8)
-                np.bitwise_or.at(row, a >> 3, np.uint8(1) << (a & 7))
+                au = a.astype(np.uint64)
+                row = np.zeros(nb, dtype=np.uint64)
+                np.bitwise_or.at(
+                    row, au >> np.uint64(6), np.uint64(1) << (au & np.uint64(63))
+                )
                 ids.append(doc)
                 ns.append(a.size)
                 idxs.append((a + 1).tolist())
-                blobs.append(row.tobytes())
+                words.append(row.view(np.int64).tolist())
             yield pd.DataFrame(
-                {"doc_id": ids, "n": ns, "idx": idxs, "bits": blobs}
+                {"doc_id": ids, "n": ns, "idx": idxs, "bits": words}
             )
 
     # Eager localCheckpoint: `sets` feeds THREE subtrees (the prefix
@@ -488,8 +512,8 @@ def ngram_jaccard_pairs(
     # reads the pinned blocks. At cluster scale this is one
     # corpus-sized write to executor-local storage — noise next to
     # the joins it de-duplicates.
-    sets = docs_v.mapInPandas(
-        build, "doc_id long, n long, idx array<long>, bits binary"
+    sets = corpus.mapInPandas(
+        build, "doc_id long, n long, idx array<long>, bits array<long>"
     ).localCheckpoint(eager=True)
 
     # prefix = the n - ceil(t*n) + 1 rarest grams, with positions.
@@ -527,6 +551,14 @@ def ngram_jaccard_pairs(
     alpha = F.floor(
         (t_num * (F.col("na") + F.col("nb")) + (s - 1)) / s
     )
+    # NO distinct here: a pair colliding on k index-prefix grams
+    # appears k times, but k is small (the index prefix is ~5% of a
+    # doc's grams) and verify is now ~30 codegen ops/pair — cheaper
+    # than exchanging the candidate stream to dedup it. Dropping the
+    # distinct makes prefix-join → bitset-verify ONE shuffle-free
+    # pipelined stage (the only exchange left after the prefix
+    # explode is the final dedup of the tiny survivor set). Measured
+    # at the 10x factor: the dropped exchange was 48M rows.
     cand = (
         a.join(b, ["rank"])
         .filter(F.col("doc_a") < F.col("doc_b"))
@@ -537,14 +569,16 @@ def ngram_jaccard_pairs(
             >= alpha
         )
         .select("doc_a", "doc_b")
-        .distinct()
     )
-    # Verify: packed-bitset popcount, vectorized AND distributed —
-    # candidate pairs verify in one numpy pass per Arrow batch:
-    # |A∩B| = popcount(bits_a & bits_b), |A∪B| = na + nb - |A∩B|.
-    # ~100× less work per pair than a generic array-intersect over
-    # ~600-element arrays. Same int/int double division as the
-    # oracle → bit-identical jaccard.
+    # Verify: packed-bitset popcount ENTIRELY in whole-stage codegen
+    # — |A∩B| = sum of bit_count(word_a & word_b) over the zipped
+    # 64-bit words, |A∪B| = na + nb - |A∩B|. ~100× less work per
+    # pair than a generic array-intersect, and (since round 6) zero
+    # Python in the verify path: the earlier numpy form shipped both
+    # bitsets of EVERY candidate pair through Arrow (~23GB at the
+    # 10x factor's 48M candidates); the JVM form touches the same
+    # bytes in-place. Same int/int double division as the oracle →
+    # bit-identical jaccard.
     bitsets = sets.select("doc_id", "bits", "n")
     # bitsets broadcast: |corpus| × (vocab/8 + 16) bytes — ~300KB
     # here, and still broadcast-viable far beyond bench scale. At a
@@ -570,30 +604,29 @@ def ngram_jaccard_pairs(
         "doc_b",
     )
 
-    _POPCNT = np.unpackbits(
-        np.arange(256, dtype=np.uint8)[:, None], axis=1
-    ).sum(axis=1).astype(np.int64)
-
-    def verify(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            ba = np.frombuffer(
-                b"".join(pdf["bits_a"]), dtype=np.uint8
-            ).reshape(len(pdf), -1)
-            bb = np.frombuffer(
-                b"".join(pdf["bits_b"]), dtype=np.uint8
-            ).reshape(len(pdf), -1)
-            common = _POPCNT[ba & bb].sum(axis=1)
-            jac = common / (
-                pdf["na"].to_numpy() + pdf["nb"].to_numpy() - common
-            )
-            out = pd.DataFrame(
-                {"doc_a": pdf["doc_a"], "doc_b": pdf["doc_b"], "jaccard": jac}
-            )
-            yield out[out["jaccard"] >= t_num / t_den]
-
-    return pairs.mapInPandas(verify, "doc_a long, doc_b long, jaccard double")
+    common = F.aggregate(
+        F.zip_with(
+            F.col("bits_a"),
+            F.col("bits_b"),
+            lambda x, y: F.bit_count(x.bitwiseAND(y)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        pairs.withColumn("common", common)
+        .withColumn(
+            "jaccard",
+            F.col("common")
+            / (F.col("na") + F.col("nb") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= t_num / t_den)
+        .select("doc_a", "doc_b", "jaccard")
+        # dedup the multi-gram duplicates AFTER verify: survivor-
+        # sized exchange (duplicates carry identical jaccard values,
+        # so distinct on all three columns is exact)
+        .distinct()
+    )
 
 
 @register("dedup_ngram_jaccard", oracle=_NGRAM_ORACLE)

@@ -15,7 +15,7 @@ here the rate is per-stratum, the sampleBy/stratified analog.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from innercircle_etl_spark.plans.registry import load, register
@@ -58,3 +58,155 @@ def samp_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(h < F.expr(_RATE_CASE_SQL)).select(
         "doc_id", "lang", "source", "n_chars"
     )
+
+
+# ------------------------------------------------- epoch shuffle
+
+# First 16 bits of a hex digest as an integer, spelled with only
+# engine-portable functions (instr/substr behave identically in
+# Spark SQL and DuckDB; there is no portable hex->int cast).
+def _h16_sql(k: str) -> str:
+    nib = "(instr('0123456789abcdef', substr({k}, {i}, 1)) - 1)"
+    return " + ".join(
+        f"{nib.format(k=k, i=i + 1)} * {16 ** (3 - i)}" for i in range(3)
+    ) + f" + {nib.format(k=k, i=4)}"
+
+
+_EPOCH_SEED = "epoch7"
+_N_SHARDS = 8
+
+_EPOCH_ORACLE = f"""
+WITH keyed AS (
+    SELECT doc_id,
+           md5('{_EPOCH_SEED}:' || CAST(doc_id AS VARCHAR)) AS k
+    FROM documents
+),
+sharded AS (
+    SELECT doc_id, k,
+           CAST(({_h16_sql('k')}) % {_N_SHARDS} AS INTEGER) AS shard_id
+    FROM keyed
+)
+SELECT shard_id,
+       CAST(row_number() OVER (
+           PARTITION BY shard_id ORDER BY k, doc_id
+       ) AS INTEGER) AS pos,
+       doc_id
+FROM sharded
+"""
+
+
+@register("samp_epoch_shuffle", oracle=_EPOCH_ORACLE)
+def samp_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-epoch shuffle: every epoch a training
+    job needs a fresh, globally-uniform, REPRODUCIBLE permutation of
+    the corpus — restartable mid-epoch, identical across engines and
+    partitionings (orderBy(rand(seed)) is none of those: Spark's
+    rand is partition-dependent). The permutation key is
+    md5(seed:doc_id); changing the seed string is a full reshuffle
+    with zero data movement at rest.
+
+    Scale shape: NO global sort. Docs hash into {_N_SHARDS} shards
+    by the key's first 16 bits, and positions are per-shard
+    row_number windows (partitionBy shard — each reducer sorts one
+    shard; readers stream shards independently, which is exactly how
+    a 1000-worker data loader consumes an epoch). A global order
+    would funnel the corpus through one partition — the w4/w4b
+    lesson applied to training I/O."""
+    docs = load(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.md5(
+            F.concat(
+                F.lit(f"{_EPOCH_SEED}:"), F.col("doc_id").cast("string")
+            )
+        ).alias("k"),
+    )
+    sharded = keyed.withColumn(
+        "shard_id",
+        F.expr(f"({_h16_sql('k')}) % {_N_SHARDS}").cast("int"),
+    )
+    w = Window.partitionBy("shard_id").orderBy("k", "doc_id")
+    return sharded.select(
+        "shard_id",
+        F.row_number().over(w).cast("int").alias("pos"),
+        "doc_id",
+    )
+
+
+# -------------------------------------------- weighted resample
+
+_RESAMPLE_ORACLE = f"""
+WITH per_lang AS (
+    SELECT lang,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+             AS lang_tokens
+    FROM documents GROUP BY lang
+),
+tot AS (
+    SELECT CAST(SUM(lang_tokens) AS BIGINT) AS total_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_langs
+    FROM per_lang
+),
+wts AS (
+    SELECT p.lang,
+           CAST(t.total_tokens AS DOUBLE)
+             / (t.n_langs * p.lang_tokens) AS sample_weight
+    FROM per_lang p CROSS JOIN tot t
+),
+keyed AS (
+    SELECT d.doc_id, d.lang, w.sample_weight,
+           md5(CAST(d.doc_id AS VARCHAR) || d.text) AS k
+    FROM documents d JOIN wts w ON d.lang = w.lang
+)
+SELECT doc_id, lang, sample_weight
+FROM keyed
+WHERE CAST(({_h16_sql('k')}) AS DOUBLE) / 65536.0
+      < least(1.0, sample_weight)
+"""
+
+
+@register("samp_weighted_resample", oracle=_RESAMPLE_ORACLE)
+def samp_weighted_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the text_mix_weights rebalance: keep each doc
+    with probability min(1, its language's inverse-token weight),
+    decided by a content-hash uniform (first 16 digest bits /
+    65536) — the deterministic, engine-portable coin every
+    re-runnable pipeline needs. Head languages downsample toward
+    the uniform-mix target; tail languages keep everything (their
+    weight > 1 means UPsampling — the integral-repeat half of that
+    is a planner concern, noted not materialized here, so the clamp
+    to 1 is the honest sampling semantics).
+
+    Scale shape: the weight table is language-cardinality (a
+    broadcast), the keep decision is map-side per row — one corpus
+    pass, no shuffle beyond the token-count rollup that builds the
+    weights."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    per_lang = docs.groupBy("lang").agg(
+        F.sum(F.size(F.split("text", " ")).cast("long")).alias(
+            "lang_tokens"
+        )
+    )
+    tot = per_lang.agg(
+        F.sum("lang_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_langs"),
+    )
+    wts = per_lang.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        (
+            F.col("total_tokens").cast("double")
+            / (F.col("n_langs") * F.col("lang_tokens"))
+        ).alias("sample_weight"),
+    )
+    keyed = docs.join(F.broadcast(wts), "lang").select(
+        "doc_id",
+        "lang",
+        "sample_weight",
+        F.md5(
+            F.concat(F.col("doc_id").cast("string"), F.col("text"))
+        ).alias("k"),
+    )
+    u = F.expr(f"({_h16_sql('k')})").cast("double") / 65536.0
+    return keyed.filter(
+        u < F.least(F.lit(1.0), F.col("sample_weight"))
+    ).select("doc_id", "lang", "sample_weight")

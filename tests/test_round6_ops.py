@@ -165,6 +165,61 @@ def test_salt_factor_scales_with_measured_skew(spark):
     assert salt_factor(empty, "k", shuffle_partitions=p) == 1
 
 
+def test_epoch_shuffle_is_complete_permutation(spark, sf_dir):
+    """samp_epoch_shuffle must emit every doc exactly once, with
+    dense 1..n positions per shard, and a different seed must
+    produce a different order (same membership)."""
+    from innercircle_etl_spark.plans import QUERIES
+    from innercircle_etl_spark.plans.registry import load
+
+    out = QUERIES["samp_epoch_shuffle"](spark, sf_dir).collect()
+    n_docs = load(spark, sf_dir, "documents").count()
+    assert len(out) == n_docs
+    assert len({r["doc_id"] for r in out}) == n_docs
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard_id"], []).append(r["pos"])
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+    # determinism: identical on re-run
+    out2 = QUERIES["samp_epoch_shuffle"](spark, sf_dir).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_weighted_resample_tracks_weights(spark, sf_dir):
+    """samp_weighted_resample keep-rates must track the per-language
+    weights: languages with weight >= 1 keep everything; a language
+    with weight w < 1 keeps ~w of its docs (hash-uniform, so within
+    a loose tolerance at fixture scale)."""
+    from innercircle_etl_spark.plans import QUERIES
+    from innercircle_etl_spark.plans.registry import load
+    from pyspark.sql import functions as FF
+
+    kept = QUERIES["samp_weighted_resample"](spark, sf_dir)
+    rates = {
+        r["lang"]: r
+        for r in kept.groupBy("lang")
+        .agg(
+            FF.count(FF.lit(1)).alias("n_kept"),
+            FF.first("sample_weight").alias("w"),
+        )
+        .collect()
+    }
+    totals = {
+        r["lang"]: r["n"]
+        for r in load(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(FF.count(FF.lit(1)).alias("n"))
+        .collect()
+    }
+    for lang, row in rates.items():
+        frac = row["n_kept"] / totals[lang]
+        if row["w"] >= 1.0:
+            assert frac == 1.0, lang
+        else:
+            assert abs(frac - row["w"]) < 0.25, (lang, frac, row["w"])
+
+
 def test_salted_ops_with_computed_factor_match_plain(spark):
     """The identical-result contract holds for a COMPUTED factor on
     skewed data: salted_agg == plain groupBy, salted_join == plain
