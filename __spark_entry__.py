@@ -57,9 +57,13 @@ _PRIORITY = [
     "dedup_shingle_containment",
     "i13_stream_cdc_apply",
     # ---- new this round: deterministic epoch shuffle + weighted
-    # resample (the mix-weights loop-closer) ----
+    # resample (the mix-weights loop-closer), perceptual-hash
+    # multimodal dedup, cohort retention, OOV quality ----
     "samp_epoch_shuffle",
     "samp_weighted_resample",
+    "mm_dedup_phash",
+    "w11_cohort_retention",
+    "text_oov_quality",
     # ---- 11-50: the queries whose most recent driver-green row is
     # round 3 — two rounds stale. All pass the local full gate;
     # rotating them forward keeps every green claim ≤2 rounds old.

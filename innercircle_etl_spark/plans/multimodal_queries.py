@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from innercircle_etl_spark.functions import multimodal as MM
+from innercircle_etl_spark.plans.planting import DOC_MUT_CORPUS_SQL
 from innercircle_etl_spark.plans.registry import load, register
 
 
@@ -184,3 +185,155 @@ def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         MM.image_resize_batches, MM.IMAGE_RESIZE_SCHEMA
     )
     return resized.drop("media")
+
+
+# --------------------------------------------- perceptual-hash dedup
+
+_PHASH_T = 3  # max Hamming distance (64-bit signature)
+
+_PHASH_ORACLE = f"""
+WITH corpus AS ({DOC_MUT_CORPUS_SQL}
+),
+base AS (
+    SELECT doc_id, text, length(text) AS L,
+           list_reduce(list_transform(generate_series(1, length(text)),
+               p -> ascii(substr(text, p, 1))), (x, y) -> x + y) AS total
+    FROM corpus WHERE length(text) >= 64
+),
+blocks AS (
+    SELECT doc_id, total,
+           list_transform(generate_series(0, 63), i ->
+               list_reduce(list_transform(
+                   generate_series((i * L) // 64 + 1, ((i + 1) * L) // 64),
+                   p -> ascii(substr(text, p, 1))), (x, y) -> x + y)) AS bs
+    FROM base
+),
+sig AS (
+    SELECT doc_id,
+           list_transform(generate_series(0, 3), q ->
+               list_reduce(list_transform(generate_series(0, 15), k ->
+                   CASE WHEN 64 * bs[q * 16 + k + 1] > total
+                        THEN (1 << k) ELSE 0 END), (x, y) -> x + y)) AS qs
+    FROM blocks
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.qs[1], b.qs[1]))
+          + bit_count(xor(a.qs[2], b.qs[2]))
+          + bit_count(xor(a.qs[3], b.qs[3]))
+          + bit_count(xor(a.qs[4], b.qs[4])) AS INTEGER) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.qs[1], b.qs[1]))
+    + bit_count(xor(a.qs[2], b.qs[2]))
+    + bit_count(xor(a.qs[3], b.qs[3]))
+    + bit_count(xor(a.qs[4], b.qs[4])) <= {_PHASH_T}
+"""
+
+
+@register("mm_dedup_phash", oracle=_PHASH_ORACLE)
+def mm_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup — the multimodal member of the
+    dedup family: a 64-bit BLOCKHASH signature per blob (64 equal
+    byte-blocks; bit i = block i's mean byte > the global mean —
+    integer-exact as 64*block_sum > total_sum), pairs within Hamming
+    distance 3 (_PHASH_T). Robust to small byte edits (the planted
+    same-length mutations land at Hamming 0-1) but, like any
+    blockhash, NOT to length changes — real pipelines normalize
+    (resize) first, which is mm_image_resize's role.
+
+    Scale shape is dedup_simhash's pigeonhole transplanted to the
+    multimodal family: the 64-bit signature splits into 4 x 16-bit
+    quarters; any pair within Hamming <= 3 must agree on at least
+    one quarter, so a 4-way union of equi-joins on (quarter index,
+    quarter value) finds ALL qualifying pairs with no O(n^2) scan.
+    Signatures come from ONE Arrow pass over the binary column
+    (numpy cumsum over each blob; the blob never crosses a shuffle,
+    only the 4 smallint-sized quarters do). Verify is bit_count in
+    whole-stage codegen. The oracle brute-forces all pairs — the
+    pigeonhole condition is implied by Hamming <= 3, so both sides
+    compute the same set."""
+    import numpy as np
+    import pandas as pd
+
+    from innercircle_etl_spark.plans.planting import plant_mutated_docs
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = plant_mutated_docs(docs).filter(F.length("text") >= 64)
+    media = corpus.select(
+        "doc_id", F.encode("text", "utf-8").alias("media")
+    ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
+
+    def sig_batches(batches):
+        weights = 1 << np.arange(16, dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids, qcols = [], ([], [], [], [])
+            for doc, blob in zip(pdf["doc_id"], pdf["media"]):
+                b = np.frombuffer(bytes(blob), np.uint8).astype(np.int64)
+                bounds = (np.arange(65) * b.size) // 64
+                csum = np.concatenate(([0], np.cumsum(b)))
+                bsums = csum[bounds[1:]] - csum[bounds[:-1]]
+                bits = (64 * bsums) > csum[-1]
+                for q in range(4):
+                    qcols[q].append(
+                        int((bits[q * 16 : (q + 1) * 16] * weights).sum())
+                    )
+                ids.append(doc)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "q0": qcols[0],
+                    "q1": qcols[1],
+                    "q2": qcols[2],
+                    "q3": qcols[3],
+                }
+            )
+
+    # eager checkpoint: both sides of the quarter self-join consume
+    # the signature table (the simhash lesson — without the boundary
+    # each side re-runs the Arrow pass)
+    sig = media.mapInPandas(
+        sig_batches, "doc_id long, q0 int, q1 int, q2 int, q3 int"
+    ).localCheckpoint(eager=True)
+
+    blocked = sig.select(
+        "doc_id",
+        "q0",
+        "q1",
+        "q2",
+        "q3",
+        F.explode(
+            F.array(
+                *[
+                    F.concat(
+                        F.lit(f"{q}:"), F.col(f"q{q}").cast("string")
+                    )
+                    for q in range(4)
+                ]
+            )
+        ).alias("blk"),
+    )
+    a = blocked.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"q{q}").alias(f"a{q}") for q in range(4)],
+        "blk",
+    )
+    b = blocked.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"q{q}").alias(f"b{q}") for q in range(4)],
+        "blk",
+    )
+    ham = sum(
+        F.bit_count(
+            F.col(f"a{q}").bitwiseXOR(F.col(f"b{q}"))
+        ).cast("int")
+        for q in range(4)
+    )
+    return (
+        a.join(b, ["blk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= _PHASH_T)
+        .select("doc_a", "doc_b", "hamming")
+        .distinct()
+    )

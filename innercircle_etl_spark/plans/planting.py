@@ -49,6 +49,17 @@ DOC_NEAR_CORPUS_SQL = f"""
     SELECT doc_id + {PLANT_ID_OFFSET}, text || ' zzz' FROM documents
     WHERE doc_id % {DOC_NEAR_MOD} = 0"""
 
+# Same-LENGTH single-char mutation (perceptual-hash family): block
+# hashes are robust to byte edits but not to length changes (block
+# boundaries are L-relative), so this planting keeps L fixed —
+# exactly the invariance a blockhash is designed for.
+DOC_MUT_CORPUS_SQL = f"""
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + {PLANT_ID_OFFSET},
+           substr(text, 1, 4) || 'q' || substr(text, 6) FROM documents
+    WHERE doc_id % {DOC_NEAR_MOD} = 0"""
+
 VEC_SCALE_CORPUS_SQL = f"""
     SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
     FROM embeddings
@@ -81,6 +92,23 @@ def plant_near_docs(docs):
         F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
     )
     return docs.unionByName(near)
+
+
+def plant_mutated_docs(docs):
+    """documents (doc_id, text) + same-LENGTH single-char mutations
+    of every DOC_NEAR_MOD-th doc — the DataFrame half of
+    DOC_MUT_CORPUS_SQL."""
+    from pyspark.sql import functions as F
+
+    mut = docs.filter(F.col("doc_id") % DOC_NEAR_MOD == 0).select(
+        (F.col("doc_id") + PLANT_ID_OFFSET).alias("doc_id"),
+        F.concat(
+            F.substring("text", 1, 4),
+            F.lit("q"),
+            F.expr("substring(text, 6, length(text))"),
+        ).alias("text"),
+    )
+    return docs.unionByName(mut)
 
 
 def plant_scaled_vectors(emb):

@@ -755,3 +755,100 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("doc_id").alias("train_doc_id"))
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
+
+
+# ------------------------------------------- in-vocabulary quality
+
+_OOV_TOPK = 200  # per-language "known" bigram vocabulary size
+
+_OOV_ORACLE = f"""
+WITH grams AS (
+    SELECT doc_id, lang,
+           list_distinct([substr(text, i, 2)
+                          for i in generate_series(1, length(text) - 1)])
+             AS g
+    FROM documents WHERE length(text) >= 2
+),
+df AS (
+    SELECT lang, unnest(g) AS gram FROM grams
+),
+vocab AS (
+    SELECT lang, gram FROM (
+        SELECT lang, gram,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY COUNT(*) DESC, gram ASC
+               ) AS rn
+        FROM df GROUP BY lang, gram
+    ) WHERE rn <= {_OOV_TOPK}
+),
+vlists AS (SELECT lang, list(gram) AS vl FROM vocab GROUP BY lang)
+SELECT g.doc_id, g.lang,
+       CAST(len(g.g) AS BIGINT) AS n_bigrams,
+       CAST(len(list_intersect(g.g, v.vl)) AS DOUBLE) / len(g.g)
+         AS iv_rate
+FROM grams g JOIN vlists v ON g.lang = v.lang
+"""
+
+
+@register("text_oov_quality", oracle=_OOV_ORACLE)
+def text_oov_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level language-model quality proxy: the fraction of
+    a document's distinct char-bigrams that appear in its language's
+    top-{_OOV_TOPK} bigram vocabulary (built from the corpus itself
+    — self-supervised, like the KenLM-perplexity filters in web-
+    corpus pipelines but log-free: an in-vocabulary RATE is a ratio
+    of exact integers, so it hash-matches across engines where a
+    log-prob would drift in libm). Low iv_rate = the doc's character
+    statistics diverge from its language's bulk — mojibake, wrong
+    lang tag, binary junk.
+
+    Scale shape: the vocabulary build is the only shuffle (explode →
+    groupBy(lang, gram), map-side combinable; the rank window runs
+    over the per-language DF table — dimension-sized). Scoring is
+    pure map-side: the top-K lists fold to one array per language
+    (languages x {_OOV_TOPK} entries — a broadcast), and each doc
+    scores itself with array_intersect against its language's list.
+    No corpus re-shuffle, no UDF."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    grams = (
+        docs.filter(F.length("text") >= 2)
+        .select(
+            "doc_id",
+            "lang",
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, length(text) - 1),"
+                    " i -> substring(text, i, 2))"
+                )
+            ).alias("g"),
+        )
+        # two consumers (vocab build + scoring) — pin the gram
+        # projection so they don't both re-run it
+        .localCheckpoint(eager=True)
+    )
+    dfreq = (
+        grams.select("lang", F.explode("g").alias("gram"))
+        .groupBy("lang", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("cnt").desc(), F.col("gram").asc()
+    )
+    vlists = (
+        dfreq.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _OOV_TOPK)
+        .groupBy("lang")
+        .agg(F.collect_list("gram").alias("vl"))
+    )
+    return grams.join(F.broadcast(vlists), "lang").select(
+        "doc_id",
+        "lang",
+        F.size("g").cast("long").alias("n_bigrams"),
+        (
+            F.size(F.array_intersect("g", "vl")).cast("double")
+            / F.size("g")
+        ).alias("iv_rate"),
+    )

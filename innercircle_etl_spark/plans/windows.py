@@ -498,3 +498,61 @@ def w10_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_tot_dur") > 0)
         .drop("_tot_dur")
     )
+
+
+# ---------------------------------------------- cohort retention
+
+_COHORT_ORACLE = """
+WITH firsts AS (
+    SELECT user_id, CAST(MIN(ts) AS DATE) AS d0 FROM events
+    GROUP BY user_id
+),
+k AS (
+    SELECT e.user_id, f.d0 AS cohort_day,
+           CAST(datediff('day', f.d0, CAST(e.ts AS DATE)) AS INTEGER)
+             AS days_since
+    FROM events e JOIN firsts f ON e.user_id = f.user_id
+)
+SELECT cohort_day, days_since,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+FROM k GROUP BY cohort_day, days_since
+"""
+
+
+@register("w11_cohort_retention", oracle=_COHORT_ORACLE)
+def w11_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W11 (beyond-parity): the cohort-retention matrix — users
+    grouped by the DAY of their FIRST event, activity counted at
+    each day offset since (day grain because the fixture's event
+    stream spans one month; the month-grain variant is the same
+    plan with date_trunc). This is the product-analytics shape
+    behind the reference's insider-cohort tables ("circles" group
+    wallets by when they entered; retention is the same first-
+    touch-anchored rollup over time, update_etl.py:906-920's
+    created_at cohorts).
+
+    Day arithmetic is date-to-date on BOTH engines (Spark datediff
+    and DuckDB datediff('day') agree on DATE args; timestamp args
+    would tangle partial-day semantics, so both sides cast first).
+
+    Scale shape: first-touch = one groupBy(user) min (map-side
+    combinable); the join back to events shuffles on user_id ONCE
+    and AQE reuses the aggregation's clustering where it can; the
+    final (cohort, offset) rollup is days x days sized. The
+    countDistinct is exact per cell — at extreme cardinality swap
+    in a16's mergeable HLL sketches per cell."""
+    ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    firsts = ev.groupBy("user_id").agg(
+        F.to_date(F.min("ts")).alias("d0")
+    )
+    joined = ev.join(firsts, "user_id")
+    k = joined.select(
+        "user_id",
+        F.col("d0").alias("cohort_day"),
+        F.datediff(F.to_date("ts"), F.col("d0"))
+        .cast("int")
+        .alias("days_since"),
+    )
+    return k.groupBy("cohort_day", "days_since").agg(
+        F.countDistinct("user_id").alias("n_active")
+    )
