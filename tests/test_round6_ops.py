@@ -220,6 +220,34 @@ def test_weighted_resample_tracks_weights(spark, sf_dir):
             assert abs(frac - row["w"]) < 0.25, (lang, frac, row["w"])
 
 
+def test_phash_robust_to_edits_sensitive_to_length(spark, sf_dir):
+    """The blockhash contract: a same-length byte edit moves the
+    signature at most a few bits (planted mutations must be found),
+    while the planted pair ids are self-describing (x, x+OFFSET)."""
+    from innercircle_etl_spark.plans import QUERIES
+    from innercircle_etl_spark.plans.planting import (
+        DOC_NEAR_MOD,
+        PLANT_ID_OFFSET,
+    )
+    from innercircle_etl_spark.plans.registry import load
+
+    rows = QUERIES["mm_dedup_phash"](spark, sf_dir).collect()
+    assert rows, "planted mutations must produce pairs"
+    found = {
+        (r["doc_a"], r["doc_b"]): r["hamming"] for r in rows
+    }
+    n_docs = load(spark, sf_dir, "documents").count()
+    planted = [
+        (d, d + PLANT_ID_OFFSET)
+        for d in range(0, n_docs, DOC_NEAR_MOD)
+    ]
+    hits = [p for p in planted if p in found]
+    # a single same-length char edit shifts at most a couple of
+    # block sums — the planted pair must collide at tiny Hamming
+    assert len(hits) >= 0.9 * len(planted), (len(hits), len(planted))
+    assert all(found[p] <= 2 for p in hits)
+
+
 def test_salted_ops_with_computed_factor_match_plain(spark):
     """The identical-result contract holds for a COMPUTED factor on
     skewed data: salted_agg == plain groupBy, salted_join == plain
