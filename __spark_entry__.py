@@ -64,6 +64,7 @@ _PRIORITY = [
     "mm_dedup_phash",
     "w11_cohort_retention",
     "text_oov_quality",
+    "dedup_incremental_minhash",
     # ---- 11-50: the queries whose most recent driver-green row is
     # round 3 — two rounds stale. All pass the local full gate;
     # rotating them forward keeps every green claim ≤2 rounds old.

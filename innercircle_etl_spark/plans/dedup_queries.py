@@ -28,6 +28,7 @@ from innercircle_etl_spark.functions import vectors as V
 from innercircle_etl_spark.plans.planting import (
     DOC_EXACT_CORPUS_SQL,
     DOC_NEAR_CORPUS_SQL,
+    DOC_NEAR_MOD,
     PLANT_ID_OFFSET,
     VEC_SCALE_CORPUS_SQL,
     VEC_SCALE_MOD,
@@ -211,12 +212,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Broadcast direction matters: cand is |near-dups|-sized (hundreds),
     # the shingle table is corpus-sized (tens of MB here, TBs at scale)
-    # — so the CANDIDATES broadcast into the shingle scans, never the
-    # reverse. Each join streams `hashed` once and probes the tiny
-    # pair table.
+    # — so only the CANDIDATE IDS broadcast into the shingle scans,
+    # never shingle payloads. The A side picks up its partner id via
+    # the broadcast cand join, the B side semi-filters to candidate
+    # docs, and the two candidate-bounded payload streams meet in ONE
+    # shuffle join on doc_b (same discipline as the round-6
+    # containment fix — the earlier form broadcast sh_a-carrying
+    # rows, a corpus-content broadcast that cannot survive 100TB).
     withA = sa.join(F.broadcast(cand), "doc_a")
+    sb_cand = sb.join(
+        F.broadcast(cand.select("doc_b").distinct()), "doc_b", "semi"
+    )
     return (
-        sb.join(F.broadcast(withA), "doc_b")
+        sb_cand.join(withA, "doc_b")
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= 0.8)
         .select("doc_a", "doc_b", "jaccard")
@@ -1432,4 +1440,136 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("canon_cos") >= _SEM_T, 1).otherwise(0)
         ).alias("n_redundant"),
         F.max("canon_cos").alias("max_canon_cos"),
+    )
+
+
+# --------------------------------- incremental (batch-vs-index) dedup
+
+# planted near-dups of EVEN (indexed) docs: % (2 * DOC_NEAR_MOD)
+# selects docs that are both indexed (even) and planting-eligible
+_INC_MOD = 2 * DOC_NEAR_MOD
+
+_INC_ORACLE = f"""
+WITH allr AS (
+    SELECT 0 AS side, doc_id, text FROM documents WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT 1, doc_id, text FROM documents WHERE doc_id % 2 = 1
+    UNION ALL
+    SELECT 1, doc_id + {PLANT_ID_OFFSET}, text || ' zzz' FROM documents
+    WHERE doc_id % {_INC_MOD} = 0
+),
+tok AS (SELECT side, doc_id, string_split(text, ' ') AS w FROM allr),
+sh AS (
+    SELECT side, doc_id,
+           list_distinct([array_to_string(w[i:i+2], ' ')
+                          for i in generate_series(1, len(w) - 2)]) AS sh
+    FROM tok WHERE len(w) >= 3
+),
+hh AS (
+    SELECT side, doc_id, sh,
+           [('0x' || substr(m, 1, 8))::BIGINT for m in mm] AS h1,
+           [('0x' || substr(m, 9, 8))::BIGINT for m in mm] AS h2
+    FROM (SELECT side, doc_id, sh, [md5(x) for x in sh] AS mm FROM sh)
+),
+sig AS (SELECT side, doc_id, sh, [{_mh_list}] AS m FROM hh),
+bands AS (
+    SELECT side, doc_id, unnest([{_band_list}]) AS band_key FROM sig
+),
+cand AS (
+    SELECT DISTINCT n.doc_id AS new_doc, i.doc_id AS canon_doc
+    FROM bands n JOIN bands i ON n.band_key = i.band_key
+    WHERE n.side = 1 AND i.side = 0
+)
+SELECT c.new_doc, c.canon_doc,
+       CAST(len(list_intersect(sn.sh, si.sh)) AS DOUBLE)
+         / len(list_distinct(list_concat(sn.sh, si.sh))) AS jaccard
+FROM cand c
+JOIN sh sn ON sn.side = 1 AND c.new_doc = sn.doc_id
+JOIN sh si ON si.side = 0 AND c.canon_doc = si.doc_id
+WHERE CAST(len(list_intersect(sn.sh, si.sh)) AS DOUBLE)
+         / len(list_distinct(list_concat(sn.sh, si.sh))) >= 0.8
+"""
+
+
+@register("dedup_incremental_minhash", oracle=_INC_ORACLE)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup dedup — the DAILY-INGEST shape: a new
+    batch of documents probes an EXISTING corpus index instead of
+    re-deduping the whole corpus. Even doc_ids play the indexed
+    canon (in production: the banded signature table persisted from
+    prior runs — it is NOT recomputed per batch, which is the whole
+    point: batch cost is O(|batch|) hashing + band probes, never
+    O(|corpus|)); odd doc_ids plus planted near-dups of indexed
+    docs play the incoming batch. Output: (new_doc, canon_doc)
+    pairs with exact Jaccard >= 0.8 — the batch docs to drop (or
+    link) before appending. Batch-internal dups are deliberately
+    out of scope here (that is dedup_minhash_lsh run ON the batch;
+    a real pipeline composes both).
+
+    Scale shape: same banded LSH as dedup_minhash_lsh but the
+    candidate join is ASYMMETRIC (batch bands x index bands — no
+    batch-internal or index-internal pairs ever materialize), and
+    verify follows the round-6 broadcast discipline: only candidate
+    id pairs broadcast; shingle payloads meet in one shuffle join."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    idx_docs = docs.filter(F.col("doc_id") % 2 == 0)
+    batch_docs = docs.filter(F.col("doc_id") % 2 == 1).unionByName(
+        docs.filter(F.col("doc_id") % _INC_MOD == 0).select(
+            (F.col("doc_id") + PLANT_ID_OFFSET).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
+        )
+    )
+
+    def prep(df: DataFrame) -> DataFrame:
+        corpus = df.filter(
+            F.size(F.split(F.col("text"), " ")) >= 3
+        ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        toks = F.split(F.col("text"), " ")
+        sh = corpus.select(
+            "doc_id", SK.word_shingles(toks, 3).alias("sh")
+        )
+        h1, h2 = SK.shingle_hashes(F.col("sh"))
+        # checkpoint: each side feeds banding AND its verify join
+        return sh.select(
+            "doc_id", "sh", h1.alias("h1"), h2.alias("h2")
+        ).localCheckpoint(eager=True)
+
+    h_idx, h_new = prep(idx_docs), prep(batch_docs)
+
+    def bands(h: DataFrame, id_alias: str) -> DataFrame:
+        sigs = SK.minhash_from_hashes(
+            F.col("h1"), F.col("h2"), _NUM_HASHES
+        )
+        return h.select(
+            F.col("doc_id").alias(id_alias),
+            F.explode(SK.lsh_band_keys(sigs, _BANDS)).alias("band_key"),
+        )
+
+    cand = (
+        bands(h_new, "new_doc")
+        .join(bands(h_idx, "canon_doc"), "band_key")
+        .select("new_doc", "canon_doc")
+        .distinct()
+    )
+
+    sn = h_new.select(
+        F.col("doc_id").alias("new_doc"), F.col("sh").alias("sh_n")
+    )
+    si = h_idx.select(
+        F.col("doc_id").alias("canon_doc"), F.col("sh").alias("sh_i")
+    )
+    jac = F.size(F.array_intersect("sh_n", "sh_i")).cast(
+        "double"
+    ) / F.size(F.array_union("sh_n", "sh_i"))
+    with_new = sn.join(F.broadcast(cand), "new_doc")
+    si_cand = si.join(
+        F.broadcast(cand.select("canon_doc").distinct()),
+        "canon_doc",
+        "semi",
+    )
+    return (
+        si_cand.join(with_new, "canon_doc")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.8)
+        .select("new_doc", "canon_doc", "jaccard")
     )
