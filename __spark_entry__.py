@@ -65,6 +65,7 @@ _PRIORITY = [
     "w11_cohort_retention",
     "text_oov_quality",
     "dedup_incremental_minhash",
+    "a17_sketch_set_intersection",
     # ---- 11-50: the queries whose most recent driver-green row is
     # round 3 — two rounds stale. All pass the local full gate;
     # rotating them forward keeps every green claim ≤2 rounds old.

@@ -598,3 +598,86 @@ def a16_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (rel("est_union") < 0.05).alias("union_within_bound"),
         (rel("est_direct") < 0.05).alias("direct_within_bound"),
     )
+
+
+# ------------------------------------- sketch set intersection (A17)
+
+_A17_ORACLE = """
+WITH a AS (SELECT DISTINCT o_custkey FROM orders
+           WHERE o_totalprice > 350000),
+b AS (SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F')
+SELECT CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS exact_a,
+       CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS exact_b,
+       CAST((SELECT COUNT(*) FROM
+             (SELECT * FROM a UNION SELECT * FROM b)) AS BIGINT)
+         AS exact_union,
+       CAST((SELECT COUNT(*) FROM a JOIN b USING (o_custkey))
+            AS BIGINT) AS exact_inter,
+       TRUE AS inter_within_bound
+"""
+
+
+@register("a17_sketch_set_intersection", oracle=_A17_ORACLE)
+def a17_sketch_set_intersection(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Approximate distinct-set INTERSECTION from sketches — the
+    audience-overlap query every segmentation system runs: |A∩B| =
+    |A| + |B| - |A∪B| by inclusion-exclusion over three HLL
+    estimates (high-spender customers x urgent-finished customers).
+    Sketches make each term mergeable and fixed-size; the exact
+    counts ride the same DAG (a1b's pattern) so the driver can
+    value-hash them AND check the in-query accuracy contract:
+    |est_inter - exact_inter| / exact_inter < 20%. Inclusion-
+    exclusion AMPLIFIES sketch error by ~(|A|+|B|+|A∪B|)/|A∩B|
+    (~5x here), which is exactly why the bound is 10x looser than
+    a1b's single-set 5% — the query documents the trade honestly
+    rather than hiding it.
+
+    Scale: each term is one map-side-combinable sketch aggregate;
+    the exact branches (distinct + semi-join) exist to make the
+    contract checkable and are dropped in production. At 100TB the
+    three sketches are three scans' worth of fixed-size state, vs
+    the exact intersection's full distinct shuffle."""
+    orders = load(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_totalprice") > 350000).select("o_custkey")
+    b = orders.filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderstatus") == "F")
+    ).select("o_custkey")
+
+    agg_a = a.agg(
+        F.countDistinct("o_custkey").alias("exact_a"),
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("ap_a"),
+    )
+    agg_b = b.agg(
+        F.countDistinct("o_custkey").alias("exact_b"),
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("ap_b"),
+    )
+    agg_u = a.unionByName(b).agg(
+        F.countDistinct("o_custkey").alias("exact_union"),
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("ap_u"),
+    )
+    agg_i = (
+        a.distinct()
+        .join(b.distinct(), "o_custkey", "semi")
+        .agg(F.count(F.lit(1)).alias("exact_inter"))
+    )
+    est_inter = F.col("ap_a") + F.col("ap_b") - F.col("ap_u")
+    return (
+        agg_a.crossJoin(F.broadcast(agg_b))
+        .crossJoin(F.broadcast(agg_u))
+        .crossJoin(F.broadcast(agg_i))
+        .select(
+            "exact_a",
+            "exact_b",
+            "exact_union",
+            "exact_inter",
+            (
+                F.abs(est_inter - F.col("exact_inter"))
+                / F.greatest(F.col("exact_inter"), F.lit(1))
+                < 0.2
+            ).alias("inter_within_bound"),
+        )
+    )
