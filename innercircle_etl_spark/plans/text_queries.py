@@ -8,7 +8,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from innercircle_etl_spark.functions import text as TX
-from innercircle_etl_spark.plans.planting import PLANT_ID_OFFSET
+from innercircle_etl_spark.plans.planting import (
+    DOC_NEAR_CORPUS_SQL,
+    PLANT_ID_OFFSET,
+)
 from innercircle_etl_spark.plans.registry import load, register
 
 
@@ -851,4 +854,108 @@ def text_oov_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.array_intersect("g", "vl")).cast("double")
             / F.size("g")
         ).alias("iv_rate"),
+    )
+
+
+# --------------------------------------------- boilerplate scrub
+
+_SEG_W = 10  # words per deterministic segment ("line" stand-in)
+_BOILER_N = 2  # segment appearing in >= N docs is boilerplate
+
+_SCRUB_ORACLE = f"""
+WITH corpus AS ({DOC_NEAR_CORPUS_SQL}),
+base AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+segs AS (
+    SELECT doc_id, i AS idx,
+           array_to_string(w[(i*{_SEG_W}+1):((i+1)*{_SEG_W})], ' ') AS seg
+    FROM base,
+         UNNEST(range(CAST(ceil(len(w)/{_SEG_W}.0) AS BIGINT))) AS t(i)),
+freq AS (SELECT seg, COUNT(DISTINCT doc_id) AS nd FROM segs GROUP BY seg),
+kept AS (
+    SELECT s.doc_id, s.idx, s.seg FROM segs s
+    WHERE s.seg NOT IN (SELECT seg FROM freq WHERE nd >= {_BOILER_N})),
+agg AS (
+    SELECT doc_id, string_agg(seg, ' ' ORDER BY idx) AS clean_text,
+           COUNT(*) AS n_kept
+    FROM kept GROUP BY doc_id),
+tot AS (SELECT doc_id, COUNT(*) AS n_total FROM segs GROUP BY doc_id)
+SELECT t.doc_id,
+       COALESCE(a.clean_text, '') AS clean_text,
+       CAST(COALESCE(a.n_kept, 0) AS INTEGER) AS n_kept,
+       CAST(t.n_total - COALESCE(a.n_kept, 0) AS INTEGER) AS n_removed
+FROM tot t LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@register("text_boilerplate_scrub", oracle=_SCRUB_ORACLE)
+def text_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate REMOVAL with reassembly — the
+    rewrite half the dedup family lacked (dedup_substring_spans
+    detects shared spans; a training pipeline must also SHIP the
+    scrubbed corpus, the C4/CCNet line-dedup step). Deterministic
+    {_SEG_W}-word segments stand in for lines (the synthetic docs
+    have no newlines); any segment appearing in >= {_BOILER_N}
+    documents is boilerplate, surviving segments rejoin in original
+    order, and per-doc kept/removed counts ride along for the
+    audit trail.
+
+    Plan: segment fan-out stays in whole-stage codegen (split +
+    transform + slice + posexplode, no Python); frequency counting
+    shuffles (doc_id, md5) digests only — never segment bodies; the
+    anti join on the digest is NOT hinted broadcast (the boilerplate
+    set is corpus-dependent — AQE broadcasts it when it is small,
+    shuffles when it is not, unlike a forced-broadcast that would
+    cap scale); reassembly reuses one groupBy(doc_id) shuffle of the
+    surviving segments. At 100TB the digest shuffle dominates and is
+    linear in corpus size — no pairwise term anywhere.
+
+    Reference parity: beyond-reference (north-star extension); the
+    detection half cites the same literature as
+    dedup_substring_spans."""
+    from innercircle_etl_spark.plans.planting import plant_near_docs
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = plant_near_docs(docs)
+    segs = (
+        corpus.withColumn("w", F.split("text", " "))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0,"
+                    f" cast(ceil(size(w)/{_SEG_W}.0) as int) - 1),"
+                    f" i -> array_join(slice(w, i*{_SEG_W}+1, {_SEG_W}),"
+                    f" ' '))"
+                )
+            ).alias("idx", "seg"),
+        )
+        .withColumn("h", F.md5("seg"))
+    )
+    boiler = (
+        segs.select("doc_id", "h")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= _BOILER_N)
+        .select("h")
+    )
+    kept = segs.join(boiler, "h", "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "seg"))),
+                lambda x: x["seg"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    tot = segs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_total"))
+    return tot.join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        F.coalesce("n_kept", F.lit(0)).cast("int").alias("n_kept"),
+        (F.col("n_total") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .cast("int")
+        .alias("n_removed"),
     )

@@ -296,3 +296,44 @@ def test_salted_ops_with_computed_factor_match_plain(spark):
         ).collect()
     )
     assert plain_a == salted_a
+
+
+def test_boilerplate_scrub_removes_shared_keeps_unique(spark, sf_dir):
+    """text_boilerplate_scrub: a planted near-dup replica shares
+    every full segment with its original, so BOTH lose those
+    segments (cross-doc frequency >= 2); a doc with no planted copy
+    and no organic repeats keeps everything; and clean_text word
+    count must equal 10*full_kept + the kept tail remainder —
+    i.e. reassembly preserves order and drops nothing else."""
+    from innercircle_etl_spark.plans import QUERIES
+    from innercircle_etl_spark.plans.planting import (
+        DOC_NEAR_MOD,
+        PLANT_ID_OFFSET,
+    )
+
+    out = {r["doc_id"]: r for r in
+           QUERIES["text_boilerplate_scrub"](spark, sf_dir).collect()}
+    planted = [d for d in out if d >= PLANT_ID_OFFSET]
+    assert planted, "no planted replicas in scrub output"
+    for pid in planted:
+        orig = pid - PLANT_ID_OFFSET
+        assert orig % DOC_NEAR_MOD == 0
+        # every full shared segment scrubbed from both sides
+        assert out[pid]["n_removed"] >= 1
+        assert out[orig]["n_removed"] >= 1
+    # unplanted docs: the fixture generator also plants ORGANIC
+    # near-dup pairs (shared long prefixes), which the scrub rightly
+    # catches — but the majority of docs are unique and must keep
+    # every segment
+    untouched = [
+        d for d in out
+        if d < PLANT_ID_OFFSET and d % DOC_NEAR_MOD != 0
+    ]
+    assert untouched
+    zero_removed = sum(1 for d in untouched if out[d]["n_removed"] == 0)
+    assert zero_removed > len(untouched) / 2
+    # reassembly audit: kept count matches clean_text word count
+    for d, r in out.items():
+        words = len(r["clean_text"].split()) if r["clean_text"] else 0
+        assert words >= max(0, r["n_kept"] - 1) * 10 + (1 if r["n_kept"] else 0)
+        assert words <= r["n_kept"] * 10
