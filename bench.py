@@ -45,6 +45,26 @@ HEADLINE = [
 ]
 
 
+
+def _drop_caches(spark) -> None:
+    """Between-rep cache drop. catalog.clearCache() frees TABLE
+    caches but NOT the RDD blocks localCheckpoint pins (ep3/ep5 pin
+    their shared subtrees); without unpersisting those, every rep of
+    a checkpoint-pinning query LEAKS executor storage and late reps
+    pay eviction/GC — the plausible mechanism behind the sf1 ep5
+    63s max (BENCH_sf1.json) while calibration stayed flat. RDDs
+    are unpersisted non-blocking: nothing references them between
+    reps (a localCheckpoint's blocks ARE its data, so this is only
+    safe once the rep's count() has materialized)."""
+    spark.catalog.clearCache()
+    try:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for jrdd in list(jmap.values()):
+            jrdd.unpersist(False)
+    except Exception:
+        pass  # py4j surface moved — stale blocks only cost memory
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from innercircle_etl_spark.plans import QUERIES
@@ -61,7 +81,7 @@ def main() -> None:
     # the measured reps still read data cold.
     for name in HEADLINE:
         QUERIES[name](spark, "/root/testdata/sf0.001").count()
-        spark.catalog.clearCache()
+        _drop_caches(spark)
 
     # Three reps per query, report the min and the per-query
     # min/median/max spread. Caches are cleared between reps, so
@@ -124,7 +144,7 @@ def main() -> None:
         # warm-in ramp.
         if time.time() - bench_t0 < 0.6 * budget_s:
             fn(spark, sf_dir).count()
-            spark.catalog.clearCache()
+            _drop_caches(spark)
         else:
             print(f"# {name}: warm rep skipped (budget)", file=sys.stderr)
         samples, n = [], 0
@@ -134,7 +154,7 @@ def main() -> None:
             samples.append(time.time() - t0)
             # drop caches a query built for itself: reps are timed
             # data-cold and queries can't interfere with each other
-            spark.catalog.clearCache()
+            _drop_caches(spark)
         # adaptive extra reps while the spread looks load-polluted
         extra = 0
         while (
@@ -145,7 +165,7 @@ def main() -> None:
             t0 = time.time()
             n = fn(spark, sf_dir).count()
             samples.append(time.time() - t0)
-            spark.catalog.clearCache()
+            _drop_caches(spark)
             extra += 1
         samples.sort()
         timings[name] = round(samples[0], 3)
