@@ -52,15 +52,17 @@ def _drop_caches(spark) -> None:
     their shared subtrees); without unpersisting those, every rep of
     a checkpoint-pinning query LEAKS executor storage and late reps
     pay eviction/GC — the plausible mechanism behind the sf1 ep5
-    63s max (BENCH_sf1.json) while calibration stayed flat. RDDs
-    are unpersisted non-blocking: nothing references them between
-    reps (a localCheckpoint's blocks ARE its data, so this is only
-    safe once the rep's count() has materialized)."""
+    63s max (BENCH_sf1.json) while calibration stayed flat. Nothing
+    references the blocks between reps (a localCheckpoint's blocks
+    ARE its data, so this is only safe once the rep's count() has
+    materialized)."""
     spark.catalog.clearCache()
     try:
         jmap = spark.sparkContext._jsc.getPersistentRDDs()
         for jrdd in list(jmap.values()):
-            jrdd.unpersist(False)
+            # BLOCKING: async removal otherwise competes with the
+            # next timed rep's tasks for the block manager
+            jrdd.unpersist(True)
     except Exception:
         pass  # py4j surface moved — stale blocks only cost memory
 

@@ -86,10 +86,25 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
     con = duck_connection()
 
+    def drop_caches() -> None:
+        """Same between-query hygiene as bench.py's _drop_caches:
+        a 155-query sweep in ONE session otherwise accumulates every
+        localCheckpoint's pinned RDD blocks (nothing ever reads them
+        again), and the tail of the sweep runs against a shrinking
+        execution-memory pool."""
+        spark.catalog.clearCache()
+        try:
+            jmap = spark.sparkContext._jsc.getPersistentRDDs()
+            for jrdd in list(jmap.values()):
+                jrdd.unpersist(False)
+        except Exception:
+            pass
+
     n_pass = n_fail = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        drop_caches()
         t0 = time.time()
         try:
             sdf = fn(spark, SF_DIR)
