@@ -133,7 +133,22 @@ def main() -> None:
     bench_t0 = time.time()
     timings: dict[str, float] = {}
     spread: dict[str, dict[str, float]] = {}
+    # One calibration SAMPLE before every query (3s of overhead
+    # across the suite): a co-tenant load burst confined to the
+    # middle of the run slows a whole query's reps UNIFORMLY —
+    # invisible to the within-query spread AND to the start/end
+    # calibrations (observed: a ~5-min burst inflated 8 consecutive
+    # sf1 queries 3-4x with tight per-query spreads and clean
+    # start/end calibrations). The per-query probe timestamps the
+    # box's throughput next to every measurement, so a polluted
+    # window is readable straight off the artifact.
+    cal_probe: dict[str, float] = {}
     for name in HEADLINE:
+        t0 = time.time()
+        spark.range(30_000_000).selectExpr(
+            "id % 32 AS k", "id AS v"
+        ).groupBy("k").sum("v").count()
+        cal_probe[name] = round(time.time() - t0, 3)
         fn = QUERIES[name]
         # One UNTIMED warm rep at the measured SF first: the sf0.001
         # warmup above compiles the generated classes but its tiny
@@ -194,7 +209,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "spread": spread,
-                "calibration": {"start": cal_start, "end": cal_end},
+                "calibration": {
+                    "start": cal_start,
+                    "per_query": cal_probe,
+                    "end": cal_end,
+                },
                 "sf": float(sf) if sf else sf_dir,
             }
         )
