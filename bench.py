@@ -47,24 +47,10 @@ HEADLINE = [
 
 
 def _drop_caches(spark) -> None:
-    """Between-rep cache drop. catalog.clearCache() frees TABLE
-    caches but NOT the RDD blocks localCheckpoint pins (ep3/ep5 pin
-    their shared subtrees); without unpersisting those, every rep of
-    a checkpoint-pinning query LEAKS executor storage and late reps
-    pay eviction/GC — the plausible mechanism behind the sf1 ep5
-    63s max (BENCH_sf1.json) while calibration stayed flat. Nothing
-    references the blocks between reps (a localCheckpoint's blocks
-    ARE its data, so this is only safe once the rep's count() has
-    materialized)."""
-    spark.catalog.clearCache()
-    try:
-        jmap = spark.sparkContext._jsc.getPersistentRDDs()
-        for jrdd in list(jmap.values()):
-            # BLOCKING: async removal otherwise competes with the
-            # next timed rep's tasks for the block manager
-            jrdd.unpersist(True)
-    except Exception:
-        pass  # py4j surface moved — stale blocks only cost memory
+    """Between-rep hygiene — see session.drop_query_caches."""
+    from innercircle_etl_spark.session import drop_query_caches
+
+    drop_query_caches(spark)
 
 
 def main() -> None:

@@ -59,3 +59,34 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def drop_query_caches(spark) -> None:
+    """Between-query storage hygiene for long-lived sessions.
+
+    Several operators deliberately pin shared subtrees with eager
+    ``localCheckpoint`` (the MinHash shingle table, ep3/ep5's floor
+    and leg frames) — the right call WITHIN a query, where two or
+    three consumers would otherwise recompute the subtree. But a
+    pinned block outlives its query: ``spark.catalog.clearCache()``
+    frees table caches only, so a session that runs many queries
+    (a verification sweep, a bench, a long-lived cluster job)
+    accumulates dead pinned blocks and its later queries run against
+    a shrinking execution-memory pool (measured: a 155-query sweep
+    and the bench both inflated 25%+ before this existed).
+
+    Call this between queries, after the previous query's result has
+    been fully materialized — a localCheckpoint's blocks ARE its
+    data, so dropping them mid-consumption would lose the frame
+    (lineage is truncated). Blocking removal on purpose: async
+    removal competes with the next query's tasks for the block
+    manager.
+    """
+    spark.catalog.clearCache()
+    try:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for jrdd in list(jmap.values()):
+            jrdd.unpersist(True)
+    except Exception:
+        # py4j surface moved — stale blocks only cost memory
+        pass

@@ -87,18 +87,12 @@ def main() -> int:
     con = duck_connection()
 
     def drop_caches() -> None:
-        """Same between-query hygiene as bench.py's _drop_caches:
-        a 155-query sweep in ONE session otherwise accumulates every
-        localCheckpoint's pinned RDD blocks (nothing ever reads them
-        again), and the tail of the sweep runs against a shrinking
-        execution-memory pool."""
-        spark.catalog.clearCache()
-        try:
-            jmap = spark.sparkContext._jsc.getPersistentRDDs()
-            for jrdd in list(jmap.values()):
-                jrdd.unpersist(False)
-        except Exception:
-            pass
+        """Between-query hygiene — see session.drop_query_caches
+        (a 155-query sweep otherwise accumulates every
+        localCheckpoint's pinned blocks)."""
+        from innercircle_etl_spark.session import drop_query_caches
+
+        drop_query_caches(spark)
 
     n_pass = n_fail = 0
     for name, fn in qs.items():
