@@ -959,3 +959,91 @@ def text_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("n_removed"),
     )
+
+
+# --------------------------------------------- chunk windows (RAG prep)
+
+_CHUNK_W = 32  # tokens per chunk
+_CHUNK_S = 24  # stride (overlap = _CHUNK_W - _CHUNK_S)
+
+_CHUNK_ORACLE = f"""
+WITH base AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+nch AS (
+    SELECT doc_id, w, len(w) AS n,
+           1 + GREATEST(0, CAST(ceil((len(w) - {_CHUNK_W}) / {_CHUNK_S}.0)
+                                AS BIGINT)) AS nc
+    FROM base),
+chunks AS (
+    SELECT doc_id, i AS chunk_idx,
+           i*{_CHUNK_S} + 1 AS tok_start,
+           LEAST(i*{_CHUNK_S} + {_CHUNK_W}, n) AS tok_end,
+           array_to_string(w[(i*{_CHUNK_S}+1):(i*{_CHUNK_S}+{_CHUNK_W})],
+                           ' ') AS chunk_text
+    FROM nch, UNNEST(range(nc)) AS t(i))
+SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+       CAST(tok_start AS INTEGER) AS tok_start,
+       CAST(tok_end AS INTEGER) AS tok_end,
+       CAST(tok_end - tok_start + 1 AS INTEGER) AS n_tokens,
+       chunk_text
+FROM chunks
+"""
+
+
+@register("text_chunk_windows", oracle=_CHUNK_ORACLE)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping chunk windows — the context-preparation step every
+    RAG / pretraining pipeline runs between cleaning and embedding:
+    each document becomes fixed-width token windows ({_CHUNK_W}
+    tokens, stride {_CHUNK_S}, so consecutive chunks overlap by
+    {_CHUNK_W - _CHUNK_S}) with doc-relative 1-based token offsets,
+    the final window clipped to the document end. Composes directly
+    with the embedding/ANN family (chunk_text -> embed -> index) and
+    with text_pack_shards (chunks are what actually get packed).
+
+    Plan: pure per-row fan-out — split + window arithmetic +
+    posexplode, all whole-stage codegen, no shuffle at all (the scan
+    IS the plan). At 100TB this is the ideal shape: output partition
+    count follows input splits and every chunk carries its
+    provenance (doc_id, offsets) for dedup/citation downstream.
+
+    Reference parity: beyond-reference (north-star extension)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    W, S = _CHUNK_W, _CHUNK_S
+    chunks = (
+        docs.withColumn("w", F.split("text", " "))
+        .withColumn("n", F.size("w"))
+        .withColumn(
+            "nc",
+            F.lit(1)
+            + F.greatest(
+                F.lit(0),
+                F.ceil((F.col("n") - W) / F.lit(float(S))).cast("long"),
+            ),
+        )
+        .select(
+            "doc_id",
+            "n",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, cast(nc - 1 as int)),"
+                    f" i -> array_join(slice(w, i*{S}+1, {W}), ' '))"
+                )
+            ).alias("chunk_idx", "chunk_text"),
+        )
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        (F.col("chunk_idx") * S + 1).cast("int").alias("tok_start"),
+        F.least(F.col("chunk_idx") * S + W, F.col("n"))
+        .cast("int")
+        .alias("tok_end"),
+        (
+            F.least(F.col("chunk_idx") * S + W, F.col("n"))
+            - (F.col("chunk_idx") * S + 1)
+            + 1
+        )
+        .cast("int")
+        .alias("n_tokens"),
+        "chunk_text",
+    )
