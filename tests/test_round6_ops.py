@@ -337,3 +337,35 @@ def test_boilerplate_scrub_removes_shared_keeps_unique(spark, sf_dir):
         words = len(r["clean_text"].split()) if r["clean_text"] else 0
         assert words >= max(0, r["n_kept"] - 1) * 10 + (1 if r["n_kept"] else 0)
         assert words <= r["n_kept"] * 10
+
+
+def test_chunk_windows_cover_documents(spark, sf_dir):
+    """text_chunk_windows invariants: chunk 0 starts at token 1,
+    consecutive starts differ by the stride, the windows cover every
+    token of the doc (last window clipped to n), and each chunk's
+    token count matches its materialized text."""
+    from innercircle_etl_spark.plans import QUERIES
+    from innercircle_etl_spark.plans.registry import load
+
+    out = QUERIES["text_chunk_windows"](spark, sf_dir).collect()
+    n_tok = {
+        r["doc_id"]: len(r["text"].split(" "))
+        for r in load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(n_tok)
+    for d, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk_idx"])
+        assert chunks[0]["tok_start"] == 1
+        assert [c["chunk_idx"] for c in chunks] == list(range(len(chunks)))
+        for a, b in zip(chunks, chunks[1:]):
+            assert b["tok_start"] - a["tok_start"] == 24  # stride
+            assert b["tok_start"] <= a["tok_end"] + 1  # no gaps
+        assert chunks[-1]["tok_end"] == n_tok[d]  # full coverage
+        for c in chunks:
+            assert len(c["chunk_text"].split(" ")) == c["n_tokens"]
+            assert c["n_tokens"] == c["tok_end"] - c["tok_start"] + 1
