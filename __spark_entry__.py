@@ -68,6 +68,7 @@ _PRIORITY = [
     "a17_sketch_set_intersection",
     "text_boilerplate_scrub",
     "text_chunk_windows",
+    "ep10_rag_retrieval",
     # ---- 11-50: the queries whose most recent driver-green row is
     # round 3 — two rounds stale. All pass the local full gate;
     # rotating them forward keeps every green claim ≤2 rounds old.

@@ -1080,3 +1080,115 @@ def ep9_vector_index_pipeline(
             / F.count(F.lit(1))
         ).alias("avg_cos"),
     )
+
+
+# ------------------------------------- ep10: RAG retrieval pipeline
+
+_RAG_D = 16  # fake-embedding dims (ascii of md5 hex chars, centered)
+_RAG_Q_MOD = 97  # every 97th doc's chunks are the query set
+_RAG_K = 3  # retrieved neighbors per query chunk
+
+
+def _rag_oracle() -> str:
+    from innercircle_etl_spark.plans.text_queries import CHUNK_CTES_SQL
+
+    return f"""
+WITH {CHUNK_CTES_SQL},
+emb AS (
+    SELECT doc_id, chunk_idx,
+           list_transform(generate_series(1, {_RAG_D}),
+               k -> CAST(ascii(substr(md5(chunk_text), k, 1)) AS DOUBLE)
+                    - 75.0) AS v
+    FROM chunks),
+q AS (SELECT * FROM emb WHERE doc_id % {_RAG_Q_MOD} = 0),
+scored AS (
+    SELECT q.doc_id AS q_doc, q.chunk_idx AS q_chunk,
+           c.doc_id AS m_doc, c.chunk_idx AS m_chunk,
+           {_COS_SQL.format(a="q.v", b="c.v")} AS cos
+    FROM q, emb c
+    WHERE NOT (q.doc_id = c.doc_id AND q.chunk_idx = c.chunk_idx)),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY q_doc, q_chunk
+        ORDER BY cos DESC, m_doc ASC, m_chunk ASC) AS rnk
+    FROM scored)
+SELECT q_doc, CAST(q_chunk AS INTEGER) AS q_chunk,
+       CAST(rnk AS INTEGER) AS rnk,
+       m_doc, CAST(m_chunk AS INTEGER) AS m_chunk, cos
+FROM ranked WHERE rnk <= {_RAG_K}
+"""
+
+
+@register("ep10_rag_retrieval", oracle=_rag_oracle())
+def ep10_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end RAG ingestion + retrieval as ONE DAG: documents →
+    overlapping chunk windows (text_chunk_windows, reused builder) →
+    per-chunk embedding → cosine top-{_RAG_K} per query chunk with
+    full provenance (matched doc, chunk index, score). The embedding
+    is a deterministic hash feature (centered ascii of the chunk's
+    md5 hex — exact small integers, so dot/norm² are EXACT doubles
+    and the scores value-hash across engines); swap in a real
+    encoder behind the same (doc_id, chunk_idx, v) contract.
+
+    Scale: the query side is a sampled dimension (every
+    {_RAG_Q_MOD}th doc's chunks) and broadcasts into one pass over
+    the corpus — brute-force scoring is the RECALL-EXACT baseline,
+    and the corpus side never shuffles (scan → score → per-query
+    top-K partial aggregation). At 100TB you keep this exact DAG
+    and swap the scored join for the sign-bucket LSH candidates of
+    ann_lsh_bucketed / the IVF cells of ann_ivf_probe — candidate
+    generation is the only stage that changes.
+
+    Reference parity: beyond-reference (north-star extension);
+    composes text_chunk_windows with the ANN family's scoring."""
+    from innercircle_etl_spark.plans.text_queries import (
+        text_chunk_windows,
+    )
+
+    chunks = text_chunk_windows(spark, sf_dir).select(
+        "doc_id", "chunk_idx", "chunk_text"
+    )
+    emb = chunks.withColumn("h", F.md5("chunk_text")).select(
+        "doc_id",
+        "chunk_idx",
+        F.expr(
+            f"transform(sequence(1, {_RAG_D}),"
+            f" k -> cast(ascii(substring(h, k, 1)) as double) - 75.0)"
+        ).alias("v"),
+    )
+    q = emb.filter(F.col("doc_id") % _RAG_Q_MOD == 0).select(
+        F.col("doc_id").alias("q_doc"),
+        F.col("chunk_idx").alias("q_chunk"),
+        F.col("v").alias("vq"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))  # query side is the sampled dim
+        .filter(
+            ~(
+                (F.col("q_doc") == F.col("doc_id"))
+                & (F.col("q_chunk") == F.col("chunk_idx"))
+            )
+        )
+        .select(
+            "q_doc",
+            "q_chunk",
+            F.col("doc_id").alias("m_doc"),
+            F.col("chunk_idx").alias("m_chunk"),
+            V.cosine(F.col("vq"), F.col("v")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_doc", "q_chunk").orderBy(
+        F.col("cos").desc(), F.col("m_doc").asc(), F.col("m_chunk").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _RAG_K)
+        .select(
+            "q_doc",
+            F.col("q_chunk").cast("int").alias("q_chunk"),
+            F.col("rnk").cast("int").alias("rnk"),
+            "m_doc",
+            F.col("m_chunk").cast("int").alias("m_chunk"),
+            "cos",
+        )
+    )

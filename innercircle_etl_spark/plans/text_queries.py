@@ -966,8 +966,10 @@ def text_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CHUNK_W = 32  # tokens per chunk
 _CHUNK_S = 24  # stride (overlap = _CHUNK_W - _CHUNK_S)
 
-_CHUNK_ORACLE = f"""
-WITH base AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+# Shared CTE body (documents -> overlapping chunk windows): ep10's
+# retrieval oracle builds on the same chunking — single source here,
+# same discipline as planting.py's both-language forms.
+CHUNK_CTES_SQL = f"""base AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 nch AS (
     SELECT doc_id, w, len(w) AS n,
            1 + GREATEST(0, CAST(ceil((len(w) - {_CHUNK_W}) / {_CHUNK_S}.0)
@@ -979,7 +981,10 @@ chunks AS (
            LEAST(i*{_CHUNK_S} + {_CHUNK_W}, n) AS tok_end,
            array_to_string(w[(i*{_CHUNK_S}+1):(i*{_CHUNK_S}+{_CHUNK_W})],
                            ' ') AS chunk_text
-    FROM nch, UNNEST(range(nc)) AS t(i))
+    FROM nch, UNNEST(range(nc)) AS t(i))"""
+
+_CHUNK_ORACLE = f"""
+WITH {CHUNK_CTES_SQL}
 SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
        CAST(tok_start AS INTEGER) AS tok_start,
        CAST(tok_end AS INTEGER) AS tok_end,
