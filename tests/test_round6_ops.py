@@ -369,3 +369,23 @@ def test_chunk_windows_cover_documents(spark, sf_dir):
         for c in chunks:
             assert len(c["chunk_text"].split(" ")) == c["n_tokens"]
             assert c["n_tokens"] == c["tok_end"] - c["tok_start"] + 1
+
+
+def test_rag_retrieval_shape_and_ordering(spark, sf_dir):
+    """ep10: every query chunk retrieves exactly K=3 neighbors,
+    never itself, with ranks dense and scores non-increasing."""
+    from innercircle_etl_spark.plans import QUERIES
+
+    out = QUERIES["ep10_rag_retrieval"](spark, sf_dir).collect()
+    assert out, "no query chunks sampled"
+    by_q = {}
+    for r in out:
+        assert not (
+            r["q_doc"] == r["m_doc"] and r["q_chunk"] == r["m_chunk"]
+        )
+        assert -1.0 <= r["cos"] <= 1.0
+        by_q.setdefault((r["q_doc"], r["q_chunk"]), []).append(r)
+    for key, rs in by_q.items():
+        rs.sort(key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in rs] == [1, 2, 3], key
+        assert rs[0]["cos"] >= rs[1]["cos"] >= rs[2]["cos"], key
