@@ -92,9 +92,15 @@ def main() -> None:
     def calibrate() -> dict[str, float]:
         """Fixed synthetic job (32-task shuffle + agg, no parquet,
         no Python) timed 3x: a pure probe of the box's current
-        parallel throughput. Recording it at start and end makes
-        the co-tenant-noise claim checkable from the artifact: if
-        the calibration spread is 2-3x, so is every query's."""
+        parallel CPU throughput, plus one fixed PARQUET-SCAN probe
+        ("io") of the measured dataset. The two separate the noise
+        modes: CPU contention moves both, while host page-cache
+        reclaim (observed: a DAMON regime pinned buff/cache at ~1GB
+        and scan-heavy queries went disk-cold, 2-4x slower with the
+        CPU probe flat) moves only the io probe. Recording them at
+        start and end makes the noise claim checkable from the
+        artifact: if a probe spreads 2-3x, so does every query that
+        leans on that resource."""
         samples = []
         for _ in range(3):
             t0 = time.time()
@@ -103,10 +109,17 @@ def main() -> None:
             ).groupBy("k").sum("v").count()
             samples.append(time.time() - t0)
         samples.sort()
+        t0 = time.time()
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet").agg(
+            {"l_extendedprice": "sum"}
+        ).count()
+        io_s = time.time() - t0
+        _drop_caches(spark)
         return {
             "min": round(samples[0], 3),
             "median": round(samples[1], 3),
             "max": round(samples[-1], 3),
+            "io": round(io_s, 3),
         }
 
     cal_start = calibrate()
