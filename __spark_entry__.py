@@ -69,6 +69,7 @@ _PRIORITY = [
     "text_boilerplate_scrub",
     "text_chunk_windows",
     "ep10_rag_retrieval",
+    "dedup_ngram_jaccard_w5",
     # ---- 11-50: the queries whose most recent driver-green row is
     # round 3 — two rounds stale. All pass the local full gate;
     # rotating them forward keeps every green claim ≤2 rounds old.
