@@ -110,9 +110,13 @@ def main() -> None:
             samples.append(time.time() - t0)
         samples.sort()
         t0 = time.time()
+        # collect() the aggregate so the scan actually reads the
+        # column: .count() on top lets Catalyst prune the sum and
+        # the probe would time a metadata-only read (caught in the
+        # round-6 self-review by inspecting the executed plan)
         spark.read.parquet(f"{sf_dir}/lineitem.parquet").agg(
             {"l_extendedprice": "sum"}
-        ).count()
+        ).collect()
         io_s = time.time() - t0
         _drop_caches(spark)
         return {

@@ -1123,7 +1123,7 @@ FROM ranked WHERE rnk <= {_RAG_K}
 def ep10_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end RAG ingestion + retrieval as ONE DAG: documents →
     overlapping chunk windows (text_chunk_windows, reused builder) →
-    per-chunk embedding → cosine top-{_RAG_K} per query chunk with
+    per-chunk embedding → cosine top-3 per query chunk with
     full provenance (matched doc, chunk index, score). The embedding
     is a deterministic hash feature (centered ascii of the chunk's
     md5 hex — exact small integers, so dot/norm² are EXACT doubles
@@ -1131,7 +1131,7 @@ def ep10_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     encoder behind the same (doc_id, chunk_idx, v) contract.
 
     Scale: the query side is a sampled dimension (every
-    {_RAG_Q_MOD}th doc's chunks) and broadcasts into one pass over
+    97th doc's chunks) and broadcasts into one pass over
     the corpus — brute-force scoring is the RECALL-EXACT baseline,
     and the corpus side never shuffles (scan → score → per-query
     top-K partial aggregation). At 100TB you keep this exact DAG

@@ -893,8 +893,8 @@ def text_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewrite half the dedup family lacked (dedup_substring_spans
     detects shared spans; a training pipeline must also SHIP the
     scrubbed corpus, the C4/CCNet line-dedup step). Deterministic
-    {_SEG_W}-word segments stand in for lines (the synthetic docs
-    have no newlines); any segment appearing in >= {_BOILER_N}
+    10-word segments stand in for lines (the synthetic docs
+    have no newlines); any segment appearing in >= 2
     documents is boilerplate, surviving segments rejoin in original
     order, and per-doc kept/removed counts ride along for the
     audit trail.
@@ -930,6 +930,12 @@ def text_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("idx", "seg"),
         )
         .withColumn("h", F.md5("seg"))
+        # THREE consumers (boiler's distinct, the anti-join probe
+        # side, and the per-doc totals) — eager localCheckpoint runs
+        # the split+posexplode+md5 fan-out once and pins it, same
+        # convention as ngram_jaccard_pairs' corpus pin (racing
+        # consumers measured ~2x whole-query cost there)
+        .localCheckpoint(eager=True)
     )
     boiler = (
         segs.select("doc_id", "h")
@@ -998,9 +1004,8 @@ FROM chunks
 def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping chunk windows — the context-preparation step every
     RAG / pretraining pipeline runs between cleaning and embedding:
-    each document becomes fixed-width token windows ({_CHUNK_W}
-    tokens, stride {_CHUNK_S}, so consecutive chunks overlap by
-    {_CHUNK_W - _CHUNK_S}) with doc-relative 1-based token offsets,
+    each document becomes fixed-width token windows (32
+    tokens, stride 24, so consecutive chunks overlap by 8) with doc-relative 1-based token offsets,
     the final window clipped to the document end. Composes directly
     with the embedding/ANN family (chunk_text -> embed -> index) and
     with text_pack_shards (chunks are what actually get packed).

@@ -14,9 +14,8 @@ AQE's skew trigger compares partition sizes against
 skewedPartitionThresholdInBytes (default 256MB) — far above fixture
 scale — so the test lowers the thresholds to force the optimizer
 down the same code path a genuinely skewed 100TB shuffle would take,
-then asserts the executed plan carries the skew=true sort-merge
-join marker and MORE result partitions than the static shuffle
-would have produced (the split actually happened).
+then asserts the executed plan carries the skew-split marker on
+the sort-merge join / its AQEShuffleRead.
 """
 
 from __future__ import annotations
