@@ -15,6 +15,7 @@ Changelog batch schema: k, ts_us, event_id, op ('U'|'D'), new_bal.
 
 from __future__ import annotations
 
+import glob
 import os
 import shutil
 
@@ -71,10 +72,16 @@ def recover_snapshot(snap_path: str) -> None:
     """Crash recovery: if a previous swap died between moving the
     live snapshot aside and moving the new one into place, the table
     exists only at ``<snap_path>_old`` — restore it. Never touches a
-    live snapshot (the ``_old`` copy is strictly older)."""
+    live snapshot (the ``_old`` copy is strictly older). Also sweeps
+    orphaned ``_tmp_{batch_id}`` dirs: a crash between the tmp write
+    and the final rename leaves a stale tmp snapshot that a retry
+    under a DIFFERENT batch_id (or a reader-only recovery) would
+    otherwise leak forever."""
     old = f"{snap_path}_old"
     if not os.path.exists(snap_path) and os.path.exists(old):
         os.rename(old, snap_path)
+    for stale in glob.glob(f"{snap_path}_tmp_*"):
+        shutil.rmtree(stale, ignore_errors=True)
 
 
 def apply_cdc_batch(

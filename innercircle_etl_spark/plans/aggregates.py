@@ -614,6 +614,12 @@ SELECT CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS exact_a,
          AS exact_union,
        CAST((SELECT COUNT(*) FROM a JOIN b USING (o_custkey))
             AS BIGINT) AS exact_inter,
+       ROUND(((SELECT COUNT(*) FROM a) + (SELECT COUNT(*) FROM b)
+              + (SELECT COUNT(*) FROM
+                 (SELECT * FROM a UNION SELECT * FROM b)))
+             / GREATEST((SELECT COUNT(*) FROM a JOIN b
+                         USING (o_custkey)), 1)::DOUBLE, 2)
+         AS amplification,
        TRUE AS inter_within_bound
 """
 
@@ -628,12 +634,16 @@ def a17_sketch_set_intersection(
     estimates (high-spender customers x urgent-finished customers).
     Sketches make each term mergeable and fixed-size; the exact
     counts ride the same DAG (a1b's pattern) so the driver can
-    value-hash them AND check the in-query accuracy contract:
-    |est_inter - exact_inter| / exact_inter < 20%. Inclusion-
-    exclusion AMPLIFIES sketch error by ~(|A|+|B|+|A∪B|)/|A∩B|
-    (~5x here), which is exactly why the bound is 10x looser than
-    a1b's single-set 5% — the query documents the trade honestly
-    rather than hiding it.
+    value-hash them AND check the in-query accuracy contract.
+    Inclusion-exclusion AMPLIFIES sketch error by the factor
+    (|A|+|B|+|A∪B|)/|A∩B| (~5x on current fixtures), so the bound
+    is DERIVED, not a literal: |est_inter - exact_inter| /
+    exact_inter < 3*rsd x that measured amplification. A fixture
+    regen that shrinks the intersection loosens the bound by
+    exactly the error theory predicts instead of tripping a
+    spurious gate failure; the amplification factor itself is
+    emitted as a hash-checked column (both engines compute it from
+    exact counts) so the trade stays visible.
 
     Scale: each term is one map-side-combinable sketch aggregate;
     the exact branches (distinct + semi-join) exist to make the
@@ -665,6 +675,18 @@ def a17_sketch_set_intersection(
         .agg(F.count(F.lit(1)).alias("exact_inter"))
     )
     est_inter = F.col("ap_a") + F.col("ap_b") - F.col("ap_u")
+    # Adaptive contract (not a literal): inclusion-exclusion error is
+    # bounded by per-term error x (|A|+|B|+|A∪B|), so relative to the
+    # intersection the tolerance is 3*rsd x the measured amplification
+    # factor — it scales with the fixture instead of baking in the
+    # current ~5x amplification. (A raw numeric error column can't
+    # ride the hash-exact gate — sketch estimates differ per engine —
+    # so the contract stays boolean but its bound is derived, and the
+    # amplification itself is emitted hash-checked below.) 3*rsd is
+    # the ~3-sigma per-term envelope for HLL++ at rsd=0.02.
+    amp = (
+        F.col("exact_a") + F.col("exact_b") + F.col("exact_union")
+    ) / F.greatest(F.col("exact_inter"), F.lit(1))
     return (
         agg_a.crossJoin(F.broadcast(agg_b))
         .crossJoin(F.broadcast(agg_u))
@@ -674,10 +696,11 @@ def a17_sketch_set_intersection(
             "exact_b",
             "exact_union",
             "exact_inter",
+            F.round(amp, 2).alias("amplification"),
             (
                 F.abs(est_inter - F.col("exact_inter"))
                 / F.greatest(F.col("exact_inter"), F.lit(1))
-                < 0.2
+                < F.lit(3 * 0.02) * amp
             ).alias("inter_within_bound"),
         )
     )

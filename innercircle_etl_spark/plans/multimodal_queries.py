@@ -198,7 +198,8 @@ base AS (
     SELECT doc_id, text, length(text) AS L,
            list_reduce(list_transform(generate_series(1, length(text)),
                p -> ascii(substr(text, p, 1))), (x, y) -> x + y) AS total
-    FROM corpus WHERE length(text) >= 64
+    FROM corpus
+    WHERE length(text) >= 64 AND strlen(text) = length(text)
 ),
 blocks AS (
     SELECT doc_id, total,
@@ -257,7 +258,18 @@ def mm_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from innercircle_etl_spark.plans.planting import plant_mutated_docs
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    corpus = plant_mutated_docs(docs).filter(F.length("text") >= 64)
+    corpus = plant_mutated_docs(docs).filter(
+        (F.length("text") >= 64)
+        # ASCII-only gate, enforced on BOTH engines: the plan hashes
+        # UTF-8 BYTES while the DuckDB oracle walks CHARACTERS via
+        # ascii()/length() — equivalent only when every char is one
+        # byte. Without the gate the oracle would hold incidentally
+        # (current fixtures are ASCII) and diverge silently on a
+        # non-ASCII fixture regen; with it the equivalence is a
+        # checked precondition on both sides (oracle mirrors it as
+        # strlen(text) = length(text)).
+        & (F.octet_length("text") == F.length("text"))
+    )
     media = corpus.select(
         "doc_id", F.encode("text", "utf-8").alias("media")
     ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
