@@ -36,187 +36,181 @@ def entry(spark: SparkSession) -> DataFrame:
 # not listed (or not yet registered) keep registration order at the
 # end — the list is advisory, never a filter.
 _PRIORITY = [
-    # ---- positions 1-5 (round 6): the ONLY five queries with no
-    # driver CORRECTNESS row in any round (they registered past the
-    # round-5 50-slot window; judge-verified green locally). With
-    # these, r01–r06 union covers all 147 queries driver-green ----
-    "dedup_semantic_clusters",
-    "q4_key_skew_report",
-    "s15_partitioned_db_pull",
-    "text_decontaminate",
-    "text_mix_weights",
-    # ---- 6: the SURVEY §3 entry-point-1 composite (gap scan +
-    # dynamic-partition repair); last driver row r4, re-prove on
-    # current fixtures per the round-5 verdict ----
-    "ep1_daily_pipeline",
-    # ---- 7-10: queries whose oracle or plan CHANGED this round
-    # (sq range guard, twap zero-duration guard, containment
-    # broadcast restructure, CDC swap rework) — must re-prove ----
-    "ann_sq_adc",
-    "w10_twap",
-    "dedup_shingle_containment",
-    "i13_stream_cdc_apply",
-    # ---- new this round: deterministic epoch shuffle + weighted
-    # resample (the mix-weights loop-closer), perceptual-hash
-    # multimodal dedup, cohort retention, OOV quality ----
-    "samp_epoch_shuffle",
-    "samp_weighted_resample",
+    # ---- positions 1-5 (round 7): queries whose ORACLE or PLAN
+    # changed this round and must re-prove — phash gained the
+    # ASCII equivalence gate, a17 the derived accuracy bound +
+    # amplification column, simhash integer block keys, ep3/ep5
+    # the SPARK_GRAFT_FUSED_SCAN single-pass form (default path
+    # unchanged, re-proving anyway) ----
     "mm_dedup_phash",
-    "w11_cohort_retention",
-    "text_oov_quality",
-    "dedup_incremental_minhash",
     "a17_sketch_set_intersection",
-    "text_boilerplate_scrub",
-    "text_chunk_windows",
-    "ep10_rag_retrieval",
-    "dedup_ngram_jaccard_w5",
-    # ---- 11-50: the queries whose most recent driver-green row is
-    # round 3 — two rounds stale. All pass the local full gate;
-    # rotating them forward keeps every green claim ≤2 rounds old.
-    # Ordered rarest-coverage-first; the ubiquitous core operators
-    # (joins/aggs exercised inside every cascade) sit at the tail
-    # where falling past the window costs least ----
-    "a12_rollup",
-    "a13_grouped_pandas_stats",
-    "a14_grouped_agg_udf",
-    "f7_array_hof",
-    "p12_null_safe_eq",
-    "graph_pagerank3",
-    "seq_event_assembly",
-    "t4_pivot",
-    "t5_unpivot",
-    "u9_scd2_ranges",
-    "u10_incremental_agg",
-    "u11_dynamic_partition_overwrite",
-    "w6_gap_fill_ffill",
-    "w7_rolling_7day",
-    "w8_day_over_day",
-    "w9_ntile_deciles",
-    "q2_column_profile",
-    "s11_schema_evolution",
-    "s12_corrupt_records",
-    "s13_compaction",
-    "s14_orc_roundtrip",
-    "samp_stratified_hash",
-    "text_pack_shards",
-    "text_pii_scrub",
-    "text_tfidf_terms",
-    "text_train_eval_split",
-    "mm_av_frame_sample_udtf",
-    "i6_watermark_window",
-    "i7_stream_dedup",
+    "dedup_simhash",
+    "ep3_roi_cascade",
+    "ep5_shadow_trade",
+    # ---- 6-21: the 16 queries whose newest driver-green row is
+    # round 3 (the round-6 verdict item 1 rotation) ----
+    "a3_sum_min_max_avg",
+    "a8_percentile_disc",
+    "ep4_circles",
+    "ep8_corpus_pipeline",
     "i10_stream_stream_join",
     "i11_stream_outer_join",
     "i12_stream_session_window",
-    "j7b_asof_backward",
-    "j7_asof_join",
-    "a8_percentile_disc",
-    "a3_sum_min_max_avg",
-    "ep4_circles",
-    "ep8_corpus_pipeline",
-    "q1_quality_report",
-    "u7_merge_into",
-    # ---- 51-55: rest of the r3-stale set, just past the nominal
-    # window — all implicitly exercised inside the cascades above ----
-    "w4b_global_rank_scalable",
-    "w1_latest_per_key",
-    "u1_insert_if_absent",
-    "o1_global_topk",
     "j1_multiway_join",
-    # ---- rotation pool: green in r04 ∪ r05 and unchanged this
-    # round; registration order beyond the list is advisory ----
-    "ep3_roi_cascade",
-    "ep5_shadow_trade",
+    "j7_asof_join",
+    "j7b_asof_backward",
+    "o1_global_topk",
+    "q1_quality_report",
+    "u1_insert_if_absent",
+    "u7_merge_into",
+    "w1_latest_per_key",
+    "w4b_global_rank_scalable",
+    # ---- 22-50: round-4-green queries, rarest-coverage-first
+    # (sketches, dedup, ANN, multimodal, skew tooling, then the
+    # agg family); with these the r05 ∪ r06 ∪ r07 union keeps
+    # every family's green row ≤ 2 rounds old ----
     "ep6_insight_feed",
-    "ep9_vector_index_pipeline",
-    "u12_cdc_apply",
-    "a1_count_distinct",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_embedding_multiprobe",
+    "dedup_edit_distance",
+    "ann_cosine_topk",
+    "ann_lsh_bucketed",
+    "ann_ivf_probe",
+    "ann_ivf_lloyd",
+    "ann_recall_lloyd",
+    "mm_image_features",
+    "mm_av_frame_sample",
+    "mm_image_resize",
+    "text_repetition_quality",
+    "x11_salted_skew_join",
+    "x_bucketed_colocated_join",
+    "a15_cms_heavy_hitters",
+    "a16_hll_mergeable_rollup",
     "a1b_approx_distinct",
+    "a8b_approx_percentile",
+    "a1_count_distinct",
     "a4_scalar_subquery",
     "a6_having",
     "a7_conditional_agg",
-    "a8b_approx_percentile",
     "a9_dedup_groupby",
     "a11_two_phase_agg",
-    "a15_cms_heavy_hitters",
-    "a16_hll_mergeable_rollup",
-    "j2_left_enrich",
     "j3_range_in_on",
-    "j4_left_anti",
-    "j5_left_semi",
-    "j6_double_anti",
     "j9_join_to_latest",
     "j11_pairs_jaccard",
-    "j12_interval_bucket_join",
+    # ---- 51-65: the remaining round-4-green queries — ubiquitous
+    # core shapes (filters, scalar funcs, set ops, basic joins)
+    # exercised inside every cascade above, so falling past the
+    # 50-slot window costs least; they lead the round-8 rotation ----
     "p1_project_arithmetic",
-    "p2_p3_time_range",
     "p4_p5_inlist_like",
     "p6_p7_membership",
     "p8_p9_p10_null_blacklist",
     "f1_string_funcs",
     "f2_datetime_funcs",
     "f3_math_decay",
-    "f4_case_coalesce",
     "f5_array_access",
-    "f6_json_extract",
     "t1_union_all_legs",
     "t2_except",
     "t3_intersect",
-    "s2_s3_csv_roundtrip",
-    "s6_json_source",
-    "s8_rest_source",
-    "s9_rest_sink",
-    "s10_watermark",
-    "u2_merge_update",
-    "u3_partition_delete_reload",
-    "u4_truncate_rebuild",
-    "u5_conditional_flag",
-    "u6_date_gaps",
-    "w2_first_per_key",
-    "w3_topn_per_group",
-    "w4_global_rank",
+    "j2_left_enrich",
+    "j4_left_anti",
+    "j5_left_semi",
+    "j6_double_anti",
+    # ---- rotation pool: green in r05 ∪ r06; order advisory ----
+    "a12_rollup",
+    "a13_grouped_pandas_stats",
+    "a14_grouped_agg_udf",
+    "ep7_posts",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_w5",
+    "dedup_embedding_cosine",
+    "dedup_minhash_recall",
+    "dedup_cluster_canonical",
+    "dedup_substring_spans",
+    "dedup_shingle_containment",
+    "dedup_semantic_clusters",
+    "dedup_incremental_minhash",
     "d1_decode_log_price",
     "d2_decode_calldata_token",
     "d12_trade_decode_pipeline",
-    "i1_highwatermark_increment",
+    "p2_p3_time_range",
+    "p12_null_safe_eq",
+    "graph_pagerank3",
+    "x12_salted_agg",
+    "j12_interval_bucket_join",
+    "mm_av_frame_sample_udtf",
+    "ep1_daily_pipeline",
+    "samp_stratified_hash",
+    "samp_epoch_shuffle",
+    "samp_weighted_resample",
+    "f4_case_coalesce",
+    "f6_json_extract",
+    "f7_array_hof",
+    "t4_pivot",
+    "t5_unpivot",
+    "ann_recall_at_k",
+    "ann_pq_adc",
+    "ann_lsh_multiprobe",
+    "ann_sq_adc",
+    "ep9_vector_index_pipeline",
+    "text_token_stats",
+    "text_quality_score",
+    "text_lang_id",
+    "text_fingerprint",
+    "text_pii_scrub",
+    "text_pack_shards",
+    "text_train_eval_split",
+    "text_tfidf_terms",
+    "seq_event_assembly",
+    "text_bm25_search",
+    "text_mix_weights",
+    "text_decontaminate",
+    "text_oov_quality",
+    "text_boilerplate_scrub",
+    "text_chunk_windows",
+    "ep10_rag_retrieval",
+    "s2_s3_csv_roundtrip",
+    "s6_json_source",
+    "s10_watermark",
+    "s11_schema_evolution",
+    "s12_corrupt_records",
+    "s13_compaction",
+    "s14_orc_roundtrip",
+    "s8_rest_source",
+    "s9_rest_sink",
+    "s15_partitioned_db_pull",
+    "i4_file_stream_exactly_once",
     "i3_streaming_snapshot",
     "i3b_stateful_snapshot",
-    "i4_file_stream_exactly_once",
+    "i1_highwatermark_increment",
     "i5_scd_flag_flip",
+    "i6_watermark_window",
+    "i7_stream_dedup",
     "i8_session_window",
     "i9_stream_static_join",
-    "ep7_posts",
-    "text_lang_id",
-    "text_quality_score",
-    "text_token_stats",
-    "text_fingerprint",
-    "text_bm25_search",
-    "text_repetition_quality",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_edit_distance",
-    "dedup_cluster_canonical",
-    "dedup_embedding_cosine",
-    "dedup_embedding_multiprobe",
-    "dedup_minhash_recall",
-    "dedup_substring_spans",
-    "ann_cosine_topk",
-    "ann_lsh_bucketed",
-    "ann_lsh_multiprobe",
-    "ann_ivf_probe",
-    "ann_ivf_lloyd",
-    "ann_pq_adc",
-    "ann_recall_at_k",
-    "ann_recall_lloyd",
+    "u2_merge_update",
+    "u3_partition_delete_reload",
+    "u5_conditional_flag",
+    "u6_date_gaps",
+    "u4_truncate_rebuild",
+    "u9_scd2_ranges",
+    "u10_incremental_agg",
+    "u11_dynamic_partition_overwrite",
+    "u12_cdc_apply",
+    "i13_stream_cdc_apply",
+    "w2_first_per_key",
+    "w3_topn_per_group",
+    "w4_global_rank",
+    "w6_gap_fill_ffill",
+    "w7_rolling_7day",
+    "w8_day_over_day",
+    "w9_ntile_deciles",
+    "w10_twap",
+    "w11_cohort_retention",
+    "q2_column_profile",
     "q3_outlier_zscores",
-    "x11_salted_skew_join",
-    "x12_salted_agg",
-    "x_bucketed_colocated_join",
-    "mm_image_features",
-    "mm_image_resize",
-    "mm_av_frame_sample",
+    "q4_key_skew_report",
 ]
 
 

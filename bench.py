@@ -175,25 +175,50 @@ def main() -> None:
             # drop caches a query built for itself: reps are timed
             # data-cold and queries can't interfere with each other
             _drop_caches(spark)
-        # adaptive extra reps while the spread looks load-polluted
+        # adaptive extra reps while the spread looks load-polluted.
+        # Each trip also samples BOTH calibration probes at that
+        # instant — the per-offender noise attribution: a bad rep is
+        # host noise only if a probe degraded WITH it (io probe for
+        # page-cache reclaim, cpu probe for co-tenant CPU), and the
+        # artifact records the pairing so the claim is checkable
+        # per offending query, not just per run.
         extra = 0
+        noise_probes: list[dict[str, float]] = []
         while (
             extra < extra_cap
             and max(samples) > 2 * min(samples)
             and time.time() - bench_t0 < 0.85 * budget_s
         ):
             t0 = time.time()
+            spark.range(30_000_000).selectExpr(
+                "id % 32 AS k", "id AS v"
+            ).groupBy("k").sum("v").count()
+            cpu_s = time.time() - t0
+            t0 = time.time()
+            spark.read.parquet(f"{sf_dir}/lineitem.parquet").agg(
+                {"l_extendedprice": "sum"}
+            ).collect()
+            io_s = time.time() - t0
+            _drop_caches(spark)
+            noise_probes.append(
+                {"cpu": round(cpu_s, 3), "io": round(io_s, 3)}
+            )
+            t0 = time.time()
             n = fn(spark, sf_dir).count()
             samples.append(time.time() - t0)
             _drop_caches(spark)
             extra += 1
+        raw = [round(s, 3) for s in samples]  # arrival order
         samples.sort()
         timings[name] = round(samples[0], 3)
         spread[name] = {
             "min": round(samples[0], 3),
             "median": round(samples[len(samples) // 2], 3),
             "max": round(samples[-1], 3),
+            "samples": raw,
         }
+        if noise_probes:
+            spread[name]["noise_probes"] = noise_probes
         print(
             f"# {name}: {timings[name]:.3f}s (n={n},"
             f" median {spread[name]['median']:.3f},"

@@ -1,0 +1,133 @@
+"""Crash-safe directory-swap discipline for parquet table rewrites.
+
+POSIX has no single-syscall atomic directory replace, so every
+"rewrite the table" site (CDC snapshot, streaming snapshot merge,
+truncate+rebuild, day-partition repair) follows the same four-step
+protocol, factored here so each site inherits the SAME proof:
+
+    write new data to a TMP dir  (crash → live table untouched)
+    rename live  -> OLD          (crash → OLD holds the table;
+                                  recover() restores it)
+    rename TMP   -> live         (crash → live holds the NEW table,
+                                  stale OLD swept on next recover)
+    drop OLD
+
+At every crash point at least one complete copy of the table exists
+on disk, and ``recover_table`` / ``recover_partitions`` returns the
+path to a readable state (the newest complete copy). Partition-grain
+swaps keep their TMP/OLD dirs HIDDEN (leading dot) inside the table
+directory so a reader that races a crash never parses a half-swapped
+partition as data — Spark and DuckDB both skip dot-prefixed dirs.
+
+At 100TB this is the HDFS/POSIX discipline (renames are O(1)
+metadata ops). On S3-style object stores rename is copy — there the
+same protocol runs against a manifest (table formats exist for that
+reason); the crash-point analysis is identical.
+
+Reference parity: the reference's update loop leans on Postgres
+transactional DDL (etl_utls.py:303-313 delete+reload inside a txn);
+this module is the filesystem equivalent of that atomicity.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+from pyspark.sql import DataFrame
+
+
+def recover_table(path: str) -> None:
+    """Restore ``path`` from ``<path>_old`` if a crash stranded the
+    table there, and sweep any orphaned ``<path>_tmp_*`` staging dirs
+    (a crash between the tmp write and the final rename leaks them
+    under a different tag otherwise). Never touches a live table —
+    the ``_old`` copy is strictly older."""
+    old = f"{path}_old"
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
+    for stale in glob.glob(f"{path}_tmp_*"):
+        shutil.rmtree(stale, ignore_errors=True)
+
+
+def swap_into_place(path: str, tmp: str) -> None:
+    """Steps 2-4 of the protocol: move the complete table at ``tmp``
+    into ``path``. Caller guarantees ``tmp`` is fully written."""
+    old = f"{path}_old"
+    shutil.rmtree(old, ignore_errors=True)  # stale copy from a crash
+    # after a previous swap completed — safe to drop
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def write_replace(df: DataFrame, path: str, tag: object) -> None:
+    """Crash-safe full-table overwrite: write ``df`` to
+    ``<path>_tmp_<tag>`` then swap it into place. A failed write
+    cleans its tmp dir and leaves the live table untouched."""
+    recover_table(path)
+    tmp = f"{path}_tmp_{tag}"
+    try:
+        df.write.mode("overwrite").parquet(tmp)
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    swap_into_place(path, tmp)
+
+
+# ---------------------------------------------------- partition grain
+
+
+def recover_partitions(table_path: str) -> None:
+    """Partition-grain recovery: restore any ``.old_<part>`` dir whose
+    live partition is missing, then sweep staging dirs. Idempotent;
+    call before reading a table written via
+    ``overwrite_partitions_atomic`` if a crash is suspected."""
+    if not os.path.isdir(table_path):
+        return
+    for entry in os.listdir(table_path):
+        if entry.startswith(".old_"):
+            live = os.path.join(table_path, entry[len(".old_") :])
+            old = os.path.join(table_path, entry)
+            if os.path.exists(live):
+                shutil.rmtree(old, ignore_errors=True)
+            else:
+                os.rename(old, live)
+    for stale in glob.glob(f"{table_path}/.staging_*"):
+        shutil.rmtree(stale, ignore_errors=True)
+
+
+def overwrite_partitions_atomic(
+    df: DataFrame, table_path: str, part_col: str, tag: object
+) -> None:
+    """Crash-safe dynamic-partition overwrite: write ``df``'s
+    partitions to a hidden staging dir inside the table, then swap
+    each written ``<part_col>=<value>`` dir into place with the
+    rename protocol. Only the partitions PRESENT in ``df`` are
+    touched — every other partition's files are never renamed, same
+    contract as ``partitionOverwriteMode=dynamic`` but with no
+    crash point that loses a partition (the native committer deletes
+    matched partitions before its renames land).
+
+    One Spark job writes all partitions in parallel; the swap loop is
+    driver-side O(#partitions-touched) metadata renames."""
+    recover_partitions(table_path)
+    stage = os.path.join(table_path, f".staging_{tag}")
+    try:
+        df.write.mode("overwrite").partitionBy(part_col).parquet(stage)
+    except BaseException:
+        shutil.rmtree(stage, ignore_errors=True)
+        raise
+    for entry in sorted(os.listdir(stage)):
+        if not entry.startswith(f"{part_col}="):
+            continue  # _SUCCESS etc. — swept with the stage dir
+        live = os.path.join(table_path, entry)
+        old = os.path.join(table_path, f".old_{entry}")
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.exists(live):
+            os.rename(live, old)
+        os.rename(os.path.join(stage, entry), live)
+        shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(stage, ignore_errors=True)

@@ -15,12 +15,13 @@ Changelog batch schema: k, ts_us, event_id, op ('U'|'D'), new_bal.
 
 from __future__ import annotations
 
-import glob
-import os
-import shutil
-
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from innercircle_etl_spark.operators.atomic_swap import (
+    recover_table,
+    write_replace,
+)
 
 
 def versioned_cdc_merge(
@@ -69,19 +70,10 @@ def versioned_cdc_merge(
 
 
 def recover_snapshot(snap_path: str) -> None:
-    """Crash recovery: if a previous swap died between moving the
-    live snapshot aside and moving the new one into place, the table
-    exists only at ``<snap_path>_old`` — restore it. Never touches a
-    live snapshot (the ``_old`` copy is strictly older). Also sweeps
-    orphaned ``_tmp_{batch_id}`` dirs: a crash between the tmp write
-    and the final rename leaves a stale tmp snapshot that a retry
-    under a DIFFERENT batch_id (or a reader-only recovery) would
-    otherwise leak forever."""
-    old = f"{snap_path}_old"
-    if not os.path.exists(snap_path) and os.path.exists(old):
-        os.rename(old, snap_path)
-    for stale in glob.glob(f"{snap_path}_tmp_*"):
-        shutil.rmtree(stale, ignore_errors=True)
+    """Crash recovery for the CDC snapshot — the shared rename
+    protocol (operators/atomic_swap.py): restore from ``_old`` if a
+    swap died between its renames, sweep orphaned ``_tmp_*`` dirs."""
+    recover_table(snap_path)
 
 
 def apply_cdc_batch(
@@ -91,26 +83,12 @@ def apply_cdc_batch(
     at ``snap_path`` and swap it into place crash-safely. Idempotent
     — re-applying a batch finds no strictly-newer versions.
 
-    Swap discipline (no single-syscall atomic dir replace on POSIX):
-    write to ``_tmp``, rename live → ``_old``, rename ``_tmp`` →
-    live, drop ``_old``. At every crash point at least one complete
-    snapshot directory survives: before the first rename it is the
-    live dir; between the renames it is ``_old`` (restored by
-    ``recover_snapshot`` on the next batch / reader); after it is
-    the new live dir. A failed write cleans up its ``_tmp`` dir."""
+    The swap is the shared four-step rename protocol
+    (operators/atomic_swap.write_replace): at every crash point at
+    least one complete snapshot survives, and ``recover_snapshot``
+    (run here and by readers) restores it."""
     sp = batch.sparkSession
-    old = f"{snap_path}_old"
-    recover_snapshot(snap_path)
+    recover_table(snap_path)
     cur = sp.read.parquet(snap_path)
     merged = versioned_cdc_merge(cur, batch)
-    tmp = f"{snap_path}_tmp_{batch_id}"
-    try:
-        merged.write.mode("overwrite").parquet(tmp)
-    except BaseException:
-        shutil.rmtree(tmp, ignore_errors=True)
-        raise
-    shutil.rmtree(old, ignore_errors=True)  # stale copy from a
-    # crash after the new snapshot landed — safe to drop
-    os.rename(snap_path, old)
-    os.rename(tmp, snap_path)
-    shutil.rmtree(old, ignore_errors=True)
+    write_replace(merged, snap_path, batch_id)

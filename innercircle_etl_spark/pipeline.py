@@ -21,20 +21,28 @@ from collections.abc import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
+from innercircle_etl_spark.operators.atomic_swap import (
+    overwrite_partitions_atomic,
+    recover_partitions,
+)
 from innercircle_etl_spark.operators.upsert import date_gaps
 
 _LOG = logging.getLogger(__name__)
 
 
-def write_daily_partitioned(df: DataFrame, path: str, date_col: str = "d"):
-    """Write/overwrite only the date partitions present in ``df``
-    (U3 at scale: partitionOverwriteMode=dynamic)."""
-    (
-        df.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(date_col)
-        .parquet(path)
-    )
+def write_daily_partitioned(
+    df: DataFrame, path: str, date_col: str = "d", tag: object = "repair"
+):
+    """Write/overwrite only the date partitions present in ``df`` —
+    U3 at scale. Same touched-partitions-only contract as Spark's
+    ``partitionOverwriteMode=dynamic`` (u11 demonstrates the native
+    form) but through the crash-safe rename protocol
+    (operators/atomic_swap.py): the native committer deletes matched
+    partitions before its renames land, so a crash there loses the
+    day being repaired; here every crash point leaves each day's dir
+    either old-complete or new-complete, and
+    ``recover_partitions(path)`` restores any half-swapped day."""
+    overwrite_partitions_atomic(df, path, date_col, tag)
 
 
 def run_daily(
@@ -70,6 +78,7 @@ def run_daily(
     the IN-list/spine and the write's partition set bounded no matter
     how long the outage being repaired was.
     """
+    recover_partitions(warehouse_path)  # heal any crashed prior run
     loaded = spark.read.parquet(warehouse_path)
     missing = [
         r["missing_date"].isoformat()
@@ -87,5 +96,7 @@ def run_daily(
         )
     for i in range(0, len(repair_days), batch_days):
         chunk = repair_days[i : i + batch_days]
-        write_daily_partitioned(build_days(chunk), warehouse_path, date_col)
+        write_daily_partitioned(
+            build_days(chunk), warehouse_path, date_col, tag=i
+        )
     return spark.read.parquet(warehouse_path)

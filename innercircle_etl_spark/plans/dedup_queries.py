@@ -286,19 +286,21 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         eager=True
     )
 
-    # pigeonhole blocking: 4 blocks of 8 bits
+    # pigeonhole blocking: 4 blocks of 8 bits. The block key is one
+    # INT (block_id*256 + byte_value) rather than a concat string —
+    # same partition-by-equality semantics, cheaper to hash and ~3x
+    # narrower on the shuffle wire at 100TB row counts.
     blocked = sim.select(
         "doc_id",
         "simhash",
         F.explode(
             F.array(
                 *[
-                    F.concat(
-                        F.lit(f"{k}:"),
+                    (
                         F.shiftright(F.col("simhash"), 8 * k)
                         .bitwiseAND(255)
-                        .cast("string"),
-                    )
+                        + 256 * k
+                    ).cast("int")
                     for k in range(4)
                 ]
             )

@@ -18,6 +18,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from innercircle_etl_spark.operators.atomic_swap import (
+    recover_table,
+    write_replace,
+)
 from innercircle_etl_spark.plans.registry import dsum, load, register
 from innercircle_etl_spark.streaming import (
     run_available_now,
@@ -188,13 +192,13 @@ def i3_streaming_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rnk") == 1)
             .drop("rnk")
         )
-        # atomic swap: write new snapshot, then move into place
-        tmp = f"{snap}_tmp_{batch_id}"
-        merged.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(snap, ignore_errors=True)
-        os.rename(tmp, snap)
+        # crash-safe swap: the shared rename protocol (the previous
+        # rmtree-then-rename had a window where NO live snapshot
+        # existed; write_replace always leaves one complete copy)
+        write_replace(merged, snap, batch_id)
 
     _two_wave_stream(spark, sf_dir, "i3", foreach_batch=merge)
+    recover_table(snap)
     return spark.read.parquet(snap).select(
         "user_id",
         F.col("event_id").alias("last_event_id"),

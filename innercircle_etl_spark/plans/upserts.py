@@ -198,31 +198,45 @@ def u6_date_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 def u4_truncate_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U4: truncate + rebuild (update_etl.py:929-945,948-985) — the
     full-overwrite write mode. A real round-trip: the derived table
-    is written mode('overwrite') to scratch twice (second write
-    replaces the first — stale rows from run 1 must not survive),
-    then read back. At scale this is an atomic directory swap, the
-    Spark-native TRUNCATE."""
+    is written to scratch twice (second write replaces the first —
+    stale rows from run 1 must not survive), then read back. Both
+    writes go through the crash-safe directory swap
+    (operators/atomic_swap.write_replace): a plain
+    mode('overwrite') deletes the live table BEFORE the new files
+    land, so a crash mid-rebuild loses the table; the swap keeps one
+    complete copy alive at every crash point — the real TRUNCATE
+    discipline at 100TB."""
     import os
+
+    from innercircle_etl_spark.operators.atomic_swap import write_replace
 
     scratch = os.environ.get("SPARK_GRAFT_SCRATCH", "/root/repo/.scratch")
     path = f"{scratch}/u4_rebuild_{os.path.basename(sf_dir)}"
     orders = load(spark, sf_dir, "orders")
 
     # run 1: a stale build (wrong filter) that must be fully replaced
-    orders.filter(F.col("o_orderstatus") == "O").groupBy(
-        "o_orderpriority"
-    ).agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        dsum("o_totalprice").alias("total"),
-    ).write.mode("overwrite").parquet(path)
+    write_replace(
+        orders.filter(F.col("o_orderstatus") == "O")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("total"),
+        ),
+        path,
+        "run1",
+    )
 
     # run 2: the rebuild under test
-    orders.filter(F.col("o_orderstatus") == "F").groupBy(
-        "o_orderpriority"
-    ).agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        dsum("o_totalprice").alias("total"),
-    ).write.mode("overwrite").parquet(path)
+    write_replace(
+        orders.filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("total"),
+        ),
+        path,
+        "run2",
+    )
 
     return spark.read.parquet(path)
 
@@ -401,7 +415,16 @@ def u11_dynamic_partition_overwrite(
 
     The read-back aggregate proves both halves: the touched day
     carries the +200 values, the untouched days survived the
-    overwrite byte-for-byte."""
+    overwrite byte-for-byte.
+
+    Crash-window note: the native committer deletes a matched
+    partition before its staged files rename in, so a crash inside
+    the commit can lose the day being overwritten. This query keeps
+    the native form on purpose (it IS the feature being
+    demonstrated); the production write path (pipeline.py
+    ``write_daily_partitioned`` → atomic_swap.
+    ``overwrite_partitions_atomic``) closes that window with the
+    rename protocol and is what ep1 runs."""
     import os
 
     scratch = os.environ.get("SPARK_GRAFT_SCRATCH", "/root/repo/.scratch")
