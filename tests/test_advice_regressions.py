@@ -157,3 +157,62 @@ def test_shuffle_sizing_is_once_per_session_and_validated(spark, monkeypatch):
             spark.conf.unset(R._SHUFFLE_SIZED_MARK)
         else:
             spark.conf.set(R._SHUFFLE_SIZED_MARK, prev_mark)
+
+
+def test_phash_ascii_gate_on_both_engines(spark, duck, sf_dir):
+    """Round-6 ADVICE: mm_dedup_phash hashes UTF-8 BYTES while its
+    DuckDB oracle walks characters — equivalent only for ASCII. Both
+    sides must now FILTER to ASCII rows so a non-ASCII fixture regen
+    excludes the row on both engines instead of silently diverging."""
+    from innercircle_etl_spark.plans.multimodal_queries import _PHASH_ORACLE
+
+    # the oracle text must carry the byte-length == char-length gate
+    assert "strlen(text) = length(text)" in _PHASH_ORACLE
+
+    # a synthetic corpus where one doc is non-ASCII of the same char
+    # length: the plan-side filter must drop it
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, "a" * 80), (2, "é" * 80)], "doc_id long, text string"
+    )
+    kept = (
+        docs.filter(
+            (F.length("text") >= 64)
+            & (F.octet_length("text") == F.length("text"))
+        )
+        .select("doc_id")
+        .collect()
+    )
+    assert [r["doc_id"] for r in kept] == [1]
+
+
+def test_a17_bound_scales_with_amplification(spark, sf_dir):
+    """Round-6 ADVICE: a17's accuracy contract must derive its bound
+    from the measured inclusion-exclusion amplification instead of a
+    hardcoded 20%. The emitted amplification column must equal the
+    exact-count ratio, and the contract must hold."""
+    from innercircle_etl_spark.plans import QUERIES
+
+    row = QUERIES["a17_sketch_set_intersection"](spark, sf_dir).collect()[0]
+    amp = (row["exact_a"] + row["exact_b"] + row["exact_union"]) / max(
+        row["exact_inter"], 1
+    )
+    assert abs(row["amplification"] - round(amp, 2)) < 1e-9
+    assert row["inter_within_bound"] is True
+
+
+def test_cdc_recover_sweeps_stale_tmp(tmp_path):
+    """Round-6 ADVICE: recover_snapshot must clean orphaned
+    _tmp_{batch_id} dirs (a crash between write and rename leaks
+    them forever under a retried batch's new id)."""
+    import os
+
+    from innercircle_etl_spark.operators.cdc import recover_snapshot
+
+    snap = str(tmp_path / "snap")
+    os.makedirs(snap)
+    os.makedirs(f"{snap}_tmp_42")
+    recover_snapshot(snap)
+    assert not os.path.exists(f"{snap}_tmp_42")
+    assert os.path.exists(snap)
