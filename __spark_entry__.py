@@ -36,18 +36,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # not listed (or not yet registered) keep registration order at the
 # end — the list is advisory, never a filter.
 _PRIORITY = [
-    # ---- positions 1-5 (round 7): queries whose ORACLE or PLAN
+    # ---- positions 1-6 (round 7): queries whose ORACLE or PLAN
     # changed this round and must re-prove — phash gained the
     # ASCII equivalence gate, a17 the derived accuracy bound +
     # amplification column, simhash integer block keys, ep3/ep5
-    # the SPARK_GRAFT_FUSED_SCAN single-pass form (default path
-    # unchanged, re-proving anyway) ----
+    # the fused single-pass fact scan (now the default), and ep9
+    # the floor-quantized mean cosine (the sf0.1 sweep caught its
+    # DECIMAL cast diverging between engines) ----
     "mm_dedup_phash",
     "a17_sketch_set_intersection",
     "dedup_simhash",
     "ep3_roi_cascade",
     "ep5_shadow_trade",
-    # ---- 6-21: the 16 queries whose newest driver-green row is
+    "ep9_vector_index_pipeline",
+    # ---- 7-22: the 16 queries whose newest driver-green row is
     # round 3 (the round-6 verdict item 1 rotation) ----
     "a3_sum_min_max_avg",
     "a8_percentile_disc",
@@ -65,7 +67,7 @@ _PRIORITY = [
     "u7_merge_into",
     "w1_latest_per_key",
     "w4b_global_rank_scalable",
-    # ---- 22-50: round-4-green queries, rarest-coverage-first
+    # ---- 23-50: round-4-green queries, rarest-coverage-first
     # (sketches, dedup, ANN, multimodal, skew tooling, then the
     # agg family); with these the r05 ∪ r06 ∪ r07 union keeps
     # every family's green row ≤ 2 rounds old ----
@@ -93,7 +95,6 @@ _PRIORITY = [
     "a4_scalar_subquery",
     "a6_having",
     "a7_conditional_agg",
-    "a9_dedup_groupby",
     "a11_two_phase_agg",
     "j3_range_in_on",
     "j9_join_to_latest",
@@ -102,6 +103,7 @@ _PRIORITY = [
     # core shapes (filters, scalar funcs, set ops, basic joins)
     # exercised inside every cascade above, so falling past the
     # 50-slot window costs least; they lead the round-8 rotation ----
+    "a9_dedup_groupby",
     "p1_project_arithmetic",
     "p4_p5_inlist_like",
     "p6_p7_membership",
@@ -153,7 +155,6 @@ _PRIORITY = [
     "ann_pq_adc",
     "ann_lsh_multiprobe",
     "ann_sq_adc",
-    "ep9_vector_index_pipeline",
     "text_token_stats",
     "text_quality_score",
     "text_lang_id",

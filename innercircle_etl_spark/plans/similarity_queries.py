@@ -997,8 +997,8 @@ assign AS (
 SELECT cid,
        CAST(COUNT(*) AS BIGINT) AS n_vectors,
        MIN(vec_id) AS min_vec_id,
-       CAST(SUM(CAST(ccos AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*)
-         AS avg_cos
+       CAST(SUM(CAST(FLOOR(ccos * 1e9) AS BIGINT)) AS DOUBLE)
+         / COUNT(*) / 1e9 AS avg_cos
 FROM assign GROUP BY cid
 """.replace("{cbmod}", str(CODEBOOK_MOD))
 
@@ -1027,10 +1027,18 @@ def ep9_vector_index_pipeline(
     all-pairs — the oracle's n² compare is the small-fixture spec,
     not the plan); the anti-join drops copies; assignment is a
     broadcast-centroid argmax (no corpus shuffle); the manifest is
-    one cell-keyed groupBy. The mean cosine goes through
-    DECIMAL(18,12) — cos values are unit-scale, so the significand
-    stays far under 2^53 and the decimal→double cast is exact-safe
-    (the w10 rule)."""
+    one cell-keyed groupBy. The mean cosine quantizes each term via
+    floor(ccos*1e9) BEFORE the sum — pure IEEE double ops, so both
+    engines floor the bit-identical cosine to the same integer, and
+    the integer sum is order-independent. (The earlier
+    DECIMAL(18,12) cast diverged at sf0.1: Spark rounds the double's
+    shortest DECIMAL STRING, DuckDB rounds its BINARY value, and a
+    full-precision cosine eventually lands on opposite sides of a
+    half-1e-12 boundary. dsum's decimal trick is safe only for
+    few-significant-digit data like prices; full-precision doubles
+    must quantize with floor-at-fixed-scale instead. Truncation
+    biases the mean down by <1e-9 — irrelevant for a manifest
+    metric, and the bias is identical on both engines.)"""
     emb = load(spark, sf_dir, "embeddings")
     from innercircle_etl_spark.plans.planting import plant_scaled_vectors
 
@@ -1076,8 +1084,11 @@ def ep9_vector_index_pipeline(
         F.count(F.lit(1)).alias("n_vectors"),
         F.min("vec_id").alias("min_vec_id"),
         (
-            F.sum(F.col("ccos").cast("decimal(18,12)")).cast("double")
+            F.sum(F.floor(F.col("ccos") * 1e9).cast("long")).cast(
+                "double"
+            )
             / F.count(F.lit(1))
+            / F.lit(1e9)
         ).alias("avg_cos"),
     )
 
