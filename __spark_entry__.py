@@ -36,21 +36,87 @@ def entry(spark: SparkSession) -> DataFrame:
 # not listed (or not yet registered) keep registration order at the
 # end — the list is advisory, never a filter.
 _PRIORITY = [
-    # ---- positions 1-6 (round 7): queries whose ORACLE or PLAN
-    # changed this round and must re-prove — phash gained the
-    # ASCII equivalence gate, a17 the derived accuracy bound +
-    # amplification column, simhash integer block keys, ep3/ep5
-    # the fused single-pass fact scan (now the default), and ep9
-    # the floor-quantized mean cosine (the sf0.1 sweep caught its
-    # DECIMAL cast diverging between engines) ----
+    # ---- positions 1-16 (round 8): the 16 queries whose newest
+    # driver-green row is round 4 — the round-7 verdict item 2
+    # rotation (staged at 51-66 last round; the r7 window stopped
+    # at 50) ----
+    "a9_dedup_groupby",
+    "p1_project_arithmetic",
+    "p4_p5_inlist_like",
+    "p6_p7_membership",
+    "p8_p9_p10_null_blacklist",
+    "f1_string_funcs",
+    "f2_datetime_funcs",
+    "f3_math_decay",
+    "f5_array_access",
+    "t1_union_all_legs",
+    "t2_except",
+    "t3_intersect",
+    "j2_left_enrich",
+    "j4_left_anti",
+    "j5_left_semi",
+    "j6_double_anti",
+    # ---- 17-50: the rest of the r06 ∪ r07 coverage gap (60
+    # registry queries have no r6/r7 green row; the driver window
+    # is 50, so r06∪r07∪r08 can reach at most 148/158 — the
+    # verdict's own 150-slot arithmetic. These 34 are the
+    # rarest-coverage members of that gap; all are r05-green ----
+    "ep7_posts",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "dedup_minhash_recall",
+    "dedup_cluster_canonical",
+    "dedup_substring_spans",
+    "d1_decode_log_price",
+    "d2_decode_calldata_token",
+    "d12_trade_decode_pipeline",
+    "x12_salted_agg",
+    "j12_interval_bucket_join",
+    "f6_json_extract",
+    "ann_recall_at_k",
+    "ann_pq_adc",
+    "ann_lsh_multiprobe",
+    "text_token_stats",
+    "text_quality_score",
+    "text_lang_id",
+    "text_fingerprint",
+    "text_bm25_search",
+    "s2_s3_csv_roundtrip",
+    "s6_json_source",
+    "s8_rest_source",
+    "s9_rest_sink",
+    "i4_file_stream_exactly_once",
+    "i3_streaming_snapshot",
+    "i3b_stateful_snapshot",
+    "i1_highwatermark_increment",
+    "i5_scd_flag_flip",
+    "i8_session_window",
+    "i9_stream_static_join",
+    "u4_truncate_rebuild",
+    "u12_cdc_apply",
+    "q3_outlier_zscores",
+    # ---- 51-60: the final 10 of the coverage gap — ubiquitous
+    # core shapes (time-range filter, case/coalesce, window
+    # family, merge/flag/gap upserts, watermark read) exercised
+    # inside the fresh composites, so falling past the 50-slot
+    # window costs least; they lead the round-9 rotation ----
+    "p2_p3_time_range",
+    "f4_case_coalesce",
+    "w2_first_per_key",
+    "w3_topn_per_group",
+    "w4_global_rank",
+    "u2_merge_update",
+    "u5_conditional_flag",
+    "u6_date_gaps",
+    "u3_partition_delete_reload",
+    "s10_watermark",
+    # ---- rotation pool: green in r06 ∪ r07; order advisory ----
     "mm_dedup_phash",
     "a17_sketch_set_intersection",
     "dedup_simhash",
     "ep3_roi_cascade",
     "ep5_shadow_trade",
     "ep9_vector_index_pipeline",
-    # ---- 7-22: the 16 queries whose newest driver-green row is
-    # round 3 (the round-6 verdict item 1 rotation) ----
     "a3_sum_min_max_avg",
     "a8_percentile_disc",
     "ep4_circles",
@@ -67,10 +133,6 @@ _PRIORITY = [
     "u7_merge_into",
     "w1_latest_per_key",
     "w4b_global_rank_scalable",
-    # ---- 23-50: round-4-green queries, rarest-coverage-first
-    # (sketches, dedup, ANN, multimodal, skew tooling, then the
-    # agg family); with these the r05 ∪ r06 ∪ r07 union keeps
-    # every family's green row ≤ 2 rounds old ----
     "ep6_insight_feed",
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -99,110 +161,46 @@ _PRIORITY = [
     "j3_range_in_on",
     "j9_join_to_latest",
     "j11_pairs_jaccard",
-    # ---- 51-65: the remaining round-4-green queries — ubiquitous
-    # core shapes (filters, scalar funcs, set ops, basic joins)
-    # exercised inside every cascade above, so falling past the
-    # 50-slot window costs least; they lead the round-8 rotation ----
-    "a9_dedup_groupby",
-    "p1_project_arithmetic",
-    "p4_p5_inlist_like",
-    "p6_p7_membership",
-    "p8_p9_p10_null_blacklist",
-    "f1_string_funcs",
-    "f2_datetime_funcs",
-    "f3_math_decay",
-    "f5_array_access",
-    "t1_union_all_legs",
-    "t2_except",
-    "t3_intersect",
-    "j2_left_enrich",
-    "j4_left_anti",
-    "j5_left_semi",
-    "j6_double_anti",
-    # ---- rotation pool: green in r05 ∪ r06; order advisory ----
     "a12_rollup",
     "a13_grouped_pandas_stats",
     "a14_grouped_agg_udf",
-    "ep7_posts",
-    "dedup_ngram_jaccard",
     "dedup_ngram_jaccard_w5",
-    "dedup_embedding_cosine",
-    "dedup_minhash_recall",
-    "dedup_cluster_canonical",
-    "dedup_substring_spans",
     "dedup_shingle_containment",
     "dedup_semantic_clusters",
     "dedup_incremental_minhash",
-    "d1_decode_log_price",
-    "d2_decode_calldata_token",
-    "d12_trade_decode_pipeline",
-    "p2_p3_time_range",
     "p12_null_safe_eq",
     "graph_pagerank3",
-    "x12_salted_agg",
-    "j12_interval_bucket_join",
     "mm_av_frame_sample_udtf",
     "ep1_daily_pipeline",
     "samp_stratified_hash",
     "samp_epoch_shuffle",
     "samp_weighted_resample",
-    "f4_case_coalesce",
-    "f6_json_extract",
     "f7_array_hof",
     "t4_pivot",
     "t5_unpivot",
-    "ann_recall_at_k",
-    "ann_pq_adc",
-    "ann_lsh_multiprobe",
     "ann_sq_adc",
-    "text_token_stats",
-    "text_quality_score",
-    "text_lang_id",
-    "text_fingerprint",
     "text_pii_scrub",
     "text_pack_shards",
     "text_train_eval_split",
     "text_tfidf_terms",
     "seq_event_assembly",
-    "text_bm25_search",
     "text_mix_weights",
     "text_decontaminate",
     "text_oov_quality",
     "text_boilerplate_scrub",
     "text_chunk_windows",
     "ep10_rag_retrieval",
-    "s2_s3_csv_roundtrip",
-    "s6_json_source",
-    "s10_watermark",
     "s11_schema_evolution",
     "s12_corrupt_records",
     "s13_compaction",
     "s14_orc_roundtrip",
-    "s8_rest_source",
-    "s9_rest_sink",
     "s15_partitioned_db_pull",
-    "i4_file_stream_exactly_once",
-    "i3_streaming_snapshot",
-    "i3b_stateful_snapshot",
-    "i1_highwatermark_increment",
-    "i5_scd_flag_flip",
     "i6_watermark_window",
     "i7_stream_dedup",
-    "i8_session_window",
-    "i9_stream_static_join",
-    "u2_merge_update",
-    "u3_partition_delete_reload",
-    "u5_conditional_flag",
-    "u6_date_gaps",
-    "u4_truncate_rebuild",
     "u9_scd2_ranges",
     "u10_incremental_agg",
     "u11_dynamic_partition_overwrite",
-    "u12_cdc_apply",
     "i13_stream_cdc_apply",
-    "w2_first_per_key",
-    "w3_topn_per_group",
-    "w4_global_rank",
     "w6_gap_fill_ffill",
     "w7_rolling_7day",
     "w8_day_over_day",
@@ -210,7 +208,6 @@ _PRIORITY = [
     "w10_twap",
     "w11_cohort_retention",
     "q2_column_profile",
-    "q3_outlier_zscores",
     "q4_key_skew_report",
 ]
 

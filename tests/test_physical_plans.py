@@ -334,3 +334,72 @@ def test_interval_join_buckets_not_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "bucket" in plan, plan
+
+
+def _shuffle_exchanges(df) -> list[str]:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return re.findall(
+        r"(?<!Reused)Exchange (?:hash|range|Single)[^\n]*", plan
+    )
+
+
+def test_fused_fact_no_exchange_beyond_repartition(spark, sf_dir):
+    """The fused single-pass fact scan's load-bearing plan property
+    (roi_cascade.build_cet_roi / ep5's fused legs; SCALE.md round-7
+    section): after the ONE repartition-by-coll exchange that feeds
+    the pinned fact, the floor percentile ((coll, ev_date) groupBy)
+    and the fused legs ((wallet, coll, ev_date, leg) groupBy) add NO
+    further exchange — HashPartitioning(coll) satisfies
+    ClusteredDistribution for any superset of {coll}. Until round 8
+    this was a comment-level claim (roi_cascade.py); here it is
+    asserted against the executed plan: every shuffle exchange in
+    both subtrees must be the REPARTITION_BY_COL on coll (the plan
+    string prints the cached InMemoryRelation's exchange once per
+    reference, so we classify rather than count)."""
+    from pyspark.sql import functions as F
+    from pyspark.storagelevel import StorageLevel
+
+    from innercircle_etl_spark.operators.percentiles import percentile_disc
+    from innercircle_etl_spark.plans.roi_cascade import load_fact
+
+    fact = (
+        load_fact(spark, sf_dir)
+        .repartition(F.col("coll"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    try:
+        fact.count()  # materialize the cache, as the fused path does
+
+        floor = percentile_disc(
+            fact, ["coll", "ev_date"], "price", 0.2, out_col="floor_price"
+        )
+        legs = fact.groupBy(
+            "wallet",
+            "coll",
+            "ev_date",
+            (F.col("flag") == "R").alias("is_sell"),
+        ).agg(F.min("price").alias("min_price"))
+
+        for df in (floor, legs):
+            exchanges = _shuffle_exchanges(df)
+            assert exchanges, "expected the repartition exchange in-plan"
+            for ln in exchanges:
+                assert "REPARTITION_BY_COL" in ln and "coll" in ln, (
+                    "exchange beyond the coll repartition:\n" + ln
+                )
+                assert "ev_date" not in ln and "wallet" not in ln, ln
+    finally:
+        fact.unpersist()
+
+    # contrast: without the coll repartition the same percentile
+    # grouping must shuffle on (coll, ev_date) — proving the
+    # assertion above actually distinguishes the fused form
+    lazy_floor = percentile_disc(
+        load_fact(spark, sf_dir),
+        ["coll", "ev_date"],
+        "price",
+        0.2,
+        out_col="floor_price",
+    )
+    lazy_ex = _shuffle_exchanges(lazy_floor)
+    assert any("ev_date" in ln for ln in lazy_ex), lazy_ex
