@@ -56,6 +56,27 @@ HEADLINE = [
 
 
 
+def emit_artifacts(
+    compact: dict, full: dict, out_path: str, stdout=None
+) -> str:
+    """Write the full payload to ``out_path`` and print the compact
+    line to ``stdout`` — LAST, so a full-payload write failure can't
+    cost the driver its parseable line. The compact line stays under
+    ~1.5 KB for the 20-query headline set (driver capture windows
+    truncated the old single-line-everything form in rounds 6-7);
+    tests/test_bench_artifact.py pins both properties."""
+    line = json.dumps(compact)
+    try:
+        with open(out_path, "w") as f:
+            json.dump(full, f, indent=1)
+            f.write("\n")
+        print(f"# full payload -> {out_path}", file=sys.stderr)
+    except OSError as e:  # keep the stdout artifact alive regardless
+        print(f"# full payload write FAILED: {e}", file=sys.stderr)
+    print(line, file=stdout)
+    return line
+
+
 def _drop_caches(spark) -> None:
     """Between-rep hygiene — see session.drop_query_caches."""
     from innercircle_etl_spark.session import drop_query_caches
@@ -259,11 +280,7 @@ def main() -> None:
         "SPARK_GRAFT_BENCH_OUT",
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"),
     )
-    with open(out_path, "w") as f:
-        json.dump(full, f, indent=1)
-        f.write("\n")
-    print(f"# full payload -> {out_path}", file=sys.stderr)
-    print(json.dumps(compact))
+    emit_artifacts(compact, full, out_path)
     spark.stop()
 
 
