@@ -36,7 +36,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # not listed (or not yet registered) keep registration order at the
 # end — the list is advisory, never a filter.
 _PRIORITY = [
-    # ---- positions 1-16 (round 8): the 16 queries whose newest
+    # ---- positions 1-2 (round 8): plans changed this round — the
+    # shared MinHash candidate pair set is now eagerly pinned
+    # (minhash_shingle_candidates; the round-7 verdict item 6 racy
+    # double-broadcast-build fix) and both its consumers must
+    # re-prove under the driver ----
+    "dedup_minhash_lsh",
+    "dedup_shingle_containment",
+    # ---- positions 3-18 (round 8): the 16 queries whose newest
     # driver-green row is round 4 — the round-7 verdict item 2
     # rotation (staged at 51-66 last round; the r7 window stopped
     # at 50) ----
@@ -56,7 +63,7 @@ _PRIORITY = [
     "j4_left_anti",
     "j5_left_semi",
     "j6_double_anti",
-    # ---- 17-50: the rest of the r06 ∪ r07 coverage gap (60
+    # ---- 19-52: the rest of the r06 ∪ r07 coverage gap (60
     # registry queries have no r6/r7 green row; the driver window
     # is 50, so r06∪r07∪r08 can reach at most 148/158 — the
     # verdict's own 150-slot arithmetic. These 34 are the
@@ -95,7 +102,9 @@ _PRIORITY = [
     "u4_truncate_rebuild",
     "u12_cdc_apply",
     "q3_outlier_zscores",
-    # ---- 51-60: the final 10 of the coverage gap — ubiquitous
+    # ---- 53-62: the final 12 of the coverage gap (the last two of
+    # the block above fall at 51-52, just past the window) —
+    # ubiquitous
     # core shapes (time-range filter, case/coalesce, window
     # family, merge/flag/gap upserts, watermark read) exercised
     # inside the fresh composites, so falling past the 50-slot
@@ -135,7 +144,6 @@ _PRIORITY = [
     "w4b_global_rank_scalable",
     "ep6_insight_feed",
     "dedup_exact",
-    "dedup_minhash_lsh",
     "dedup_embedding_multiprobe",
     "dedup_edit_distance",
     "ann_cosine_topk",
@@ -165,7 +173,6 @@ _PRIORITY = [
     "a13_grouped_pandas_stats",
     "a14_grouped_agg_udf",
     "dedup_ngram_jaccard_w5",
-    "dedup_shingle_containment",
     "dedup_semantic_clusters",
     "dedup_incremental_minhash",
     "p12_null_safe_eq",
