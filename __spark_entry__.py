@@ -43,7 +43,10 @@ _PRIORITY = [
     # re-prove under the driver ----
     "dedup_minhash_lsh",
     "dedup_shingle_containment",
-    # ---- positions 3-18 (round 8): the 16 queries whose newest
+    # ep10: corpus side now spread across cores before the scoring
+    # join (the sf1 composite run caught a 2-task straggler stage)
+    "ep10_rag_retrieval",
+    # ---- positions 4-19 (round 8): the 16 queries whose newest
     # driver-green row is round 4 — the round-7 verdict item 2
     # rotation (staged at 51-66 last round; the r7 window stopped
     # at 50) ----
@@ -63,7 +66,7 @@ _PRIORITY = [
     "j4_left_anti",
     "j5_left_semi",
     "j6_double_anti",
-    # ---- 19-52: the rest of the r06 ∪ r07 coverage gap (60
+    # ---- 20-53: the rest of the r06 ∪ r07 coverage gap (60
     # registry queries have no r6/r7 green row; the driver window
     # is 50, so r06∪r07∪r08 can reach at most 148/158 — the
     # verdict's own 150-slot arithmetic. These 34 are the
@@ -102,8 +105,8 @@ _PRIORITY = [
     "u4_truncate_rebuild",
     "u12_cdc_apply",
     "q3_outlier_zscores",
-    # ---- 53-62: the final 12 of the coverage gap (the last two of
-    # the block above fall at 51-52, just past the window) —
+    # ---- 54-63: the final 13 of the coverage gap (the last three of
+    # the block above fall at 51-53, just past the window) —
     # ubiquitous
     # core shapes (time-range filter, case/coalesce, window
     # family, merge/flag/gap upserts, watermark read) exercised
@@ -196,7 +199,6 @@ _PRIORITY = [
     "text_oov_quality",
     "text_boilerplate_scrub",
     "text_chunk_windows",
-    "ep10_rag_retrieval",
     "s11_schema_evolution",
     "s12_corrupt_records",
     "s13_compaction",

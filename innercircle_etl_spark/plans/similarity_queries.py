@@ -1172,8 +1172,26 @@ def ep10_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("chunk_idx").alias("q_chunk"),
         F.col("v").alias("vq"),
     )
+    # Spread the O(|chunks| x |q|) scoring across all cores: the
+    # chunk frame inherits the documents scan's split count (1-2 on
+    # the tiny local fixture), and the per-row work here is ~|q|
+    # cosines — the round-8 sf1 composite run caught stage-level
+    # parallelism 2 with a 14-minute single-core straggler doing
+    # 100x the sf0.1 work on one task. Same discipline as
+    # minhash_shingle_candidates' corpus repartition: keyed (not
+    # round-robin — deterministic under task retry), sized to the
+    # session's parallelism. At 100TB the scan yields thousands of
+    # splits, but an explicit spread before a compute-bound
+    # broadcast join stays correct there too — the shuffle moves
+    # one copy of the chunk embeddings, the stage it feeds does
+    # |q| times that work per row. The broadcast q side is built
+    # from the PRE-repartition frame, so its dimension scan stays
+    # independent of this exchange.
+    spread = emb.repartition(
+        spark.sparkContext.defaultParallelism, "doc_id", "chunk_idx"
+    )
     scored = (
-        emb.crossJoin(F.broadcast(q))  # query side is the sampled dim
+        spread.crossJoin(F.broadcast(q))  # query side is the sampled dim
         .filter(
             ~(
                 (F.col("q_doc") == F.col("doc_id"))

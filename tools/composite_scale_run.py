@@ -25,16 +25,27 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 DEFAULT_QUERIES = ["ep1_daily_pipeline", "ep8_corpus_pipeline", "ep10_rag_retrieval"]
 
 
-def stage_totals(ui: str) -> tuple[int, int, int, int]:
+def stage_totals(ui: str, after_stage: int = -1) -> tuple[int, int, int, int]:
+    """Totals over stages with stageId > after_stage — windowing by
+    stage id makes max_stage_write per-QUERY (the first cut took the
+    max over every stage since app start, so a later query inherited
+    an earlier query's biggest stage)."""
     apps = json.load(urllib.request.urlopen(f"{ui}/api/v1/applications"))
     app_id = apps[0]["id"]
-    stages = json.load(
-        urllib.request.urlopen(f"{ui}/api/v1/applications/{app_id}/stages")
-    )
+    stages = [
+        s
+        for s in json.load(
+            urllib.request.urlopen(
+                f"{ui}/api/v1/applications/{app_id}/stages"
+            )
+        )
+        if s.get("stageId", -1) > after_stage
+    ]
     w = sum(s.get("shuffleWriteBytes", 0) for s in stages)
     r = sum(s.get("shuffleReadBytes", 0) for s in stages)
     mx = max((s.get("shuffleWriteBytes", 0) for s in stages), default=0)
-    return w, r, mx, len(stages)
+    top = max((s.get("stageId", -1) for s in stages), default=after_stage)
+    return w, r, mx, top
 
 
 def main() -> None:
@@ -55,11 +66,12 @@ def main() -> None:
         # untimed warm-in at sf0.01 (JIT ramp), caches dropped after
         fn(spark, "/root/testdata/sf0.01").count()
         drop_query_caches(spark)
-        w0, r0, _, _ = stage_totals(ui)
+        _, _, _, last_stage = stage_totals(ui)
         t0 = time.time()
         n = fn(spark, sf_dir).count()
         wall = round(time.time() - t0, 2)
-        w1, r1, mx, nstages = stage_totals(ui)
+        w1, r1, mx, _ = stage_totals(ui, after_stage=last_stage)
+        w0 = r0 = 0
         drop_query_caches(spark)
         out[name] = {
             "wall_s": wall,
