@@ -19,11 +19,15 @@ from innercircle_etl_spark.plans import ORACLES, QUERIES
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001: the full ROI
-    cascade (SURVEY §3 entry point 3) — floor percentile, window
-    dedup, as-of buy/sell match, broadcast floor fallback,
-    two-level rollup, top-K — as one DataFrame DAG."""
-    return QUERIES["ep3_roi_cascade"](spark, "/root/testdata/sf0.001")
+    """Flagship query on /root/testdata/sf0.1: the full ROI cascade
+    (SURVEY §3 entry point 3) — floor percentile, window dedup,
+    as-of buy/sell match, broadcast floor fallback, two-level
+    rollup, top-K — as one DataFrame DAG, on the fused single-pass
+    fact scan (SCALE.md round-7). Promoted from sf0.001 in round 8
+    (verdict stretch item): measured cold-process wall including JVM
+    startup is ~18 s, well inside the driver's smoke budget, and the
+    smoke now exercises the flagship at 100x the smallest fixture."""
+    return QUERIES["ep3_roi_cascade"](spark, "/root/testdata/sf0.1")
 
 
 # Verification priority. Round-1's driver recorded rows for exactly
