@@ -1,0 +1,99 @@
+"""Spot-sweep registry queries at a big scale factor, one wall-clock
+each, with a per-query watchdog.
+
+The round-8 composite run caught ep10's 2-task straggler stage ONLY
+because something finally executed it at sf1 — the headline bench
+covers 20 queries and the correctness sweeps run at sf0.01/sf0.1,
+so a non-headline query whose plan degenerates at 10x data (a
+split-bound stage, an accidental quadratic blow-up) had no gate.
+This tool is that gate: run each named query (default: every
+batch-registry query NOT in bench.HEADLINE) once at ``sf_dir``,
+record wall + rows, and if a query exceeds the watchdog budget,
+cancel its jobs via the session's job-group API and record TIMEOUT
+instead of hanging the sweep.
+
+    python tools/sf1_spot_sweep.py [sf_dir] [budget_s] [name ...]
+
+Prints one JSON line; per-query progress on stderr. Queries are run
+in registry order. Timings here are single-shot coarse signals for
+finding pathologies (10x-data wall should sit within ~0.5-15x of
+the sf0.1 figure), not bench-grade minima.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Streaming/stateful queries drive their own micro-batch lifecycles
+# against per-SF scratch checkpoints sized for the small fixtures;
+# sf1 dirs for them don't exist. Source round-trips write scratch
+# per SF similarly. Excluded: this sweep hunts PLAN pathologies in
+# batch compute, which none of these are.
+SKIP_PREFIXES = ("i", "s2", "s6", "s8", "s9", "s10", "s11", "s12", "s13", "s14", "s15", "u4", "u11", "u12")
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scratch/sf1"
+    budget = float(sys.argv[2]) if len(sys.argv) > 2 else 120.0
+    names = sys.argv[3:]
+
+    from bench import HEADLINE
+    from innercircle_etl_spark.plans import QUERIES
+    from innercircle_etl_spark.session import drop_query_caches, get_spark
+
+    if not names:
+        names = [
+            n
+            for n in QUERIES
+            if n not in HEADLINE
+            and not any(n.startswith(p) for p in SKIP_PREFIXES)
+        ]
+
+    spark = get_spark(app_name="sf1_spot_sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+    sc = spark.sparkContext
+    out: dict[str, dict] = {}
+    for name in names:
+        group = f"spot_{name}"
+        sc.setJobGroup(group, name, interruptOnCancel=True)
+        timed_out = threading.Event()
+
+        def watchdog() -> None:
+            if not done.wait(budget):
+                timed_out.set()
+                sc.cancelJobGroup(group)
+
+        done = threading.Event()
+        t = threading.Thread(target=watchdog, daemon=True)
+        t.start()
+        t0 = time.time()
+        try:
+            n = QUERIES[name](spark, sf_dir).count()
+            wall = round(time.time() - t0, 2)
+            out[name] = {"wall_s": wall, "rows": n}
+        except Exception as e:  # cancelled or genuinely broken
+            wall = round(time.time() - t0, 2)
+            out[name] = {
+                "wall_s": wall,
+                "error": "TIMEOUT" if timed_out.is_set() else repr(e)[:200],
+            }
+        finally:
+            done.set()
+            sc.setJobGroup("", "")
+            try:
+                drop_query_caches(spark)
+            except Exception:
+                pass
+        print(f"# {name}: {out[name]}", file=sys.stderr)
+    print(json.dumps({"sf_dir": sf_dir, "budget_s": budget, "results": out}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
