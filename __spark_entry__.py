@@ -40,7 +40,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # not listed (or not yet registered) keep registration order at the
 # end — the list is advisory, never a filter.
 _PRIORITY = [
-    # ---- positions 1-2 (round 8): plans changed this round — the
+    # ---- positions 1-6 (round 8): plans changed this round — the
     # shared MinHash candidate pair set is now eagerly pinned
     # (minhash_shingle_candidates; the round-7 verdict item 6 racy
     # double-broadcast-build fix) and both its consumers must
@@ -50,7 +50,15 @@ _PRIORITY = [
     # ep10: corpus side now spread across cores before the scoring
     # join (the sf1 composite run caught a 2-task straggler stage)
     "ep10_rag_retrieval",
-    # ---- positions 4-19 (round 8): the 16 queries whose newest
+    # IVF/Lloyd family: the assignment argmax is now a map-side
+    # partial-aggregated max(struct) instead of a window over the
+    # |corpus| x |codebook| cross product, and the corpus side is
+    # spread/pinned (the sf1 spot sweep caught ann_ivf_lloyd
+    # timing out >120 s on 2-task straggler stages; now 14 s) ----
+    "ann_ivf_probe",
+    "ann_ivf_lloyd",
+    "ann_recall_lloyd",
+    # ---- positions 7-22 (round 8): the 16 queries whose newest
     # driver-green row is round 4 — the round-7 verdict item 2
     # rotation (staged at 51-66 last round; the r7 window stopped
     # at 50) ----
@@ -70,7 +78,7 @@ _PRIORITY = [
     "j4_left_anti",
     "j5_left_semi",
     "j6_double_anti",
-    # ---- 20-53: the rest of the r06 ∪ r07 coverage gap (60
+    # ---- 23-56: the rest of the r06 ∪ r07 coverage gap (60
     # registry queries have no r6/r7 green row; the driver window
     # is 50, so r06∪r07∪r08 can reach at most 148/158 — the
     # verdict's own 150-slot arithmetic. These 34 are the
@@ -109,10 +117,9 @@ _PRIORITY = [
     "u4_truncate_rebuild",
     "u12_cdc_apply",
     "q3_outlier_zscores",
-    # ---- 54-63: the final 13 of the coverage gap (the last three of
-    # the block above fall at 51-53, just past the window) —
-    # ubiquitous
-    # core shapes (time-range filter, case/coalesce, window
+    # ---- 57-66: the final 16 of the coverage gap (the last six of
+    # the block above fall at 51-56, just past the window) —
+    # ubiquitous core shapes (time-range filter, case/coalesce, window
     # family, merge/flag/gap upserts, watermark read) exercised
     # inside the fresh composites, so falling past the 50-slot
     # window costs least; they lead the round-9 rotation ----
@@ -155,9 +162,6 @@ _PRIORITY = [
     "dedup_edit_distance",
     "ann_cosine_topk",
     "ann_lsh_bucketed",
-    "ann_ivf_probe",
-    "ann_ivf_lloyd",
-    "ann_recall_lloyd",
     "mm_image_features",
     "mm_av_frame_sample",
     "mm_image_resize",

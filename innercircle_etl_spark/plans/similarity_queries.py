@@ -252,22 +252,57 @@ def ivf_topk(
     (ann_ivf_probe) or a Lloyd-trained codebook (ann_ivf_lloyd). The
     plan never changes with the codebook: broadcast-centroid argmax
     assignment, cluster-id as the inverted-file key, exact cosine
-    re-rank inside the probed cells."""
+    re-rank inside the probed cells.
+
+    The assignment is a map-side partial-aggregated ``max(struct)``
+    argmax, NOT a window over the |corpus| x |codebook| cross
+    product: the broadcast join keeps all of a vector's candidate
+    rows inside its own partition, so the partial aggregate
+    collapses them to one row per vector BEFORE the exchange and
+    the shuffle carries |corpus| rows, not |corpus| x |codebook|
+    rows with full vector payloads. (Round 8: the window form
+    shuffled ~2 GB per pass at sf1 — 4.1M pair rows each dragging a
+    64-double array — and inherited the tiny embeddings scan's 2
+    splits, a 51 s single-straggler stage; this form is 32-way
+    parallel and exchanges ~10 MB.) Tiebreak parity with the old
+    window's (ccos DESC, cid ASC): struct comparison is
+    lexicographic, so max((ccos, -cid)) picks the highest cosine
+    then the lowest cid; cid is unique per centroid, so the trailing
+    v payload never participates in the comparison."""
+    spread = e.repartition(
+        e.sparkSession.sparkContext.defaultParallelism, "vec_id"
+    )
     sim = V.cosine(F.col("v"), F.col("cv"))
-    crossed = e.crossJoin(F.broadcast(cent)).select(
+    crossed = spread.crossJoin(F.broadcast(cent)).select(
         "vec_id", "v", "cid", sim.alias("ccos")
     )
-    w_assign = Window.partitionBy("vec_id").orderBy(
+    assign = (
+        crossed.groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("ccos"),
+                    (-F.col("cid")).alias("ncid"),
+                    F.col("v"),
+                )
+            ).alias("m")
+        )
+        .select("vec_id", F.col("m.v").alias("v"), (-F.col("m.ncid")).alias("cid"))
+    )
+    # the nprobe nearest cells per QUERY: |queries| x |codebook| is
+    # dimension-sized, so the rank window is fine HERE — it never
+    # touches the corpus-sized side
+    qcrossed = (
+        e.filter(F.col("vec_id") < _N_QUERIES)
+        .crossJoin(F.broadcast(cent))
+        .select("vec_id", "v", "cid", sim.alias("ccos"))
+    )
+    w_probe = Window.partitionBy("vec_id").orderBy(
         F.col("ccos").desc(), F.col("cid").asc()
     )
-    ranked_cells = crossed.withColumn(
-        "rn", F.row_number().over(w_assign)
-    )
-    assign = ranked_cells.filter(F.col("rn") == 1).select("vec_id", "v", "cid")
     probes = (
-        ranked_cells.filter(
-            (F.col("vec_id") < _N_QUERIES) & (F.col("rn") <= nprobe)
-        )
+        qcrossed.withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= nprobe)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("v").alias("vq"),
@@ -411,18 +446,40 @@ def lloyd_codebook(
     cent = e.filter(F.col("vec_id") % CODEBOOK_MOD == 0).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     )
+    # The training set is consumed once per Lloyd round: spread it
+    # across the session's cores (the raw embeddings scan is 1-2
+    # splits on the local fixture) and pin it eagerly — re-scanning
+    # per round triples the IO for iters=3, and pinning the training
+    # corpus is the standard k-means trade (at cluster scale the
+    # localCheckpoint spills to executor-local storage, the same
+    # bytes one shuffle materialization would write).
+    e = e.repartition(
+        e.sparkSession.sparkContext.defaultParallelism, "vec_id"
+    ).localCheckpoint(eager=True)
     for _ in range(iters):
         sim = V.cosine(F.col("v"), F.col("cv"))
         crossed = e.crossJoin(F.broadcast(cent)).select(
             "vec_id", "v", "cid", sim.alias("ccos")
         )
-        w = Window.partitionBy("vec_id").orderBy(
-            F.col("ccos").desc(), F.col("cid").asc()
-        )
+        # map-side partial-aggregated argmax — see ivf_topk: the
+        # round-8 window form shuffled the full pair set with vector
+        # payloads (~2 GB/round at sf1) on 2 split-bound tasks;
+        # max(struct(ccos, -cid, v)) reproduces (ccos DESC, cid ASC)
+        # exactly and exchanges one row per vector
         assigned = (
-            crossed.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("cid", "v")
+            crossed.groupBy("vec_id")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("ccos"),
+                        (-F.col("cid")).alias("ncid"),
+                        F.col("v"),
+                    )
+                ).alias("m")
+            )
+            .select(
+                (-F.col("m.ncid")).alias("cid"), F.col("m.v").alias("v")
+            )
         )
         sums = assigned.groupBy("cid").agg(
             F.count(F.lit(1)).alias("n"),
