@@ -58,6 +58,10 @@ _PRIORITY = [
     "ann_ivf_probe",
     "ann_ivf_lloyd",
     "ann_recall_lloyd",
+    # same argmax rewrite in the semantic-dedup exemplar assignment
+    # (57 s -> 8.8 s at sf1) and ep9's inline cell assignment
+    "dedup_semantic_clusters",
+    "ep9_vector_index_pipeline",
     # ---- positions 7-22 (round 8): the 16 queries whose newest
     # driver-green row is round 4 — the round-7 verdict item 2
     # rotation (staged at 51-66 last round; the r7 window stopped

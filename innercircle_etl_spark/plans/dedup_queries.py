@@ -1438,16 +1438,32 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     )
     sim = V.cosine(F.col("v"), F.col("cv"))
-    crossed = corpus.crossJoin(F.broadcast(cent)).select(
+    # map-side partial-aggregated argmax (round 8, the ivf_topk
+    # rewrite): the window form shuffled the |corpus| x |codebook|
+    # cross product WITH vector payloads and ran its cosines on the
+    # tiny scan's 1-2 splits (sf1 spot sweep: 57 s; now ~8 s).
+    # max(struct(ccos, -cid, v)) reproduces (ccos DESC, cid ASC)
+    # exactly — cid is unique, so the v payload never compares.
+    spread = corpus.repartition(
+        corpus.sparkSession.sparkContext.defaultParallelism, "vec_id"
+    )
+    crossed = spread.crossJoin(F.broadcast(cent)).select(
         "vec_id", "v", "cid", sim.alias("ccos")
     )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("ccos").desc(), F.col("cid").asc()
-    )
     assign = (
-        crossed.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "v", "cid")
+        crossed.groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("ccos"), (-F.col("cid")).alias("ncid"), F.col("v")
+                )
+            ).alias("m")
+        )
+        .select(
+            "vec_id",
+            F.col("m.v").alias("v"),
+            (-F.col("m.ncid")).alias("cid"),
+        )
         .localCheckpoint(eager=True)  # three consumers below
     )
     canon = assign.groupBy("cid").agg(F.min("vec_id").alias("canon_id"))

@@ -1128,14 +1128,30 @@ def ep9_vector_index_pipeline(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     )
     sim = V.cosine(F.col("v"), F.col("cv"))
-    crossed = survivors.crossJoin(F.broadcast(cent)).select(
+    # map-side partial-aggregated argmax (round 8, the ivf_topk
+    # rewrite) — no window over the corpus x codebook pair set; the
+    # survivors side spreads to session parallelism first (the
+    # upstream checkpoint inherits the tiny scan's split count).
+    # Payload here is just (cid, ccos) — the cell means only need
+    # the winning cosine, not the vector.
+    spread = survivors.repartition(
+        survivors.sparkSession.sparkContext.defaultParallelism, "vec_id"
+    )
+    crossed = spread.crossJoin(F.broadcast(cent)).select(
         "vec_id", "cid", sim.alias("ccos")
     )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("ccos").desc(), F.col("cid").asc()
-    )
-    assign = crossed.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn") == 1
+    assign = (
+        crossed.groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(F.col("ccos"), (-F.col("cid")).alias("ncid"))
+            ).alias("m")
+        )
+        .select(
+            "vec_id",
+            (-F.col("m.ncid")).alias("cid"),
+            F.col("m.ccos").alias("ccos"),
+        )
     )
     return assign.groupBy("cid").agg(
         F.count(F.lit(1)).alias("n_vectors"),
