@@ -82,11 +82,12 @@ _PRIORITY = [
     "j4_left_anti",
     "j5_left_semi",
     "j6_double_anti",
-    # ---- 23-56: the rest of the r06 ∪ r07 coverage gap (60
-    # registry queries have no r6/r7 green row; the driver window
-    # is 50, so r06∪r07∪r08 can reach at most 148/158 — the
-    # verdict's own 150-slot arithmetic. These 34 are the
-    # rarest-coverage members of that gap; all are r05-green ----
+    # ---- 25-58: the rest of the r06 ∪ r07 coverage gap (60
+    # registry queries have no r6/r7 green row; after the 8
+    # changed-plan re-prove slots above, the 50-slot window carries
+    # 42 of them — correctness of changed plans outranks freshness
+    # rows. These 34 are the rarest-coverage members of that gap;
+    # all are r05-green; the last 8 sit just past the window ----
     "ep7_posts",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
@@ -121,8 +122,7 @@ _PRIORITY = [
     "u4_truncate_rebuild",
     "u12_cdc_apply",
     "q3_outlier_zscores",
-    # ---- 57-66: the final 16 of the coverage gap (the last six of
-    # the block above fall at 51-56, just past the window) —
+    # ---- 59-68: the final stretch of the coverage gap —
     # ubiquitous core shapes (time-range filter, case/coalesce, window
     # family, merge/flag/gap upserts, watermark read) exercised
     # inside the fresh composites, so falling past the 50-slot
