@@ -143,7 +143,6 @@ _PRIORITY = [
     "dedup_simhash",
     "ep3_roi_cascade",
     "ep5_shadow_trade",
-    "ep9_vector_index_pipeline",
     "a3_sum_min_max_avg",
     "a8_percentile_disc",
     "ep4_circles",
@@ -188,7 +187,6 @@ _PRIORITY = [
     "a13_grouped_pandas_stats",
     "a14_grouped_agg_udf",
     "dedup_ngram_jaccard_w5",
-    "dedup_semantic_clusters",
     "dedup_incremental_minhash",
     "p12_null_safe_eq",
     "graph_pagerank3",
