@@ -403,3 +403,33 @@ def test_fused_fact_no_exchange_beyond_repartition(spark, sf_dir):
     )
     lazy_ex = _shuffle_exchanges(lazy_floor)
     assert any("ev_date" in ln for ln in lazy_ex), lazy_ex
+
+
+def test_ivf_assignment_is_mapside_argmax(spark, sf_dir):
+    """The IVF/Lloyd cell assignment must be the partial-aggregated
+    max(struct) argmax, never a window over the corpus x codebook
+    cross product (round 8: the window form shuffled every pair row
+    with 64-double payloads on split-bound tasks — ann_ivf_lloyd
+    timed out at sf1). Structure pinned here: a partial_max runs
+    map-side, the corpus is spread by an explicit repartition, and
+    the Lloyd codebook plan contains NO window at all (ivf_topk
+    keeps two legitimate windows on dimension-sized query frames)."""
+    plan = plan_of(spark, sf_dir, "ann_ivf_probe")
+    assert "partial_max(struct" in plan, plan
+    assert "REPARTITION_BY_NUM" in plan, plan
+
+    # the trained codebook itself is a checkpointed RDD scan, so the
+    # training rounds' plans are asserted through the registered
+    # query (whose construction executes them)
+    lloyd_full = plan_of(spark, sf_dir, "ann_ivf_lloyd")
+    assert "partial_max(struct" in lloyd_full, lloyd_full
+    # no window may touch a corpus-sized frame in the lloyd DAG: the
+    # only row_number windows allowed are the dimension-sized probe
+    # and final top-k (both keyed on query-side columns)
+    windows = [
+        ln
+        for ln in lloyd_full.splitlines()
+        if "windowspecdefinition" in ln
+    ]
+    for ln in windows:
+        assert "query_id" in ln or "ccos" in ln, ln
