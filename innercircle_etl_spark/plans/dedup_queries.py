@@ -1066,10 +1066,12 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
         )
-    ).cache()
-    # eager: edges embed the WHOLE minhash pipeline — racing consumers
-    # (label init + first-iteration join) would run it twice
-    edges.count()
+    # eager checkpoint, not cache+count: edges embed the WHOLE
+    # minhash pipeline — racing consumers (label init + every
+    # iteration's join) would run it twice, an evicted cache block
+    # recomputes silently, and the un-truncated lineage re-enters
+    # every iteration's plan below (the round-8 sf10 failure mode)
+    ).localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("doc_a").alias("n"))
         .distinct()
@@ -1096,7 +1098,18 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("new_label"),
                 "label",
             )
-        ).cache()
+            # eager localCheckpoint per sweep — the lloyd_codebook
+            # discipline. cache() is NOT a plan barrier: with it the
+            # logical plan grew by one join + the full edge pipeline
+            # per iteration, and at sf10 the analyzer/treeString work
+            # on that compounding plan pinned the driver single-core
+            # for >20 min (caught by the round-8 sf10 sweep: the
+            # watchdog's job cancel can't interrupt driver-side
+            # planning). The checkpoint truncates lineage so every
+            # sweep's plan is one join over two ExistingRDD scans;
+            # the labels frame is |touched docs|-sized.
+            .localCheckpoint(eager=True)
+        )
         changed = updated.filter(
             F.col("new_label") != F.col("label")
         ).count()  # scalar convergence probe, not data movement
