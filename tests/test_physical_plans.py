@@ -433,3 +433,24 @@ def test_ivf_assignment_is_mapside_argmax(spark, sf_dir):
     ]
     for ln in windows:
         assert "query_id" in ln or "ccos" in ln, ln
+
+
+def test_label_propagation_plan_stays_bounded(spark, sf_dir):
+    """The connected-components loop must truncate lineage each
+    sweep (round 8: with cache() as a pseudo-barrier the logical
+    plan compounded one join + the full MinHash edge pipeline per
+    iteration, and at sf10 the driver spent >20 min single-core in
+    analyzer/treeString work on the result). The final labels frame
+    must read from checkpointed RDD scans — its plan may contain at
+    most ONE join (the last sweep's) and no parquet scan of the
+    documents table, because everything upstream is materialized."""
+    from innercircle_etl_spark.plans import QUERIES
+
+    df = QUERIES["dedup_cluster_canonical"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" in plan, plan
+    n_joins = len(
+        [ln for ln in plan.splitlines() if "Join" in ln and "Reused" not in ln]
+    )
+    assert n_joins <= 1, plan
+    assert "parquet" not in plan.lower(), plan
