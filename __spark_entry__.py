@@ -40,7 +40,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # not listed (or not yet registered) keep registration order at the
 # end — the list is advisory, never a filter.
 _PRIORITY = [
-    # ---- positions 1-6 (round 8): plans changed this round — the
+    # ---- positions 1-9 (round 8): plans changed this round — the
     # shared MinHash candidate pair set is now eagerly pinned
     # (minhash_shingle_candidates; the round-7 verdict item 6 racy
     # double-broadcast-build fix) and both its consumers must
@@ -62,7 +62,12 @@ _PRIORITY = [
     # (57 s -> 8.8 s at sf1) and ep9's inline cell assignment
     "dedup_semantic_clusters",
     "ep9_vector_index_pipeline",
-    # ---- positions 7-22 (round 8): the 16 queries whose newest
+    # ep8 consumes dedup_minhash_lsh's candidate subtree (the
+    # decontaminate anti-join), so the cand pin changed its plan
+    # transitively; dedup_minhash_recall and dedup_cluster_canonical
+    # (lineage-truncation fix) already sit in the window below
+    "ep8_corpus_pipeline",
+    # ---- positions 10-25 (round 8): the 16 queries whose newest
     # driver-green row is round 4 — the round-7 verdict item 2
     # rotation (staged at 51-66 last round; the r7 window stopped
     # at 50) ----
@@ -82,7 +87,7 @@ _PRIORITY = [
     "j4_left_anti",
     "j5_left_semi",
     "j6_double_anti",
-    # ---- 25-58: the rest of the r06 ∪ r07 coverage gap (60
+    # ---- 26-59: the rest of the r06 ∪ r07 coverage gap (60
     # registry queries have no r6/r7 green row; after the 8
     # changed-plan re-prove slots above, the 50-slot window carries
     # 42 of them — correctness of changed plans outranks freshness
@@ -122,7 +127,7 @@ _PRIORITY = [
     "u4_truncate_rebuild",
     "u12_cdc_apply",
     "q3_outlier_zscores",
-    # ---- 59-68: the final stretch of the coverage gap —
+    # ---- 60-69: the final stretch of the coverage gap —
     # ubiquitous core shapes (time-range filter, case/coalesce, window
     # family, merge/flag/gap upserts, watermark read) exercised
     # inside the fresh composites, so falling past the 50-slot
@@ -146,7 +151,6 @@ _PRIORITY = [
     "a3_sum_min_max_avg",
     "a8_percentile_disc",
     "ep4_circles",
-    "ep8_corpus_pipeline",
     "i10_stream_stream_join",
     "i11_stream_outer_join",
     "i12_stream_session_window",
