@@ -88,9 +88,9 @@ _PRIORITY = [
     "j5_left_semi",
     "j6_double_anti",
     # ---- 26-59: the rest of the r06 ∪ r07 coverage gap (60
-    # registry queries have no r6/r7 green row; after the 8
+    # registry queries have no r6/r7 green row; after the 9
     # changed-plan re-prove slots above, the 50-slot window carries
-    # 42 of them — correctness of changed plans outranks freshness
+    # 41 of them — correctness of changed plans outranks freshness
     # rows. These 34 are the rarest-coverage members of that gap;
     # all are r05-green; the last 8 sit just past the window ----
     "ep7_posts",
