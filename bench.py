@@ -67,12 +67,17 @@ def emit_artifacts(
     tests/test_bench_artifact.py pins both properties."""
     line = json.dumps(compact)
     try:
+        # serialize BEFORE opening the file: a non-serializable value
+        # in spread/calibration (TypeError/ValueError, not just
+        # OSError) must not leave a truncated artifact behind, and —
+        # round-8 advice — must not escape and kill the compact line
+        payload = json.dumps(full, indent=1)
         with open(out_path, "w") as f:
-            json.dump(full, f, indent=1)
+            f.write(payload)
             f.write("\n")
         print(f"# full payload -> {out_path}", file=sys.stderr)
-    except OSError as e:  # keep the stdout artifact alive regardless
-        print(f"# full payload write FAILED: {e}", file=sys.stderr)
+    except Exception as e:  # keep the stdout artifact alive regardless
+        print(f"# full payload write FAILED: {e!r}", file=sys.stderr)
     print(line, file=stdout)
     return line
 

@@ -1061,6 +1061,20 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     single changed-row COUNT — the standard Spark connected-
     components loop at edge-list scale). Oracle = a recursive-CTE
     transitive closure over the same pairs."""
+    def _pinned_ids() -> dict:
+        """id -> java RDD handle for every persisted RDD (the only
+        handle PySpark exposes to a localCheckpoint's blocks)."""
+        try:
+            jmap = spark.sparkContext._jsc.getPersistentRDDs()
+            return {int(j.id()): j for j in jmap.values()}
+        except Exception:  # py4j surface moved — blocks only cost memory
+            return {}
+
+    # blocks pinned BEFORE this query ran (e.g. a session-lifetime
+    # Lloyd codebook pin) are not ours to release: unpersisting a
+    # localCheckpoint LOSES the frame (lineage is truncated), so the
+    # intra-query cleanup below must touch only blocks this query made
+    preexisting = set(_pinned_ids())
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     edges = pairs.unionByName(
         pairs.select(
@@ -1077,6 +1091,11 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("label", F.col("n"))
     )
+
+    # this query's own pins so far: the minhash candidate subtree +
+    # edges' checkpoint — released together after the loop
+    edge_ids = set(_pinned_ids()) - preexisting
+    prior_sweep = {}  # id -> jrdd of the PREVIOUS sweep's checkpoint
     for _ in range(20):  # >= max component diameter; fixture: 1
         neighbor_min = (
             edges.join(
@@ -1110,12 +1129,39 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             # the labels frame is |touched docs|-sized.
             .localCheckpoint(eager=True)
         )
+        # the eager checkpoint above has materialized `updated`, so
+        # the PREVIOUS sweep's pinned blocks are dead weight now —
+        # without this, up to 20 sweeps of checkpoints accumulate for
+        # the query's whole lifetime and shrink the execution-memory
+        # pool at sf10 (round-8 advice: the intra-query twin of the
+        # drop_query_caches leak class). Blocking removal on purpose.
+        for jrdd in prior_sweep.values():
+            try:
+                jrdd.unpersist(True)
+            except Exception:
+                pass
+        prior_sweep = {
+            i: j
+            for i, j in _pinned_ids().items()
+            if i not in edge_ids and i not in preexisting
+        }
         changed = updated.filter(
             F.col("new_label") != F.col("label")
         ).count()  # scalar convergence probe, not data movement
         labels = updated.select("n", F.col("new_label").alias("label"))
         if changed == 0:
             break
+    # the result depends only on the LAST sweep's checkpoint — the
+    # edge list (which embeds the whole minhash pipeline) can be
+    # released before the caller materializes the result
+    edge_handles = {
+        i: j for i, j in _pinned_ids().items() if i in edge_ids
+    }
+    for jrdd in edge_handles.values():
+        try:
+            jrdd.unpersist(True)
+        except Exception:
+            pass
     return labels.select(
         F.col("n").alias("doc_id"), F.col("label").alias("canonical_id")
     )

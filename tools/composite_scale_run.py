@@ -41,6 +41,14 @@ def stage_totals(ui: str, after_stage: int = -1) -> tuple[int, int, int, int]:
         )
         if s.get("stageId", -1) > after_stage
     ]
+    if after_stage >= 0 and not stages:
+        # the UI retains a bounded stage list (retainedStages); if the
+        # window is empty the earlier stages were evicted and a summed
+        # total would silently undercount — fail loudly instead
+        raise RuntimeError(
+            f"no stages with stageId > {after_stage}: UI evicted the "
+            "window; raise spark.ui.retainedStages"
+        )
     w = sum(s.get("shuffleWriteBytes", 0) for s in stages)
     r = sum(s.get("shuffleReadBytes", 0) for s in stages)
     mx = max((s.get("shuffleWriteBytes", 0) for s in stages), default=0)
@@ -57,7 +65,13 @@ def main() -> None:
 
     spark = get_spark(
         app_name="composite_scale",
-        extra_conf={"spark.ui.enabled": "true"},
+        extra_conf={
+            "spark.ui.enabled": "true",
+            # keep every stage visible to the windowed snapshots: the
+            # default (1000) can evict a stage-heavy query's early
+            # stages and the summed shuffle totals would undercount
+            "spark.ui.retainedStages": "20000",
+        },
     )
     ui = spark.sparkContext.uiWebUrl
     out = {}
@@ -71,13 +85,12 @@ def main() -> None:
         n = fn(spark, sf_dir).count()
         wall = round(time.time() - t0, 2)
         w1, r1, mx, _ = stage_totals(ui, after_stage=last_stage)
-        w0 = r0 = 0
         drop_query_caches(spark)
         out[name] = {
             "wall_s": wall,
             "rows": n,
-            "shuffle_write_mb": round((w1 - w0) / 1e6, 1),
-            "shuffle_read_mb": round((r1 - r0) / 1e6, 1),
+            "shuffle_write_mb": round(w1 / 1e6, 1),
+            "shuffle_read_mb": round(r1 / 1e6, 1),
             "max_stage_write_mb": round(mx / 1e6, 1),
         }
         print(f"# {name}: {out[name]}", file=sys.stderr)

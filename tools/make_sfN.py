@@ -10,14 +10,20 @@ with consistent key offsets so every foreign key keeps resolving:
   table (o_custkey moves with c_custkey, l_partkey with p_partkey,
   events.user_id with c_custkey — the i13 CDC merge joins them).
 - nation/region: true dimensions, copied once.
-- documents: doc_id offsets; replica i>0 TEXT is alphabet-ROTATED
-  (translate a..z -> rotated a..z) so replicas are NOT trigram/
-  MinHash near-dups of each other — a naive 10x copy would make
-  every cross-replica pair an exact dup and the pair-producing
-  dedup queries would grow O(factor^2), measuring fixture artifacts
-  instead of scan scaling. Length and char-class statistics are
-  preserved, and within-replica planted near-dups still work
-  (planting is derived from doc_id at query time).
+- documents: doc_id offsets; replica i>0 TEXT goes through a
+  per-replica PERMUTATION of a..z (translate a..z -> perm_i(a..z))
+  so replicas are NOT trigram/MinHash near-dups of each other — a
+  naive 10x copy would make every cross-replica pair an exact dup
+  and the pair-producing dedup queries would grow O(factor^2),
+  measuring fixture artifacts instead of scan scaling. A FULL
+  permutation (26! keyspace, deterministic Fisher-Yates seeded by
+  i) rather than the original Caesar rotation: rotations cycle
+  after 26 replicas, so factor>26 re-aliased replica pairs into
+  exact dups and the sf10 dedup walls measured fixture structure
+  (round-8 SCALE.md boundary; round-9 fix). Distinctness across
+  replicas is asserted at generation time. Length and char-class
+  statistics are preserved, and within-replica planted near-dups
+  still work (planting is derived from doc_id at query time).
 - embeddings: vec_id offsets; replica i>0 flips the SIGN of a
   per-(replica, dimension) pseudo-random half of the coordinates.
   Sign flips preserve every norm and every within-replica cosine
@@ -72,14 +78,70 @@ OFFSETS = {
 ALPHA = string.ascii_lowercase
 
 
-def rotated(i: int) -> str:
-    k = (i * 7) % 26 or (1 if i else 0)
-    return ALPHA[k:] + ALPHA[:k]
+def perm(i: int) -> str:
+    """Deterministic alphabet permutation for replica ``i``.
+
+    Replica 0 is the identity (byte-identical replica). For i>0 a
+    Fisher-Yates shuffle driven by a fixed-constant LCG (no
+    dependence on Python's ``random`` internals) picks one of 26!
+    permutations — the round-8 ``rotated()`` only had 26 rotations,
+    so replicas i and i+26 got IDENTICAL text and every such pair
+    was an exact cross-replica dup at factor>26 (the sf10 dedup
+    walls measured that aliasing, not the plans). Derangement is
+    additionally enforced (no fixed points) so no replica shares
+    even single-character statistics-free identity with the source.
+    """
+    if i == 0:
+        return ALPHA
+    seed = i
+    while True:
+        chars = list(ALPHA)
+        s = (seed * 2654435761 + 0x9E3779B9) & 0xFFFFFFFF
+        for j in range(25, 0, -1):
+            s = (s * 1103515245 + 12345) & 0x7FFFFFFF
+            k = s % (j + 1)
+            chars[j], chars[k] = chars[k], chars[j]
+        p = "".join(chars)
+        # reject permutations with any fixed point (a 'derangement'
+        # guard): keeps every replica's text fully re-lettered, and
+        # incidentally rejects the identity
+        if all(a != b for a, b in zip(p, ALPHA)):
+            return p
+        seed += 1_000_003  # deterministic re-roll
+
+
+_SIGN_P = 1009  # prime modulus for the per-replica sign pattern
+
+
+def _mix(x: int) -> int:
+    """splitmix64-style avalanche — breaks the mod-P linearity that
+    aliased replica sign patterns at factor > P."""
+    x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    return x ^ (x >> 31)
+
+
+def _sign_params(i: int) -> tuple[int, int]:
+    """(offset, stride) of replica i's sign pattern over dimension d:
+    flip iff ((offset + d*stride) % P) < P//2. ~P*(P-1) distinct
+    patterns; two replicas collide only if BOTH params collide mod P.
+    """
+    return _mix(i) % _SIGN_P, 1 + _mix(i ^ 0x5DEECE66D) % (_SIGN_P - 1)
 
 
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     out = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.scratch/sf1"
+    # no two replicas may share a text permutation or an embedding
+    # sign pattern — the exact aliasing the round-8 26-cycle had
+    perms = [perm(i) for i in range(factor)]
+    assert len(set(perms)) == factor, "alphabet permutation collision"
+    pats = [(0, 0)] + [
+        (_sign_params(i)[0] % _SIGN_P, _sign_params(i)[1] % _SIGN_P)
+        for i in range(1, factor)
+    ]
+    assert len(set(pats)) == factor, "embedding sign-pattern collision"
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     con.execute(f"SET threads={os.environ.get('SPARK_GRAFT_SFN_THREADS', '8')}")
@@ -114,14 +176,20 @@ def main() -> None:
                     sel.append(f"{c} + {off} AS {c}")
                 elif t == "documents" and c == "text" and i > 0:
                     sel.append(
-                        f"translate(text, '{ALPHA}', '{rotated(i)}') AS text"
+                        f"translate(text, '{ALPHA}', '{perm(i)}') AS text"
                     )
                 elif t == "embeddings" and c == "embedding" and i > 0:
                     # deterministic per-(replica, dim) sign pattern;
-                    # ~half the dims flip, distinct pattern per i
+                    # ~half the dims flip. The round-8 form was
+                    # linear in i mod 97, so replicas i and i+97
+                    # aliased to IDENTICAL patterns (pigeonhole at
+                    # factor>97) — now the offset AND the stride are
+                    # independently mixed per replica in Python over
+                    # a larger prime, distinctness asserted below
+                    off, stride = _sign_params(i)
                     sel.append(
                         "CAST([CASE WHEN (("
-                        f"{i} * 2654435761 + d * 40503) % 97) < 48"
+                        f"{off} + d * {stride}) % {_SIGN_P}) < {_SIGN_P // 2}"
                         " THEN -embedding[d] ELSE embedding[d] END"
                         " for d in generate_series(1, len(embedding))]"
                         " AS FLOAT[]) AS embedding"
