@@ -40,84 +40,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # not listed (or not yet registered) keep registration order at the
 # end — the list is advisory, never a filter.
 _PRIORITY = [
-    # ---- positions 1-9 (round 8): plans changed this round — the
-    # shared MinHash candidate pair set is now eagerly pinned
-    # (minhash_shingle_candidates; the round-7 verdict item 6 racy
-    # double-broadcast-build fix) and both its consumers must
-    # re-prove under the driver ----
-    "dedup_minhash_lsh",
-    "dedup_shingle_containment",
-    # ep10: corpus side now spread across cores before the scoring
-    # join (the sf1 composite run caught a 2-task straggler stage)
-    "ep10_rag_retrieval",
-    # IVF/Lloyd family: the assignment argmax is now a map-side
-    # partial-aggregated max(struct) instead of a window over the
-    # |corpus| x |codebook| cross product, and the corpus side is
-    # spread/pinned (the sf1 spot sweep caught ann_ivf_lloyd
-    # timing out >120 s on 2-task straggler stages; now 14 s) ----
-    "ann_ivf_probe",
-    "ann_ivf_lloyd",
-    "ann_recall_lloyd",
-    # same argmax rewrite in the semantic-dedup exemplar assignment
-    # (57 s -> 8.8 s at sf1) and ep9's inline cell assignment
-    "dedup_semantic_clusters",
-    "ep9_vector_index_pipeline",
-    # ep8 consumes dedup_minhash_lsh's candidate subtree (the
-    # decontaminate anti-join), so the cand pin changed its plan
-    # transitively; dedup_minhash_recall and dedup_cluster_canonical
-    # (lineage-truncation fix) already sit in the window below
-    "ep8_corpus_pipeline",
-    # ---- positions 10-25 (round 8): the 16 queries whose newest
-    # driver-green row is round 4 — the round-7 verdict item 2
-    # rotation (staged at 51-66 last round; the r7 window stopped
-    # at 50) ----
-    "a9_dedup_groupby",
-    "p1_project_arithmetic",
-    "p4_p5_inlist_like",
-    "p6_p7_membership",
-    "p8_p9_p10_null_blacklist",
-    "f1_string_funcs",
-    "f2_datetime_funcs",
-    "f3_math_decay",
-    "f5_array_access",
-    "t1_union_all_legs",
-    "t2_except",
-    "t3_intersect",
-    "j2_left_enrich",
-    "j4_left_anti",
-    "j5_left_semi",
-    "j6_double_anti",
-    # ---- 26-59: the rest of the r06 ∪ r07 coverage gap (60
-    # registry queries have no r6/r7 green row; after the 9
-    # changed-plan re-prove slots above, the 50-slot window carries
-    # 41 of them — correctness of changed plans outranks freshness
-    # rows. These 34 are the rarest-coverage members of that gap;
-    # all are r05-green; the last 8 sit just past the window ----
-    "ep7_posts",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "dedup_minhash_recall",
-    "dedup_cluster_canonical",
-    "dedup_substring_spans",
-    "d1_decode_log_price",
-    "d2_decode_calldata_token",
-    "d12_trade_decode_pipeline",
-    "x12_salted_agg",
-    "j12_interval_bucket_join",
-    "f6_json_extract",
-    "ann_recall_at_k",
-    "ann_pq_adc",
-    "ann_lsh_multiprobe",
-    "text_token_stats",
-    "text_quality_score",
-    "text_lang_id",
-    "text_fingerprint",
-    "text_bm25_search",
-    "s2_s3_csv_roundtrip",
-    "s6_json_source",
-    "s8_rest_source",
-    "s9_rest_sink",
-    "i4_file_stream_exactly_once",
+    # ---- positions 1-19 (round 9): the freshness rotation leaders —
+    # every registry query whose newest driver-green row is round 5
+    # (the only rows older than 3 rounds; staged at 51-69 last round,
+    # displaced then by the round-8 changed-plan re-proofs). With
+    # these green, every row's newest green is >= r6 ----
     "i3_streaming_snapshot",
     "i3b_stateful_snapshot",
     "i1_highwatermark_increment",
@@ -127,11 +54,6 @@ _PRIORITY = [
     "u4_truncate_rebuild",
     "u12_cdc_apply",
     "q3_outlier_zscores",
-    # ---- 60-69: the final stretch of the coverage gap —
-    # ubiquitous core shapes (time-range filter, case/coalesce, window
-    # family, merge/flag/gap upserts, watermark read) exercised
-    # inside the fresh composites, so falling past the 50-slot
-    # window costs least; they lead the round-9 rotation ----
     "p2_p3_time_range",
     "f4_case_coalesce",
     "w2_first_per_key",
@@ -142,88 +64,60 @@ _PRIORITY = [
     "u6_date_gaps",
     "u3_partition_delete_reload",
     "s10_watermark",
-    # ---- rotation pool: green in r06 ∪ r07; order advisory ----
-    "mm_dedup_phash",
-    "a17_sketch_set_intersection",
-    "dedup_simhash",
-    "ep3_roi_cascade",
-    "ep5_shadow_trade",
-    "a3_sum_min_max_avg",
-    "a8_percentile_disc",
-    "ep4_circles",
-    "i10_stream_stream_join",
-    "i11_stream_outer_join",
-    "i12_stream_session_window",
-    "j1_multiway_join",
-    "j7_asof_join",
-    "j7b_asof_backward",
-    "o1_global_topk",
-    "q1_quality_report",
-    "u1_insert_if_absent",
-    "u7_merge_into",
-    "w1_latest_per_key",
-    "w4b_global_rank_scalable",
-    "ep6_insight_feed",
-    "dedup_exact",
-    "dedup_embedding_multiprobe",
-    "dedup_edit_distance",
-    "ann_cosine_topk",
-    "ann_lsh_bucketed",
-    "mm_image_features",
-    "mm_av_frame_sample",
-    "mm_image_resize",
-    "text_repetition_quality",
-    "x11_salted_skew_join",
-    "x_bucketed_colocated_join",
-    "a15_cms_heavy_hitters",
-    "a16_hll_mergeable_rollup",
-    "a1b_approx_distinct",
-    "a8b_approx_percentile",
-    "a1_count_distinct",
-    "a4_scalar_subquery",
-    "a6_having",
-    "a7_conditional_agg",
-    "a11_two_phase_agg",
-    "j3_range_in_on",
-    "j9_join_to_latest",
-    "j11_pairs_jaccard",
-    "a12_rollup",
-    "a13_grouped_pandas_stats",
-    "a14_grouped_agg_udf",
-    "dedup_ngram_jaccard_w5",
-    "dedup_incremental_minhash",
-    "p12_null_safe_eq",
-    "graph_pagerank3",
-    "mm_av_frame_sample_udtf",
-    "ep1_daily_pipeline",
-    "samp_stratified_hash",
-    "samp_epoch_shuffle",
-    "samp_weighted_resample",
-    "f7_array_hof",
-    "t4_pivot",
-    "t5_unpivot",
-    "ann_sq_adc",
-    "text_pii_scrub",
-    "text_pack_shards",
-    "text_train_eval_split",
-    "text_tfidf_terms",
-    "seq_event_assembly",
-    "text_mix_weights",
-    "text_decontaminate",
-    "text_oov_quality",
-    "text_boilerplate_scrub",
-    "text_chunk_windows",
+    # ---- 20-21: NEW this round (first driver proof): the fixed-size
+    # codebook IVF (k independent of corpus size — the scale-honest
+    # configuration the sf10 control measured, now under its own
+    # oracle) and ep10's sub-linear LSH candidate path under a
+    # recall-vs-exact oracle ----
+    "ann_ivf_fixed_k",
+    "ep10_rag_retrieval_ann",
+    # ---- 22: plan changed this round (per-sweep checkpoint release
+    # + end-of-query pin release in the label-propagation loop) ----
+    "dedup_cluster_canonical",
+    # ---- 23-50: the oldest remaining rows — 28 of the 45 whose
+    # newest green is round 6; streaming/upsert/source members first
+    # (least exercised inside fresh composites), the 17 left over
+    # (listed in the rotation pool below, NOTES round-9 handoff)
+    # lead round 10 together with the round-7 rows ----
+    "i6_watermark_window",
+    "i7_stream_dedup",
+    "i13_stream_cdc_apply",
+    "u9_scd2_ranges",
+    "u10_incremental_agg",
+    "u11_dynamic_partition_overwrite",
     "s11_schema_evolution",
     "s12_corrupt_records",
     "s13_compaction",
     "s14_orc_roundtrip",
     "s15_partitioned_db_pull",
-    "i6_watermark_window",
-    "i7_stream_dedup",
-    "u9_scd2_ranges",
-    "u10_incremental_agg",
-    "u11_dynamic_partition_overwrite",
-    "i13_stream_cdc_apply",
+    "ep1_daily_pipeline",
+    "dedup_ngram_jaccard_w5",
+    "dedup_incremental_minhash",
+    "graph_pagerank3",
+    "mm_av_frame_sample_udtf",
+    "samp_stratified_hash",
+    "samp_epoch_shuffle",
+    "samp_weighted_resample",
+    "a12_rollup",
+    "a13_grouped_pandas_stats",
+    "a14_grouped_agg_udf",
+    "p12_null_safe_eq",
+    "f7_array_hof",
+    "t4_pivot",
+    "t5_unpivot",
+    "ann_sq_adc",
+    "seq_event_assembly",
+    # ---- rotation pool (advisory order; past the 50-slot window).
+    # First the 17 r6 rows that did not fit — they open round 10 ----
+    "text_pii_scrub",
+    "text_pack_shards",
+    "text_train_eval_split",
+    "text_tfidf_terms",
+    "text_mix_weights",
+    "text_decontaminate",
+    "text_oov_quality",
+    "text_boilerplate_scrub",
+    "text_chunk_windows",
     "w6_gap_fill_ffill",
     "w7_rolling_7day",
     "w8_day_over_day",
@@ -232,6 +126,55 @@ _PRIORITY = [
     "w11_cohort_retention",
     "q2_column_profile",
     "q4_key_skew_report",
+    # ---- then the round-7 rows (stale-ness r7, fill round 10's
+    # remaining slots), then round-8 greens ----
+    "a1_count_distinct",
+    "a1b_approx_distinct",
+    "a3_sum_min_max_avg",
+    "a4_scalar_subquery",
+    "a6_having",
+    "a7_conditional_agg",
+    "a8_percentile_disc",
+    "a8b_approx_percentile",
+    "a11_two_phase_agg",
+    "a15_cms_heavy_hitters",
+    "a16_hll_mergeable_rollup",
+    "a17_sketch_set_intersection",
+    "dedup_exact",
+    "dedup_simhash",
+    "dedup_edit_distance",
+    "dedup_embedding_multiprobe",
+    "ann_cosine_topk",
+    "ann_lsh_bucketed",
+    "ann_recall_at_k",
+    "ann_pq_adc",
+    "ann_lsh_multiprobe",
+    "ep3_roi_cascade",
+    "ep4_circles",
+    "ep5_shadow_trade",
+    "ep6_insight_feed",
+    "i10_stream_stream_join",
+    "i11_stream_outer_join",
+    "i12_stream_session_window",
+    "j1_multiway_join",
+    "j3_range_in_on",
+    "j7_asof_join",
+    "j7b_asof_backward",
+    "j9_join_to_latest",
+    "j11_pairs_jaccard",
+    "o1_global_topk",
+    "q1_quality_report",
+    "u1_insert_if_absent",
+    "u7_merge_into",
+    "w1_latest_per_key",
+    "w4b_global_rank_scalable",
+    "x11_salted_skew_join",
+    "x_bucketed_colocated_join",
+    "mm_dedup_phash",
+    "mm_image_features",
+    "mm_av_frame_sample",
+    "mm_image_resize",
+    "text_repetition_quality",
 ]
 
 

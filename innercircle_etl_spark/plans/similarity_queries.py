@@ -1294,3 +1294,259 @@ def ep10_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cos",
         )
     )
+
+
+# --------------------------------------------- fixed-size codebook IVF
+
+_FIXED_K = 32  # codebook size — a CONSTANT, independent of corpus size
+
+_IVF_FIXED_ORACLE = f"""
+WITH e AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+cent AS (
+    SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {_FIXED_K}
+),
+assign AS (
+    SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_COS_SQL.format(a="e.v", b="c.cv")} DESC,
+                            c.cid ASC
+               ) AS rn
+        FROM e CROSS JOIN cent c
+    ) WHERE rn = 1
+),
+probes AS (
+    SELECT vec_id AS query_id, v AS vq, cid FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_COS_SQL.format(a="e.v", b="c.cv")} DESC,
+                            c.cid ASC
+               ) AS rn
+        FROM e CROSS JOIN cent c
+        WHERE e.vec_id < {_N_QUERIES}
+    ) WHERE rn <= {_IVF_NPROBE}
+),
+scored AS (
+    SELECT p.query_id, a.vec_id AS neighbor_id,
+           {_COS_SQL.format(a="p.vq", b="a.v")} AS cos
+    FROM probes p JOIN assign a ON p.cid = a.cid
+    WHERE a.vec_id != p.query_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cos,
+           CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC
+           ) AS INTEGER) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, rank, cos FROM ranked WHERE rank <= 3
+"""
+
+
+@register("ann_ivf_fixed_k", oracle=_IVF_FIXED_ORACLE)
+def ann_ivf_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with a FIXED-size codebook (k={_FIXED_K}, a constant) —
+    the production-shaped configuration, now itself a green oracle
+    row (round-8 verdict item 4). ann_ivf_probe's modulo codebook
+    (vec_id % CODEBOOK_MOD) grows k with n, so its probed-cell work
+    is O(n/k * n_query) with k ∝ n — quadratic in corpus size by
+    FIXTURE construction, which is why the sf10 sweep's mod-97 ANN
+    walls measured the fixture, not the plan (SCALE.md round-8: the
+    fixed-k control ran sub-linear per unit). Here k ⊥ n: the
+    codebook is the first {_FIXED_K} vectors (deterministic and
+    SQL-expressible at every SF), each query probes nprobe cells ≈
+    nprobe/k of the corpus, and doubling the corpus doubles — not
+    quadruples — the probed work. Identical plan via ``ivf_topk``:
+    broadcast-codebook map-side argmax assignment, cluster-id
+    inverted file, exact cosine re-rank in the probed cells. In a
+    real deployment the constant-size codebook comes from
+    ``lloyd_codebook`` on a corpus sample with k chosen for target
+    cell size; the sampling rule here stands in for that trainer so
+    DuckDB can replay it exactly."""
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", V.as_double(F.col("embedding")).alias("v"))
+    cent = e.filter(F.col("vec_id") < _FIXED_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    return ivf_topk(e, cent)
+
+
+# ------------------------------------------ RAG retrieval, ANN path
+
+_RAG_PLANES = 4  # 16 sign buckets over the 16-dim chunk embeddings
+
+
+def _rag_bucket_sql(v: str) -> str:
+    """DuckDB expression: {_RAG_PLANES}-bit hyperplane-sign bucket of
+    a {_RAG_D}-dim list column — same integer weights as the Spark
+    side's V.hyperplane_weights({_RAG_PLANES}, {_RAG_D})."""
+    terms = []
+    for p, w in enumerate(V.hyperplane_weights(_RAG_PLANES, _RAG_D)):
+        wl = "[" + ", ".join(str(x) for x in w) + "]"
+        proj = (
+            f"list_reduce(list_transform(generate_series(1, {_RAG_D}),"
+            f" i -> {v}[i] * ({wl})[i]), (x, y) -> x + y)"
+        )
+        terms.append(f"(CASE WHEN {proj} >= 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _rag_ann_oracle() -> str:
+    from innercircle_etl_spark.plans.text_queries import CHUNK_CTES_SQL
+
+    return f"""
+WITH exact AS (
+    SELECT q_doc, q_chunk, m_doc, m_chunk FROM ({_rag_oracle()})
+),
+ann AS (
+    SELECT q_doc, q_chunk, m_doc, m_chunk FROM (
+        WITH {CHUNK_CTES_SQL},
+        emb AS (
+            SELECT doc_id, chunk_idx,
+                   list_transform(generate_series(1, {_RAG_D}),
+                       k -> CAST(ascii(substr(md5(chunk_text), k, 1))
+                            AS DOUBLE) - 75.0) AS v
+            FROM chunks),
+        b AS (
+            SELECT doc_id, chunk_idx, v,
+                   CAST({{BUCKET}} AS INTEGER) AS bucket
+            FROM emb),
+        q AS (SELECT doc_id AS q_doc, chunk_idx AS q_chunk, v AS vq,
+                     bucket AS qbucket
+              FROM b WHERE doc_id % {_RAG_Q_MOD} = 0),
+        scored AS (
+            SELECT q.q_doc, q.q_chunk,
+                   c.doc_id AS m_doc, c.chunk_idx AS m_chunk,
+                   {_COS_SQL.format(a="q.vq", b="c.v")} AS cos
+            FROM q JOIN b c ON q.qbucket = c.bucket
+            WHERE NOT (q.q_doc = c.doc_id AND q.q_chunk = c.chunk_idx)),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY q_doc, q_chunk
+                ORDER BY cos DESC, m_doc ASC, m_chunk ASC) AS rnk
+            FROM scored)
+        SELECT q_doc, q_chunk, m_doc, m_chunk
+        FROM ranked WHERE rnk <= {_RAG_K}
+    )
+),
+hits AS (
+    SELECT e.q_doc, e.q_chunk, COUNT(*) AS n_hits
+    FROM exact e JOIN ann a
+      ON e.q_doc = a.q_doc AND e.q_chunk = a.q_chunk
+     AND e.m_doc = a.m_doc AND e.m_chunk = a.m_chunk
+    GROUP BY e.q_doc, e.q_chunk
+),
+tot AS (
+    SELECT q_doc, q_chunk, COUNT(*) AS n_true
+    FROM exact GROUP BY q_doc, q_chunk
+)
+SELECT t.q_doc, CAST(t.q_chunk AS INTEGER) AS q_chunk,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(t.n_true AS BIGINT) AS n_true,
+       coalesce(h.n_hits, 0) * 1.0 / t.n_true AS recall
+FROM tot t LEFT JOIN hits h
+  ON t.q_doc = h.q_doc AND t.q_chunk = h.q_chunk
+""".replace("{BUCKET}", _rag_bucket_sql("v"))
+
+
+@register("ep10_rag_retrieval_ann", oracle=_rag_ann_oracle())
+def ep10_rag_retrieval_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sub-linear candidate path for ep10's RAG retrieval, under
+    a recall-vs-exact oracle (round-8 verdict item 7 — the last
+    documented-but-not-oracle-checked scale path). ep10's docstring
+    promises that at 100TB you keep the DAG and swap the brute-force
+    scored join for LSH/IVF candidates; this query IS that swap,
+    measured: chunks → {_RAG_PLANES}-plane sign-bucket LSH over the
+    same deterministic 16-dim chunk embeddings → same-bucket
+    candidates only (each query probes ~1/{1 << _RAG_PLANES} of the
+    corpus; the bucket is the join/partition key, so candidate
+    generation is an equi-join, never a cross product) → exact
+    cosine re-rank top-{_RAG_K} → per-query-chunk recall against the
+    exact ep10 top-{_RAG_K} (the ann_recall_at_k pattern: composes
+    two already-verified builders and diffs their lists). Integer
+    hyperplanes on exact-integer embeddings keep every projection
+    sign identical across engines, so the recall numbers value-hash.
+
+    Scale: both legs are one pass over the chunk corpus; the exact
+    leg exists only to MEASURE recall and is dropped in production,
+    leaving the bucketed leg — corpus-side scan partitioned by
+    bucket, broadcast query side, per-bucket re-rank."""
+    from innercircle_etl_spark.plans.text_queries import (
+        text_chunk_windows,
+    )
+
+    exact = ep10_rag_retrieval(spark, sf_dir).select(
+        "q_doc", "q_chunk", "m_doc", "m_chunk"
+    )
+
+    chunks = text_chunk_windows(spark, sf_dir).select(
+        "doc_id", "chunk_idx", "chunk_text"
+    )
+    emb = chunks.withColumn("h", F.md5("chunk_text")).select(
+        "doc_id",
+        "chunk_idx",
+        F.expr(
+            f"transform(sequence(1, {_RAG_D}),"
+            f" k -> cast(ascii(substring(h, k, 1)) as double) - 75.0)"
+        ).alias("v"),
+    )
+    planes = V.hyperplane_weights(_RAG_PLANES, _RAG_D)
+    b = emb.withColumn("bucket", V.sign_bucket(F.col("v"), planes).cast("int"))
+    q = b.filter(F.col("doc_id") % _RAG_Q_MOD == 0).select(
+        F.col("doc_id").alias("q_doc"),
+        F.col("chunk_idx").alias("q_chunk"),
+        F.col("v").alias("vq"),
+        F.col("bucket").alias("qbucket"),
+    )
+    # same spread discipline as ep10: the corpus side inherits the
+    # tiny documents scan's 1-2 splits locally; key it across cores
+    # before the compute-bound candidate join (broadcast q side is
+    # built from the pre-repartition frame)
+    spread = b.repartition(
+        spark.sparkContext.defaultParallelism, "doc_id", "chunk_idx"
+    )
+    scored = (
+        spread.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("qbucket"))
+            & ~(
+                (F.col("q_doc") == F.col("doc_id"))
+                & (F.col("q_chunk") == F.col("chunk_idx"))
+            ),
+        )
+        .select(
+            "q_doc",
+            "q_chunk",
+            F.col("doc_id").alias("m_doc"),
+            F.col("chunk_idx").alias("m_chunk"),
+            V.cosine(F.col("vq"), F.col("v")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_doc", "q_chunk").orderBy(
+        F.col("cos").desc(), F.col("m_doc").asc(), F.col("m_chunk").asc()
+    )
+    ann = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _RAG_K)
+        .select("q_doc", "q_chunk", "m_doc", "m_chunk")
+    )
+    hits = exact.join(ann, ["q_doc", "q_chunk", "m_doc", "m_chunk"]).groupBy(
+        "q_doc", "q_chunk"
+    ).agg(F.count(F.lit(1)).alias("n_hits"))
+    tot = exact.groupBy("q_doc", "q_chunk").agg(
+        F.count(F.lit(1)).alias("n_true")
+    )
+    return tot.join(hits, ["q_doc", "q_chunk"], "left").select(
+        "q_doc",
+        F.col("q_chunk").cast("int").alias("q_chunk"),
+        F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+        "n_true",
+        (
+            F.coalesce(F.col("n_hits"), F.lit(0)) * 1.0 / F.col("n_true")
+        ).alias("recall"),
+    )

@@ -465,3 +465,36 @@ def test_label_propagation_plan_stays_bounded(spark, sf_dir):
     )
     assert n_joins <= 1, plan
     assert "parquet" not in plan.lower(), plan
+
+
+def test_ivf_fixed_k_same_plan_shape(spark, sf_dir):
+    """ann_ivf_fixed_k (constant-size codebook, k independent of n —
+    the production-shaped configuration) must inherit ivf_topk's
+    exact scale shape: map-side partial-aggregated argmax
+    assignment, explicit corpus spread, and no window touching a
+    corpus-sized frame."""
+    plan = plan_of(spark, sf_dir, "ann_ivf_fixed_k")
+    assert "partial_max(struct" in plan, plan
+    assert "REPARTITION_BY_NUM" in plan, plan
+    for ln in plan.splitlines():
+        if "windowspecdefinition" in ln:
+            assert "query_id" in ln or "ccos" in ln, ln
+
+
+def test_rag_ann_candidates_are_equi_join(spark, sf_dir):
+    """ep10_rag_retrieval_ann's candidate generation must run as an
+    equi-join keyed on the LSH bucket — never a CartesianProduct or
+    a BroadcastNestedLoopJoin carrying the bucket predicate. (The
+    EXACT leg inside the same DAG is a legitimate broadcast nested
+    loop: it is the recall baseline ep10 already asserts; here we
+    require at least one bucket-keyed hash join so the ANN leg's
+    candidates are provably sub-linear.)"""
+    plan = plan_of(spark, sf_dir, "ep10_rag_retrieval_ann")
+    assert "CartesianProduct" not in plan, plan
+    joins = [
+        ln
+        for ln in plan.splitlines()
+        if "BroadcastHashJoin" in ln or "SortMergeJoin" in ln
+        or "ShuffledHashJoin" in ln
+    ]
+    assert any("bucket" in ln for ln in joins), plan
