@@ -499,6 +499,39 @@ def ngram_jaccard_pairs(
     )
     nlongs = (vmax + 63) >> 6  # bitset packed into 64-bit words
 
+    # Representation choice (round 9): the packed bitset is sized by
+    # the GLOBAL vocab — vocab/8 bytes per doc regardless of the
+    # doc's own gram count. On a narrow vocab (char trigrams ≤ 26³)
+    # that's ~2 KB/doc and popcount-verify is ~100x cheaper per pair
+    # than a generic intersect; on a WIDE vocab it is unbounded (the
+    # de-aliased sf10 fixture: 100 per-replica-permuted 5-gram
+    # vocabularies → ~190k grams → 24 KB/doc → a 12 GB verify side
+    # that broke Spark's 8 GB HashedRelation cap). Wide vocab also
+    # means SELECTIVE prefixes (few candidates), so the sorted
+    # rank-array intersect — whose per-doc payload is bounded by the
+    # doc's own length, never the vocab — is the right verify there.
+    use_bits = nlongs <= 1024  # bits payload ≤ 8 KB/doc
+    stats = corpus.agg(
+        F.count(F.lit(1)).alias("nd"),
+        F.sum(F.length("text")).alias("tl"),
+    ).collect()[0]  # cheap: scans the pinned checkpoint blocks
+    n_docs = int(stats["nd"] or 0)
+    total_len = int(stats["tl"] or 0)
+    # estimated verify-side payload: per-doc fixed bitset vs
+    # per-doc gram-count-bounded rank array (+ row overhead)
+    est_bytes = (
+        n_docs * (nlongs * 8 + 48)
+        if use_bits
+        else total_len * 8 + n_docs * 48
+    )
+    # broadcast only while the verify side comfortably fits (Spark
+    # hard-fails HashedRelations at 8 GB; stay far under it) —
+    # beyond that the SAME two joins run as shuffle joins on doc id
+    bcast_ok = est_bytes < (512 << 20)
+
+    def _verify_side(frame):
+        return F.broadcast(frame) if bcast_ok else frame
+
     def build(batches):
         voc, nb = None, 0
         for pdf in batches:
@@ -517,15 +550,20 @@ def ngram_jaccard_pairs(
                     (voc[g] for g in gs), dtype=np.int64, count=len(gs)
                 ) - 1  # ranks are 1-based; bits 0-based
                 a.sort()
-                au = a.astype(np.uint64)
-                row = np.zeros(nb, dtype=np.uint64)
-                np.bitwise_or.at(
-                    row, au >> np.uint64(6), np.uint64(1) << (au & np.uint64(63))
-                )
+                if use_bits:
+                    au = a.astype(np.uint64)
+                    row = np.zeros(nb, dtype=np.uint64)
+                    np.bitwise_or.at(
+                        row,
+                        au >> np.uint64(6),
+                        np.uint64(1) << (au & np.uint64(63)),
+                    )
+                    words.append(row.view(np.int64).tolist())
+                else:  # wide vocab: rank arrays verify; no bitsets
+                    words.append([])
                 ids.append(doc)
                 ns.append(a.size)
                 idxs.append((a + 1).tolist())
-                words.append(row.view(np.int64).tolist())
             yield pd.DataFrame(
                 {"doc_id": ids, "n": ns, "idx": idxs, "bits": words}
             )
@@ -607,40 +645,50 @@ def ngram_jaccard_pairs(
     # 10x factor's 48M candidates); the JVM form touches the same
     # bytes in-place. Same int/int double division as the oracle →
     # bit-identical jaccard.
-    bitsets = sets.select("doc_id", "bits", "n")
-    # bitsets broadcast: |corpus| × (vocab/8 + 16) bytes — ~300KB
-    # here, and still broadcast-viable far beyond bench scale. At a
-    # corpus size where it no longer fits, drop the hint: the same
-    # two joins run as shuffle joins on doc id, plan shape unchanged.
+    # verify-side payload column: packed bitset on narrow vocab,
+    # sorted rank array on wide vocab (see the representation-choice
+    # comment above). Broadcast while the estimated payload fits
+    # (`_verify_side`); past that the SAME two joins degrade to
+    # shuffle joins on doc id — plan shape unchanged, never an 8 GB
+    # HashedRelation failure (the round-9 sf10 w5 crash).
+    payload = "bits" if use_bits else "idx"
+    bitsets = sets.select("doc_id", payload, "n")
     pairs = cand.join(
-        F.broadcast(
+        _verify_side(
             bitsets.select(
                 F.col("doc_id").alias("doc_a"),
-                F.col("bits").alias("bits_a"),
+                F.col(payload).alias("pl_a"),
                 F.col("n").alias("na"),
             )
         ),
         "doc_a",
     ).join(
-        F.broadcast(
+        _verify_side(
             bitsets.select(
                 F.col("doc_id").alias("doc_b"),
-                F.col("bits").alias("bits_b"),
+                F.col(payload).alias("pl_b"),
                 F.col("n").alias("nb"),
             )
         ),
         "doc_b",
     )
 
-    common = F.aggregate(
-        F.zip_with(
-            F.col("bits_a"),
-            F.col("bits_b"),
-            lambda x, y: F.bit_count(x.bitwiseAND(y)).cast("long"),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    if use_bits:
+        common = F.aggregate(
+            F.zip_with(
+                F.col("pl_a"),
+                F.col("pl_b"),
+                lambda x, y: F.bit_count(x.bitwiseAND(y)).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+    else:
+        # rank arrays are distinct by construction, so the intersect
+        # size is the exact |A∩B| — same jaccard arithmetic, and the
+        # few candidates a selective wide-vocab prefix lets through
+        # keep the pricier per-pair intersect off the critical path
+        common = F.size(F.array_intersect("pl_a", "pl_b")).cast("long")
     return (
         pairs.withColumn("common", common)
         .withColumn(
