@@ -373,6 +373,17 @@ _NGRAM_ORACLE = _ngram_oracle(3)
 
 _NGRAM_T = 0.9
 
+# Verify-representation switch: bitset popcount while the per-doc
+# packed bitset (vocab/64 longs) stays under this, sorted rank-array
+# intersect beyond it (module-level so tests can force either path
+# on the small fixtures)
+_BITSET_MAX_LONGS = 1024
+
+# Broadcast the verify side only while its estimated payload stays
+# under this (Spark hard-fails HashedRelations at 8 GB; stay far
+# under) — past it the verify joins run as shuffle joins on doc id
+_VERIFY_BCAST_MAX_BYTES = 512 << 20
+
 
 def ngram_jaccard_pairs(
     corpus: DataFrame, t_num: int = 9, t_den: int = 10, gram_w: int = 3
@@ -510,7 +521,7 @@ def ngram_jaccard_pairs(
     # means SELECTIVE prefixes (few candidates), so the sorted
     # rank-array intersect — whose per-doc payload is bounded by the
     # doc's own length, never the vocab — is the right verify there.
-    use_bits = nlongs <= 1024  # bits payload ≤ 8 KB/doc
+    use_bits = nlongs <= _BITSET_MAX_LONGS  # bits payload ≤ 8 KB/doc
     stats = corpus.agg(
         F.count(F.lit(1)).alias("nd"),
         F.sum(F.length("text")).alias("tl"),
@@ -527,7 +538,7 @@ def ngram_jaccard_pairs(
     # broadcast only while the verify side comfortably fits (Spark
     # hard-fails HashedRelations at 8 GB; stay far under it) —
     # beyond that the SAME two joins run as shuffle joins on doc id
-    bcast_ok = est_bytes < (512 << 20)
+    bcast_ok = est_bytes < _VERIFY_BCAST_MAX_BYTES
 
     def _verify_side(frame):
         return F.broadcast(frame) if bcast_ok else frame

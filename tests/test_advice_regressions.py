@@ -216,3 +216,35 @@ def test_cdc_recover_sweeps_stale_tmp(tmp_path):
     recover_snapshot(snap)
     assert not os.path.exists(f"{snap}_tmp_42")
     assert os.path.exists(snap)
+
+
+def test_cluster_canonical_releases_intra_query_pins(spark, sf_dir):
+    """Round-8 advice: the label-propagation loop must not accumulate
+    a pinned localCheckpoint per sweep (up to 20) plus the edge/
+    candidate pins for the query's whole lifetime. After the result
+    materializes, the only blocks this query may still hold are the
+    LAST sweep's checkpoint (the result's own storage); everything
+    pinned before the call must survive untouched."""
+    from innercircle_etl_spark.plans.dedup_queries import (
+        dedup_cluster_canonical,
+    )
+
+    def pinned_ids():
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(j.id()) for j in jmap.values()}
+
+    # an unrelated session-lifetime pin that must NOT be released
+    keep = (
+        spark.range(10).toDF("x").localCheckpoint(eager=True)
+    )
+    before = pinned_ids()
+    df = dedup_cluster_canonical(spark, sf_dir)
+    n = df.count()
+    assert n > 0
+    created = pinned_ids() - before
+    # last sweep's checkpoint only (its blocks ARE the result data);
+    # the minhash candidate subtree + edges + earlier sweeps are gone
+    assert len(created) <= 1, created
+    # the pre-existing pin is intact and still readable
+    assert pinned_ids() >= before
+    assert keep.count() == 10

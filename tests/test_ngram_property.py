@@ -62,3 +62,44 @@ def test_ngram_pairs_match_brute_force(spark, t_num, t_den):
     )
     for k, jac in want.items():
         assert abs(got[k] - jac) < 1e-12, (k, got[k], jac)
+
+
+def test_wide_vocab_array_verify_matches_bitset(spark, sf_dir, monkeypatch):
+    """The round-9 adaptive verify: forcing the wide-vocab regime
+    (rank-array intersect instead of packed-bitset popcount) must
+    produce the EXACT same pair set and jaccard values — the
+    representation is a memory trade, never a semantics change.
+    (The real trigger is vocab > 64k grams, where the per-doc bitset
+    is vocab/8 bytes and the sf10 w5 verify side broke Spark's 8 GB
+    HashedRelation cap; at test scale we force the switch instead.)"""
+    from innercircle_etl_spark.plans import dedup_queries as D
+
+    bitset = sorted(
+        tuple(r)
+        for r in D.dedup_ngram_jaccard(spark, sf_dir).collect()
+    )
+    monkeypatch.setattr(D, "_BITSET_MAX_LONGS", 0)
+    wide = sorted(
+        tuple(r)
+        for r in D.dedup_ngram_jaccard(spark, sf_dir).collect()
+    )
+    assert wide == bitset and len(bitset) > 0
+
+
+def test_verify_side_degrades_to_shuffle_join(spark, sf_dir, monkeypatch):
+    """When the estimated verify payload exceeds the broadcast cap,
+    the SAME two verify joins must run as non-broadcast joins on the
+    doc-id keys (never crash, never cartesian) and still produce the
+    identical result."""
+    from innercircle_etl_spark.plans import dedup_queries as D
+
+    expected = sorted(
+        tuple(r)
+        for r in D.dedup_ngram_jaccard(spark, sf_dir).collect()
+    )
+    monkeypatch.setattr(D, "_VERIFY_BCAST_MAX_BYTES", 0)
+    df = D.dedup_ngram_jaccard(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    got = sorted(tuple(r) for r in df.collect())
+    assert got == expected and len(expected) > 0

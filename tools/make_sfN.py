@@ -122,12 +122,25 @@ def _mix(x: int) -> int:
     return x ^ (x >> 31)
 
 
+_SIGN_MIN_STRIDE = 16  # ceil(P/64): 64 dims must wrap the residue ring
+
+
 def _sign_params(i: int) -> tuple[int, int]:
     """(offset, stride) of replica i's sign pattern over dimension d:
-    flip iff ((offset + d*stride) % P) < P//2. ~P*(P-1) distinct
-    patterns; two replicas collide only if BOTH params collide mod P.
-    """
-    return _mix(i) % _SIGN_P, 1 + _mix(i ^ 0x5DEECE66D) % (_SIGN_P - 1)
+    flip iff ((offset + d*stride) % P) < P//2. Stride is drawn from
+    [16, P-16]: with 64 dimensions a stride below ceil(P/64) keeps
+    all 64 residues inside one window of the ring, so the pattern
+    flips almost-all or almost-none of the dims (first cut: replica
+    2 drew stride 1 and flipped exactly ONE dim — its embeddings
+    were the source's up to one sign, defeating the decorrelation);
+    strides near P behave like small negative strides, excluded for
+    the same reason. ~P*(P-32) distinct patterns; two replicas
+    collide only if BOTH params collide mod P."""
+    off = _mix(i) % _SIGN_P
+    stride = _SIGN_MIN_STRIDE + _mix(i ^ 0x5DEECE66D) % (
+        _SIGN_P - 2 * _SIGN_MIN_STRIDE + 1
+    )
+    return off, stride
 
 
 def main() -> None:
