@@ -1454,6 +1454,77 @@ FROM tot t LEFT JOIN hits h
 """.replace("{BUCKET}", _rag_bucket_sql("v"))
 
 
+def rag_ann_topk(
+    spark: SparkSession, sf_dir: str, n_planes: int = _RAG_PLANES
+) -> DataFrame:
+    """ep10's ANN leg — the PRODUCTION retrieval path — with the
+    plane count as a parameter: chunks → n_planes-bit sign bucket
+    over the deterministic 16-dim chunk embeddings → same-bucket
+    candidates (bucket-keyed equi-join, broadcast query side) →
+    exact cosine re-rank top-{_RAG_K}. The plane count is the
+    corpus-size knob (planes ≈ log2(n/target_bucket_size)): measured
+    at the 100x fixture, 4 planes = 536 s, 12 planes = 54.8 s, same
+    plan, top-3 lists still full (SCALE.md round-9;
+    tools/rag_ann_knob.py reproduces the measurement). The
+    registered recall query below holds it at {_RAG_PLANES} because
+    the DuckDB oracle bakes the plane count and sf0.01 needs
+    populated buckets for a non-trivial recall row."""
+    from innercircle_etl_spark.plans.text_queries import (
+        text_chunk_windows,
+    )
+
+    chunks = text_chunk_windows(spark, sf_dir).select(
+        "doc_id", "chunk_idx", "chunk_text"
+    )
+    emb = chunks.withColumn("h", F.md5("chunk_text")).select(
+        "doc_id",
+        "chunk_idx",
+        F.expr(
+            f"transform(sequence(1, {_RAG_D}),"
+            f" k -> cast(ascii(substring(h, k, 1)) as double) - 75.0)"
+        ).alias("v"),
+    )
+    planes = V.hyperplane_weights(n_planes, _RAG_D)
+    b = emb.withColumn(
+        "bucket", V.sign_bucket(F.col("v"), planes).cast("int")
+    )
+    q = b.filter(F.col("doc_id") % _RAG_Q_MOD == 0).select(
+        F.col("doc_id").alias("q_doc"),
+        F.col("chunk_idx").alias("q_chunk"),
+        F.col("v").alias("vq"),
+        F.col("bucket").alias("qbucket"),
+    )
+    # same spread discipline as ep10: the corpus side inherits the
+    # tiny documents scan's 1-2 splits locally; key it across cores
+    # before the compute-bound candidate join (broadcast q side is
+    # built from the pre-repartition frame)
+    spread = b.repartition(
+        spark.sparkContext.defaultParallelism, "doc_id", "chunk_idx"
+    )
+    scored = spread.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("qbucket"))
+        & ~(
+            (F.col("q_doc") == F.col("doc_id"))
+            & (F.col("q_chunk") == F.col("chunk_idx"))
+        ),
+    ).select(
+        "q_doc",
+        "q_chunk",
+        F.col("doc_id").alias("m_doc"),
+        F.col("chunk_idx").alias("m_chunk"),
+        V.cosine(F.col("vq"), F.col("v")).alias("cos"),
+    )
+    w = Window.partitionBy("q_doc", "q_chunk").orderBy(
+        F.col("cos").desc(), F.col("m_doc").asc(), F.col("m_chunk").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _RAG_K)
+        .select("q_doc", "q_chunk", "m_doc", "m_chunk")
+    )
+
+
 @register("ep10_rag_retrieval_ann", oracle=_rag_ann_oracle())
 def ep10_rag_retrieval_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The sub-linear candidate path for ep10's RAG retrieval, under
@@ -1475,66 +1546,12 @@ def ep10_rag_retrieval_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: both legs are one pass over the chunk corpus; the exact
     leg exists only to MEASURE recall and is dropped in production,
     leaving the bucketed leg — corpus-side scan partitioned by
-    bucket, broadcast query side, per-bucket re-rank."""
-    from innercircle_etl_spark.plans.text_queries import (
-        text_chunk_windows,
-    )
-
+    bucket, broadcast query side, per-bucket re-rank (that leg is
+    ``rag_ann_topk`` above, plane count parameterized)."""
     exact = ep10_rag_retrieval(spark, sf_dir).select(
         "q_doc", "q_chunk", "m_doc", "m_chunk"
     )
-
-    chunks = text_chunk_windows(spark, sf_dir).select(
-        "doc_id", "chunk_idx", "chunk_text"
-    )
-    emb = chunks.withColumn("h", F.md5("chunk_text")).select(
-        "doc_id",
-        "chunk_idx",
-        F.expr(
-            f"transform(sequence(1, {_RAG_D}),"
-            f" k -> cast(ascii(substring(h, k, 1)) as double) - 75.0)"
-        ).alias("v"),
-    )
-    planes = V.hyperplane_weights(_RAG_PLANES, _RAG_D)
-    b = emb.withColumn("bucket", V.sign_bucket(F.col("v"), planes).cast("int"))
-    q = b.filter(F.col("doc_id") % _RAG_Q_MOD == 0).select(
-        F.col("doc_id").alias("q_doc"),
-        F.col("chunk_idx").alias("q_chunk"),
-        F.col("v").alias("vq"),
-        F.col("bucket").alias("qbucket"),
-    )
-    # same spread discipline as ep10: the corpus side inherits the
-    # tiny documents scan's 1-2 splits locally; key it across cores
-    # before the compute-bound candidate join (broadcast q side is
-    # built from the pre-repartition frame)
-    spread = b.repartition(
-        spark.sparkContext.defaultParallelism, "doc_id", "chunk_idx"
-    )
-    scored = (
-        spread.join(
-            F.broadcast(q),
-            (F.col("bucket") == F.col("qbucket"))
-            & ~(
-                (F.col("q_doc") == F.col("doc_id"))
-                & (F.col("q_chunk") == F.col("chunk_idx"))
-            ),
-        )
-        .select(
-            "q_doc",
-            "q_chunk",
-            F.col("doc_id").alias("m_doc"),
-            F.col("chunk_idx").alias("m_chunk"),
-            V.cosine(F.col("vq"), F.col("v")).alias("cos"),
-        )
-    )
-    w = Window.partitionBy("q_doc", "q_chunk").orderBy(
-        F.col("cos").desc(), F.col("m_doc").asc(), F.col("m_chunk").asc()
-    )
-    ann = (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= _RAG_K)
-        .select("q_doc", "q_chunk", "m_doc", "m_chunk")
-    )
+    ann = rag_ann_topk(spark, sf_dir)
     hits = exact.join(ann, ["q_doc", "q_chunk", "m_doc", "m_chunk"]).groupBy(
         "q_doc", "q_chunk"
     ).agg(F.count(F.lit(1)).alias("n_hits"))
