@@ -71,9 +71,14 @@ _PRIORITY = [
     # recall-vs-exact oracle ----
     "ann_ivf_fixed_k",
     "ep10_rag_retrieval_ann",
-    # ---- 22: plan changed this round (per-sweep checkpoint release
-    # + end-of-query pin release in the label-propagation loop) ----
+    # ---- 22-24: plan changed this round (per-sweep checkpoint
+    # release + end-of-query pin release in the label-propagation
+    # loop; the semantic-dedup body refactored into the shared
+    # parameterized builder) plus the second new query: the
+    # fixed-size-codebook control for the semantic-dedup family ----
     "dedup_cluster_canonical",
+    "dedup_semantic_fixed_k",
+    "dedup_semantic_clusters",
     # ---- 23-50: the oldest remaining rows — 28 of the 45 whose
     # newest green is round 6; streaming/upsert/source members first
     # (least exercised inside fresh composites), the 17 left over
@@ -105,10 +110,12 @@ _PRIORITY = [
     "f7_array_hof",
     "t4_pivot",
     "t5_unpivot",
+    # ---- rotation pool (advisory order; past the 50-slot window).
+    # First the 19 r6 rows that did not fit (ann_sq_adc and
+    # seq_event_assembly displaced by the semantic re-proofs above)
+    # — they open round 10 ----
     "ann_sq_adc",
     "seq_event_assembly",
-    # ---- rotation pool (advisory order; past the 50-slot window).
-    # First the 17 r6 rows that did not fit — they open round 10 ----
     "text_pii_scrub",
     "text_pack_shards",
     "text_train_eval_split",

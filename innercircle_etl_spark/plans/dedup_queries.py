@@ -1474,12 +1474,13 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SEM_T = 0.95
 
-_SEM_ORACLE = f"""
+def _sem_oracle(cent_where: str) -> str:
+    return f"""
 WITH corpus AS ({VEC_SCALE_CORPUS_SQL}
 ),
 cent AS (
     SELECT vec_id AS cid, v AS cv FROM corpus
-    WHERE vec_id % 97 = 0
+    WHERE {cent_where}
 ),
 assign AS (
     SELECT vec_id, v, cid, ccos FROM (
@@ -1529,6 +1530,10 @@ FROM scored GROUP BY cid, canon_id
 """
 
 
+_SEM_ORACLE = _sem_oracle("vec_id % 97 = 0")
+_SEM_FIXED_K = 32  # fixed-size exemplar codebook (k ⊥ n)
+
+
 @register("dedup_semantic_clusters", oracle=_SEM_ORACLE)
 def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SEMANTIC dedup, cluster-canonical form: assign every
@@ -1555,6 +1560,35 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = corpus.filter(F.col("vec_id") % CODEBOOK_MOD == 0).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     )
+    return semantic_clusters_from(corpus, cent)
+
+
+@register("dedup_semantic_fixed_k", oracle=_sem_oracle(f"vec_id < {_SEM_FIXED_K}"))
+def dedup_semantic_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_semantic_clusters with a CONSTANT-size exemplar
+    codebook (k={_SEM_FIXED_K}, the first k vectors — k independent
+    of corpus size), the ann_ivf_fixed_k discipline applied to the
+    semantic-dedup family (round 9). The mod-97 variant's codebook
+    grows with n, so its |corpus|×|codebook| assignment cosines are
+    quadratic BY FIXTURE and it times out at the 100× fixture
+    (SCALE.md round-9 table); with k held constant the identical
+    plan — broadcast-codebook map-side argmax, cell-keyed canonical
+    election, dimension-sized canonical broadcast — is linear in
+    corpus size. In production k comes from a trained codebook sized
+    for target cell population; the deterministic first-k rule
+    stands in so DuckDB can replay it exactly."""
+    emb = load(spark, sf_dir, "embeddings")
+    corpus = plant_scaled_vectors(emb)
+    cent = corpus.filter(F.col("vec_id") < _SEM_FIXED_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    return semantic_clusters_from(corpus, cent)
+
+
+def semantic_clusters_from(corpus: DataFrame, cent: DataFrame) -> DataFrame:
+    """Shared semantic-dedup plan with the codebook as a PARAMETER
+    (the ivf_topk convention): broadcast-argmax assignment, per-cell
+    canonical election, compare-to-exemplar audit manifest."""
     sim = V.cosine(F.col("v"), F.col("cv"))
     # map-side partial-aggregated argmax (round 8, the ivf_topk
     # rewrite): the window form shuffled the |corpus| x |codebook|
