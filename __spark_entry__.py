@@ -79,9 +79,9 @@ _PRIORITY = [
     "dedup_cluster_canonical",
     "dedup_semantic_fixed_k",
     "dedup_semantic_clusters",
-    # ---- 23-50: the oldest remaining rows — 28 of the 45 whose
+    # ---- 25-50: the oldest remaining rows — 26 of the 45 whose
     # newest green is round 6; streaming/upsert/source members first
-    # (least exercised inside fresh composites), the 17 left over
+    # (least exercised inside fresh composites), the 19 left over
     # (listed in the rotation pool below, NOTES round-9 handoff)
     # lead round 10 together with the round-7 rows ----
     "i6_watermark_window",

@@ -1566,7 +1566,7 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("dedup_semantic_fixed_k", oracle=_sem_oracle(f"vec_id < {_SEM_FIXED_K}"))
 def dedup_semantic_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dedup_semantic_clusters with a CONSTANT-size exemplar
-    codebook (k={_SEM_FIXED_K}, the first k vectors — k independent
+    codebook (k=32, _SEM_FIXED_K; the first k vectors — k independent
     of corpus size), the ann_ivf_fixed_k discipline applied to the
     semantic-dedup family (round 9). The mod-97 variant's codebook
     grows with n, so its |corpus|×|codebook| assignment cosines are

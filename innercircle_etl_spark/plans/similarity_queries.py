@@ -196,13 +196,17 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _IVF_NPROBE = 2
 
-_IVF_ORACLE = f"""
+def _ivf_oracle(cent_where: str) -> str:
+    """The IVF probe/re-rank oracle with the codebook predicate as a
+    parameter — one SQL body for the mod-CODEBOOK_MOD registration
+    and the fixed-k control (the _sem_oracle convention)."""
+    return f"""
 WITH e AS (
     SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
     FROM embeddings
 ),
 cent AS (
-    SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % {CODEBOOK_MOD} = 0
+    SELECT vec_id AS cid, v AS cv FROM e WHERE {cent_where}
 ),
 assign AS (
     SELECT vec_id, v, cid FROM (
@@ -242,6 +246,9 @@ ranked AS (
 )
 SELECT query_id, neighbor_id, rank, cos FROM ranked WHERE rank <= 3
 """
+
+
+_IVF_ORACLE = _ivf_oracle(f"vec_id % {CODEBOOK_MOD} = 0")
 
 
 def ivf_topk(
@@ -1203,6 +1210,32 @@ FROM ranked WHERE rnk <= {_RAG_K}
 """
 
 
+def _rag_chunk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, chunk_idx, v): overlapping chunk windows → the
+    deterministic 16-dim hash embedding (centered ascii of the
+    chunk's md5 hex — exact small integers, so dot/norm² are EXACT
+    doubles and scores value-hash across engines). The ONE place the
+    embedding recipe lives on the Python side — ep10_rag_retrieval
+    and rag_ann_topk both consume it; the oracles' SQL twin is the
+    `emb` CTE in _rag_oracle/_rag_ann_oracle. Swap in a real encoder
+    behind the same (doc_id, chunk_idx, v) contract."""
+    from innercircle_etl_spark.plans.text_queries import (
+        text_chunk_windows,
+    )
+
+    chunks = text_chunk_windows(spark, sf_dir).select(
+        "doc_id", "chunk_idx", "chunk_text"
+    )
+    return chunks.withColumn("h", F.md5("chunk_text")).select(
+        "doc_id",
+        "chunk_idx",
+        F.expr(
+            f"transform(sequence(1, {_RAG_D}),"
+            f" k -> cast(ascii(substring(h, k, 1)) as double) - 75.0)"
+        ).alias("v"),
+    )
+
+
 @register("ep10_rag_retrieval", oracle=_rag_oracle())
 def ep10_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end RAG ingestion + retrieval as ONE DAG: documents →
@@ -1225,21 +1258,7 @@ def ep10_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference parity: beyond-reference (north-star extension);
     composes text_chunk_windows with the ANN family's scoring."""
-    from innercircle_etl_spark.plans.text_queries import (
-        text_chunk_windows,
-    )
-
-    chunks = text_chunk_windows(spark, sf_dir).select(
-        "doc_id", "chunk_idx", "chunk_text"
-    )
-    emb = chunks.withColumn("h", F.md5("chunk_text")).select(
-        "doc_id",
-        "chunk_idx",
-        F.expr(
-            f"transform(sequence(1, {_RAG_D}),"
-            f" k -> cast(ascii(substring(h, k, 1)) as double) - 75.0)"
-        ).alias("v"),
-    )
+    emb = _rag_chunk_embeddings(spark, sf_dir)
     q = emb.filter(F.col("doc_id") % _RAG_Q_MOD == 0).select(
         F.col("doc_id").alias("q_doc"),
         F.col("chunk_idx").alias("q_chunk"),
@@ -1300,57 +1319,12 @@ def ep10_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _FIXED_K = 32  # codebook size — a CONSTANT, independent of corpus size
 
-_IVF_FIXED_ORACLE = f"""
-WITH e AS (
-    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-    FROM embeddings
-),
-cent AS (
-    SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {_FIXED_K}
-),
-assign AS (
-    SELECT vec_id, v, cid FROM (
-        SELECT e.vec_id, e.v, c.cid,
-               row_number() OVER (
-                   PARTITION BY e.vec_id
-                   ORDER BY {_COS_SQL.format(a="e.v", b="c.cv")} DESC,
-                            c.cid ASC
-               ) AS rn
-        FROM e CROSS JOIN cent c
-    ) WHERE rn = 1
-),
-probes AS (
-    SELECT vec_id AS query_id, v AS vq, cid FROM (
-        SELECT e.vec_id, e.v, c.cid,
-               row_number() OVER (
-                   PARTITION BY e.vec_id
-                   ORDER BY {_COS_SQL.format(a="e.v", b="c.cv")} DESC,
-                            c.cid ASC
-               ) AS rn
-        FROM e CROSS JOIN cent c
-        WHERE e.vec_id < {_N_QUERIES}
-    ) WHERE rn <= {_IVF_NPROBE}
-),
-scored AS (
-    SELECT p.query_id, a.vec_id AS neighbor_id,
-           {_COS_SQL.format(a="p.vq", b="a.v")} AS cos
-    FROM probes p JOIN assign a ON p.cid = a.cid
-    WHERE a.vec_id != p.query_id
-),
-ranked AS (
-    SELECT query_id, neighbor_id, cos,
-           CAST(row_number() OVER (
-               PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC
-           ) AS INTEGER) AS rank
-    FROM scored
-)
-SELECT query_id, neighbor_id, rank, cos FROM ranked WHERE rank <= 3
-"""
+_IVF_FIXED_ORACLE = _ivf_oracle(f"vec_id < {_FIXED_K}")
 
 
 @register("ann_ivf_fixed_k", oracle=_IVF_FIXED_ORACLE)
 def ann_ivf_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF with a FIXED-size codebook (k={_FIXED_K}, a constant) —
+    """IVF with a FIXED-size codebook (k=32, the _FIXED_K constant) —
     the production-shaped configuration, now itself a green oracle
     row (round-8 verdict item 4). ann_ivf_probe's modulo codebook
     (vec_id % CODEBOOK_MOD) grows k with n, so its probed-cell work
@@ -1358,7 +1332,7 @@ def ann_ivf_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     FIXTURE construction, which is why the sf10 sweep's mod-97 ANN
     walls measured the fixture, not the plan (SCALE.md round-8: the
     fixed-k control ran sub-linear per unit). Here k ⊥ n: the
-    codebook is the first {_FIXED_K} vectors (deterministic and
+    codebook is the first _FIXED_K=32 vectors (deterministic and
     SQL-expressible at every SF), each query probes nprobe cells ≈
     nprobe/k of the corpus, and doubling the corpus doubles — not
     quadruples — the probed work. Identical plan via ``ivf_topk``:
@@ -1382,9 +1356,9 @@ _RAG_PLANES = 4  # 16 sign buckets over the 16-dim chunk embeddings
 
 
 def _rag_bucket_sql(v: str) -> str:
-    """DuckDB expression: {_RAG_PLANES}-bit hyperplane-sign bucket of
-    a {_RAG_D}-dim list column — same integer weights as the Spark
-    side's V.hyperplane_weights({_RAG_PLANES}, {_RAG_D})."""
+    """DuckDB expression: _RAG_PLANES(=4)-bit hyperplane-sign bucket
+    of a _RAG_D(=16)-dim list column — same integer weights as the
+    Spark side's V.hyperplane_weights(_RAG_PLANES, _RAG_D)."""
     terms = []
     for p, w in enumerate(V.hyperplane_weights(_RAG_PLANES, _RAG_D)):
         wl = "[" + ", ".join(str(x) for x in w) + "]"
@@ -1461,29 +1435,15 @@ def rag_ann_topk(
     plane count as a parameter: chunks → n_planes-bit sign bucket
     over the deterministic 16-dim chunk embeddings → same-bucket
     candidates (bucket-keyed equi-join, broadcast query side) →
-    exact cosine re-rank top-{_RAG_K}. The plane count is the
+    exact cosine re-rank top-3 (_RAG_K). The plane count is the
     corpus-size knob (planes ≈ log2(n/target_bucket_size)): measured
     at the 100x fixture, 4 planes = 536 s, 12 planes = 54.8 s, same
     plan, top-3 lists still full (SCALE.md round-9;
     tools/rag_ann_knob.py reproduces the measurement). The
-    registered recall query below holds it at {_RAG_PLANES} because
+    registered recall query below holds it at _RAG_PLANES=4 because
     the DuckDB oracle bakes the plane count and sf0.01 needs
     populated buckets for a non-trivial recall row."""
-    from innercircle_etl_spark.plans.text_queries import (
-        text_chunk_windows,
-    )
-
-    chunks = text_chunk_windows(spark, sf_dir).select(
-        "doc_id", "chunk_idx", "chunk_text"
-    )
-    emb = chunks.withColumn("h", F.md5("chunk_text")).select(
-        "doc_id",
-        "chunk_idx",
-        F.expr(
-            f"transform(sequence(1, {_RAG_D}),"
-            f" k -> cast(ascii(substring(h, k, 1)) as double) - 75.0)"
-        ).alias("v"),
-    )
+    emb = _rag_chunk_embeddings(spark, sf_dir)
     planes = V.hyperplane_weights(n_planes, _RAG_D)
     b = emb.withColumn(
         "bucket", V.sign_bucket(F.col("v"), planes).cast("int")
@@ -1532,13 +1492,13 @@ def ep10_rag_retrieval_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     documented-but-not-oracle-checked scale path). ep10's docstring
     promises that at 100TB you keep the DAG and swap the brute-force
     scored join for LSH/IVF candidates; this query IS that swap,
-    measured: chunks → {_RAG_PLANES}-plane sign-bucket LSH over the
+    measured: chunks → 4-plane (_RAG_PLANES) sign-bucket LSH over the
     same deterministic 16-dim chunk embeddings → same-bucket
-    candidates only (each query probes ~1/{1 << _RAG_PLANES} of the
+    candidates only (each query probes ~1/16 of the
     corpus; the bucket is the join/partition key, so candidate
     generation is an equi-join, never a cross product) → exact
-    cosine re-rank top-{_RAG_K} → per-query-chunk recall against the
-    exact ep10 top-{_RAG_K} (the ann_recall_at_k pattern: composes
+    cosine re-rank top-3 → per-query-chunk recall against the
+    exact ep10 top-3 (_RAG_K) (the ann_recall_at_k pattern: composes
     two already-verified builders and diffs their lists). Integer
     hyperplanes on exact-integer embeddings keep every projection
     sign identical across engines, so the recall numbers value-hash.

@@ -245,6 +245,10 @@ def test_cluster_canonical_releases_intra_query_pins(spark, sf_dir):
     # last sweep's checkpoint only (its blocks ARE the result data);
     # the minhash candidate subtree + edges + earlier sweeps are gone
     assert len(created) <= 1, created
-    # the pre-existing pin is intact and still readable
-    assert pinned_ids() >= before
+    # the session-lifetime pin we HOLD A REFERENCE TO is intact and
+    # readable. (Do NOT assert all of `before` survived: Spark's
+    # ContextCleaner auto-unpersists garbage-collected checkpoints
+    # from EARLIER tests at arbitrary points, so `pinned_ids() >=
+    # before` is order-dependent-flaky — reproduced when the ngram
+    # wide-vocab tests run first in the same session.)
     assert keep.count() == 10

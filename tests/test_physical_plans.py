@@ -337,21 +337,10 @@ def test_interval_join_buckets_not_cartesian(spark, sf_dir):
 
 
 def _shuffle_exchanges(df) -> list[str]:
+    from innercircle_etl_spark.plan_text import real_shuffle_exchanges
+
     plan = df._jdf.queryExecution().executedPlan().toString()
-    # drop ReusedExchange lines BEFORE matching: the lookbehind alone
-    # excludes the node name but still matched the `Exchange
-    # hashpartitioning(...)` description embedded after the comma on a
-    # ReusedExchange line, misclassifying reused exchanges as real
-    # ones (round-8 advice)
-    lines = [
-        ln
-        for ln in plan.splitlines()
-        if not ln.lstrip(" +-:*()0123456789").startswith("ReusedExchange")
-    ]
-    return re.findall(
-        r"(?<!Reused)Exchange (?:hash|range|Single)[^\n]*",
-        "\n".join(lines),
-    )
+    return real_shuffle_exchanges(plan)
 
 
 def test_fused_fact_no_exchange_beyond_repartition(spark, sf_dir):
