@@ -79,7 +79,11 @@ _PRIORITY = [
     "dedup_cluster_canonical",
     "dedup_semantic_fixed_k",
     "dedup_semantic_clusters",
-    # ---- 25-50: the oldest remaining rows — 26 of the 45 whose
+    # ---- 25: NEW (first driver proof): CCNet-style corpus-LM
+    # rarity filter (integer-quantized surprisal; displaces
+    # t5_unpivot — r6-green — to the head of the round-10 pool) ----
+    "text_lm_rarity_filter",
+    # ---- 26-50: the oldest remaining rows — 25 of the 45 whose
     # newest green is round 6; streaming/upsert/source members first
     # (least exercised inside fresh composites), the 19 left over
     # (listed in the rotation pool below, NOTES round-9 handoff)
@@ -109,11 +113,11 @@ _PRIORITY = [
     "p12_null_safe_eq",
     "f7_array_hof",
     "t4_pivot",
-    "t5_unpivot",
     # ---- rotation pool (advisory order; past the 50-slot window).
-    # First the 19 r6 rows that did not fit (ann_sq_adc and
-    # seq_event_assembly displaced by the semantic re-proofs above)
-    # — they open round 10 ----
+    # First the 20 r6 rows that did not fit (t5_unpivot displaced by
+    # the new LM-rarity query; ann_sq_adc and seq_event_assembly by
+    # the semantic re-proofs above) — they open round 10 ----
+    "t5_unpivot",
     "ann_sq_adc",
     "seq_event_assembly",
     "text_pii_scrub",

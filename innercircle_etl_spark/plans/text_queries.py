@@ -967,6 +967,97 @@ def text_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------- corpus-LM rarity filter (CCNet)
+
+_LM_KEEP_NUM = 12  # keep while mean_rarity <= 1.2x the corpus mean
+_LM_KEEP_DEN = 10  # (integer ratio: mean*DEN <= corpus_mean*NUM)
+
+_LM_RARITY_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+lm AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY 1),
+n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM lm),
+scored AS (
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM((n.n * 1000) // lm.cnt) AS BIGINT) AS rarity_sum
+    FROM toks t JOIN lm USING (term) CROSS JOIN n
+    GROUP BY t.doc_id
+),
+g AS (
+    SELECT CAST(SUM(rarity_sum) // SUM(n_tokens) AS BIGINT) AS corpus_mean
+    FROM scored
+)
+SELECT s.doc_id,
+       s.n_tokens,
+       CAST(s.rarity_sum // s.n_tokens AS BIGINT) AS mean_rarity,
+       (s.rarity_sum // s.n_tokens) * {_LM_KEEP_DEN}
+           <= g.corpus_mean * {_LM_KEEP_NUM} AS keep
+FROM scored s CROSS JOIN g
+"""
+
+
+@register("text_lm_rarity_filter", oracle=_LM_RARITY_ORACLE)
+def text_lm_rarity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM perplexity filtering, CCNet-style (Wenzek et al.
+    2019, public): train a unigram LM on the corpus itself, score
+    every document by its mean per-token surprisal, and cull the
+    high-perplexity tail (here: mean rarity > 1.2x the corpus mean,
+    ~the worst 5% on this fixture) — the quality gate CCNet runs with
+    a KenLM model between dedup and language split.
+
+    The floating ``-log p(w)`` surprisal is INTEGER-QUANTIZED to
+    ``(N*1000) div count(w)`` — the same exact-BIGINT discipline as
+    text_tfidf_terms (engines' last-ulp ``ln`` would make the
+    keep-boundary engine-dependent); the statistic is a monotone
+    rarity weighting with identical cull semantics, and every value
+    here (sums, divisions, the threshold compare) is exact integer
+    arithmetic, hash-stable across engines.
+
+    Plan/scale: one vocab-bounded shuffle builds the LM (map-side
+    combined groupBy; web-scale vocabs prune to a bounded table), the
+    token total comes from the LM table (vocab-sized agg, not a
+    second corpus pass), scoring joins the token stream to the LM —
+    vocab-bounded, AQE broadcasts it — then one doc-bounded shuffle
+    sums per document; the corpus mean is a broadcast 1-row
+    aggregate. No per-row Python, no driver collect; at 100 TB the
+    only full-corpus shuffle is the per-doc sum, keyed on doc_id
+    (uniform — no skew).
+
+    Reference parity: beyond-reference (north-star extension)."""
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    lm = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    n_df = lm.agg(F.sum("cnt").alias("n"))
+    scored = (
+        toks.join(lm, "term")
+        .crossJoin(F.broadcast(n_df))
+        .withColumn("surprisal", F.expr("(n * 1000) div cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("surprisal").alias("rarity_sum"),
+        )
+    )
+    g = scored.agg(
+        F.expr("sum(rarity_sum) div sum(n_tokens)").alias("corpus_mean")
+    )
+    return (
+        scored.crossJoin(F.broadcast(g))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr("rarity_sum div n_tokens").alias("mean_rarity"),
+            F.expr(
+                f"(rarity_sum div n_tokens) * {_LM_KEEP_DEN}"
+                f" <= corpus_mean * {_LM_KEEP_NUM}"
+            ).alias("keep"),
+        )
+    )
+
+
 # --------------------------------------------- chunk windows (RAG prep)
 
 _CHUNK_W = 32  # tokens per chunk

@@ -487,3 +487,15 @@ def test_rag_ann_candidates_are_equi_join(spark, sf_dir):
         or "ShuffledHashJoin" in ln
     ]
     assert any("bucket" in ln for ln in joins), plan
+
+
+def test_lm_rarity_filter_plan_shape(spark, sf_dir):
+    """text_lm_rarity_filter must keep the CCNet scoring pass in the
+    100 TB-honest shape: the LM build and the per-doc sum are both
+    partially aggregated (map-side combine before their shuffles),
+    and no CartesianProduct appears — the only nested-loop joins are
+    the broadcast 1-row aggregates (token total, corpus mean)."""
+    plan = plan_of(spark, sf_dir, "text_lm_rarity_filter")
+    assert "CartesianProduct" not in plan, plan
+    assert "partial_count" in plan, plan  # map-side combined LM build
+    assert "partial_sum" in plan, plan  # map-side combined doc sum
