@@ -79,11 +79,13 @@ _PRIORITY = [
     "dedup_cluster_canonical",
     "dedup_semantic_fixed_k",
     "dedup_semantic_clusters",
-    # ---- 25: NEW (first driver proof): CCNet-style corpus-LM
-    # rarity filter (integer-quantized surprisal; displaces
-    # t5_unpivot — r6-green — to the head of the round-10 pool) ----
+    # ---- 25-26: NEW (first driver proof): CCNet-style corpus-LM
+    # rarity filter (integer-quantized surprisal) and the Bloom
+    # incremental exact-membership gate (displace t5_unpivot and
+    # t4_pivot — both r6-green — to the head of the round-10 pool) ----
     "text_lm_rarity_filter",
-    # ---- 26-50: the oldest remaining rows — 25 of the 45 whose
+    "dedup_bloom_incremental",
+    # ---- 27-50: the oldest remaining rows — 24 of the 45 whose
     # newest green is round 6; streaming/upsert/source members first
     # (least exercised inside fresh composites), the 19 left over
     # (listed in the rotation pool below, NOTES round-9 handoff)
@@ -112,11 +114,12 @@ _PRIORITY = [
     "a14_grouped_agg_udf",
     "p12_null_safe_eq",
     "f7_array_hof",
-    "t4_pivot",
     # ---- rotation pool (advisory order; past the 50-slot window).
-    # First the 20 r6 rows that did not fit (t5_unpivot displaced by
-    # the new LM-rarity query; ann_sq_adc and seq_event_assembly by
-    # the semantic re-proofs above) — they open round 10 ----
+    # First the 21 r6 rows that did not fit (t4_pivot/t5_unpivot
+    # displaced by the two new queries; ann_sq_adc and
+    # seq_event_assembly by the semantic re-proofs above) — they
+    # open round 10 ----
+    "t4_pivot",
     "t5_unpivot",
     "ann_sq_adc",
     "seq_event_assembly",

@@ -27,6 +27,7 @@ from innercircle_etl_spark.functions import sketches as SK
 from innercircle_etl_spark.functions import vectors as V
 from innercircle_etl_spark.plans.planting import (
     DOC_EXACT_CORPUS_SQL,
+    DOC_EXACT_MOD,
     DOC_NEAR_CORPUS_SQL,
     DOC_NEAR_MOD,
     PLANT_ID_OFFSET,
@@ -1779,4 +1780,135 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= 0.8)
         .select("new_doc", "canon_doc", "jaccard")
+    )
+
+
+# ------------------------------- incremental (batch-vs-filter) dedup
+
+# Bloom parameters: m = 2^16 positions, k = 2 hash functions (two
+# disjoint 28-bit slices of one md5 — md5 is the only hash both
+# engines compute bit-identically). Fill at sf0.1 (~5k index
+# positions / 65536) gives a measurable-but-small false-positive
+# rate, so the FP accounting path is exercised by the driver sweep.
+_BLOOM_M = 1 << 16
+# exact copies of every (2 * DOC_EXACT_MOD)-th doc: eligible docs
+# must be even (indexed side), mirroring dedup_incremental_minhash
+_BLOOM_MOD = 2 * DOC_EXACT_MOD
+
+_BLOOM_ORACLE = f"""
+WITH idx AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+batch AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+    UNION ALL
+    SELECT doc_id + {PLANT_ID_OFFSET}, text FROM documents
+    WHERE doc_id % {_BLOOM_MOD} = 0
+),
+fpos AS (
+    SELECT DISTINCT pos FROM (
+        SELECT ('0x' || substr(md5(text), 1, 7))::BIGINT % {_BLOOM_M}
+               AS pos FROM idx
+        UNION ALL
+        SELECT ('0x' || substr(md5(text), 9, 7))::BIGINT % {_BLOOM_M}
+        FROM idx)
+),
+imd5 AS (SELECT DISTINCT md5(text) AS m FROM idx),
+b AS (
+    SELECT doc_id,
+           ('0x' || substr(md5(text), 1, 7))::BIGINT % {_BLOOM_M} AS p1,
+           ('0x' || substr(md5(text), 9, 7))::BIGINT % {_BLOOM_M} AS p2,
+           md5(text) AS m
+    FROM batch
+)
+SELECT b.doc_id,
+       (f1.pos IS NOT NULL AND f2.pos IS NOT NULL) AS bloom_hit,
+       (i.m IS NOT NULL) AS exact_dup,
+       (f1.pos IS NOT NULL AND f2.pos IS NOT NULL
+        AND i.m IS NULL) AS false_positive
+FROM b
+LEFT JOIN fpos f1 ON b.p1 = f1.pos
+LEFT JOIN fpos f2 ON b.p2 = f2.pos
+LEFT JOIN imd5 i ON b.m = i.m
+"""
+
+
+def _bloom_pos(off: int):
+    return F.expr(
+        f"cast(conv(substr(md5(text), {off}, 7), 16, 10) as bigint)"
+        f" % {_BLOOM_M}"
+    )
+
+
+@register("dedup_bloom_incremental", oracle=_BLOOM_ORACLE)
+def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental EXACT dedup through a Bloom filter — the
+    constant-size membership gate a daily ingest runs before the
+    expensive near-dup passes: the existing corpus (even doc_ids)
+    is summarized once into an m-bit filter, and each incoming
+    batch document (odd doc_ids plus planted exact copies of
+    indexed docs) tests its k=2 positions against it. Output per
+    batch doc: ``bloom_hit`` (filter says seen), ``exact_dup``
+    (ground truth via md5 semi-join), ``false_positive`` (the
+    filter's documented one-sided error — hits on docs the corpus
+    never contained; never the reverse, asserted by the oracle
+    recomputing both columns). Complements
+    dedup_incremental_minhash (near-dup probes) with the exact
+    membership sketch, and the CMS/HLL family (a15/a16) with the
+    third classic mergeable sketch.
+
+    The filter is represented RELATIONALLY as its set of distinct
+    set positions (<= m = 65,536 rows) — semantically identical to the
+    bitmap (position-set join == bit test), exact on both engines,
+    and mergeable the same way (union of position sets == OR of
+    bitmaps; a production compaction packs positions into m/64
+    longs via groupBy(pos div 64) + bit_or and ships ~8 KB to
+    every executor). Hashes are two disjoint 28-bit slices of
+    md5(text) — the one hash both engines compute bit-identically.
+
+    Plan/scale: one distinct over 2x|corpus| positions (m-bounded
+    output, map-side combined), then the batch scan joins the
+    position set twice and the md5 set once — all three are
+    AQE-broadcast dimension joins, so the batch-side cost is
+    O(|batch|) with NO corpus-sized shuffle at batch time; in
+    production the filter/md5 tables persist from the prior run
+    (the dedup_incremental_minhash discipline). Sizing: m here is
+    fixture-scaled; production sizes m at ~10 bits per indexed key
+    (FPR ~1%) and re-shards the filter when the corpus outgrows it.
+
+    Reference parity: beyond-reference (north-star extension).
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1).unionByName(
+        docs.filter(F.col("doc_id") % _BLOOM_MOD == 0).select(
+            (F.col("doc_id") + PLANT_ID_OFFSET).alias("doc_id"), "text"
+        )
+    )
+
+    fpos = (
+        idx.select(_bloom_pos(1).alias("pos"))
+        .unionByName(idx.select(_bloom_pos(9).alias("pos")))
+        .distinct()
+    )
+    imd5 = idx.select(F.md5("text").alias("m")).distinct()
+
+    b = batch.select(
+        "doc_id",
+        _bloom_pos(1).alias("p1"),
+        _bloom_pos(9).alias("p2"),
+        F.md5("text").alias("m"),
+    )
+    f1 = fpos.select(F.col("pos").alias("f1_pos"))
+    f2 = fpos.select(F.col("pos").alias("f2_pos"))
+    i = imd5.select(F.col("m").alias("i_m"))
+    hit = F.col("f1_pos").isNotNull() & F.col("f2_pos").isNotNull()
+    return (
+        b.join(F.broadcast(f1), b.p1 == F.col("f1_pos"), "left")
+        .join(F.broadcast(f2), b.p2 == F.col("f2_pos"), "left")
+        .join(F.broadcast(i), b.m == F.col("i_m"), "left")
+        .select(
+            "doc_id",
+            hit.alias("bloom_hit"),
+            F.col("i_m").isNotNull().alias("exact_dup"),
+            (hit & F.col("i_m").isNull()).alias("false_positive"),
+        )
     )

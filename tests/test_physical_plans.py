@@ -499,3 +499,14 @@ def test_lm_rarity_filter_plan_shape(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "partial_count" in plan, plan  # map-side combined LM build
     assert "partial_sum" in plan, plan  # map-side combined doc sum
+
+
+def test_bloom_incremental_joins_broadcast(spark, sf_dir):
+    """dedup_bloom_incremental's batch-time cost must be O(|batch|):
+    the two position-set probes and the md5 ground-truth join are
+    all broadcast dimension joins (the filter is m-bounded), and no
+    corpus-sized shuffle or cartesian appears on the batch path."""
+    plan = plan_of(spark, sf_dir, "dedup_bloom_incremental")
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "SortMergeJoin" not in plan, plan
