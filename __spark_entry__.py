@@ -79,13 +79,17 @@ _PRIORITY = [
     "dedup_cluster_canonical",
     "dedup_semantic_fixed_k",
     "dedup_semantic_clusters",
-    # ---- 25-26: NEW (first driver proof): CCNet-style corpus-LM
-    # rarity filter (integer-quantized surprisal) and the Bloom
-    # incremental exact-membership gate (displace t5_unpivot and
-    # t4_pivot — both r6-green — to the head of the round-10 pool) ----
+    # ---- 25-28: NEW (first driver proof): CCNet-style corpus-LM
+    # rarity filter (integer-quantized surprisal), the Bloom
+    # incremental exact-membership gate, batch gap sessionization,
+    # and the funnel state-machine fold (displace t5_unpivot,
+    # t4_pivot, f7_array_hof, p12_null_safe_eq — all r6-green — to
+    # the head of the round-10 pool) ----
     "text_lm_rarity_filter",
     "dedup_bloom_incremental",
-    # ---- 27-50: the oldest remaining rows — 24 of the 45 whose
+    "w12_sessionize",
+    "seq_funnel_states",
+    # ---- 29-50: the oldest remaining rows — 22 of the 45 whose
     # newest green is round 6; streaming/upsert/source members first
     # (least exercised inside fresh composites), the 19 left over
     # (listed in the rotation pool below, NOTES round-9 handoff)
@@ -112,13 +116,13 @@ _PRIORITY = [
     "a12_rollup",
     "a13_grouped_pandas_stats",
     "a14_grouped_agg_udf",
+    # ---- rotation pool (advisory order; past the 50-slot window).
+    # First the 23 r6 rows that did not fit (p12_null_safe_eq/
+    # f7_array_hof/t4_pivot/t5_unpivot displaced by the four new
+    # queries; ann_sq_adc and seq_event_assembly by the semantic
+    # re-proofs above) — they open round 10 ----
     "p12_null_safe_eq",
     "f7_array_hof",
-    # ---- rotation pool (advisory order; past the 50-slot window).
-    # First the 21 r6 rows that did not fit (t4_pivot/t5_unpivot
-    # displaced by the two new queries; ann_sq_adc and
-    # seq_event_assembly by the semantic re-proofs above) — they
-    # open round 10 ----
     "t4_pivot",
     "t5_unpivot",
     "ann_sq_adc",

@@ -1148,3 +1148,95 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_tokens"),
         "chunk_text",
     )
+
+
+# ---------------------------------------- funnel states (seq family)
+
+_FUNNEL_ORACLE = """
+WITH f AS (
+    SELECT user_id, event_id, ts, event_type FROM events
+    WHERE event_type IN ('view', 'click', 'purchase')
+),
+u AS (SELECT DISTINCT user_id FROM f),
+v AS (SELECT user_id, MIN(ts) AS t_view FROM f
+      WHERE event_type = 'view' GROUP BY 1),
+c AS (SELECT f.user_id, MIN(f.ts) AS t_click
+      FROM f JOIN v ON f.user_id = v.user_id
+      WHERE f.event_type = 'click' AND f.ts > v.t_view GROUP BY 1),
+p AS (SELECT f.user_id, MIN(f.ts) AS t_purchase
+      FROM f JOIN c ON f.user_id = c.user_id
+      WHERE f.event_type = 'purchase' AND f.ts > c.t_click GROUP BY 1)
+SELECT u.user_id, v.t_view, c.t_click, p.t_purchase,
+       CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+                 WHEN c.user_id IS NOT NULL THEN 2
+                 WHEN v.user_id IS NOT NULL THEN 1
+                 ELSE 0 END AS INTEGER) AS steps_completed
+FROM u
+LEFT JOIN v ON u.user_id = v.user_id
+LEFT JOIN c ON u.user_id = c.user_id
+LEFT JOIN p ON u.user_id = p.user_id
+"""
+
+_FUNNEL_FOLD = """
+aggregate(
+  seq,
+  named_struct('t1', cast(null as timestamp_ntz),
+               't2', cast(null as timestamp_ntz),
+               't3', cast(null as timestamp_ntz)),
+  (acc, x) -> CASE
+    WHEN acc.t1 IS NULL AND x.event_type = 'view'
+      THEN named_struct('t1', x.ts, 't2', acc.t2, 't3', acc.t3)
+    WHEN acc.t1 IS NOT NULL AND acc.t2 IS NULL
+         AND x.event_type = 'click' AND x.ts > acc.t1
+      THEN named_struct('t1', acc.t1, 't2', x.ts, 't3', acc.t3)
+    WHEN acc.t2 IS NOT NULL AND acc.t3 IS NULL
+         AND x.event_type = 'purchase' AND x.ts > acc.t2
+      THEN named_struct('t1', acc.t1, 't2', acc.t2, 't3', x.ts)
+    ELSE acc END)
+"""
+
+
+@register("seq_funnel_states", oracle=_FUNNEL_ORACLE)
+def seq_funnel_states(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-funnel state machine — per user, the ORDERED step
+    progression view -> click -> purchase (each step's timestamp must
+    strictly follow the previous step's): the product-analytics
+    classic, and the sequence-labeling shape an event-log training
+    pipeline runs to tag user timelines with funnel depth.
+
+    The Spark form is ONE user-keyed shuffle: sort each user's
+    (ts, event_id, type) structs inside the aggregate (the
+    seq_event_assembly determinism discipline), then fold the funnel
+    state machine over the array with the `aggregate` higher-order
+    function — pure codegen'd column expressions, no UDF, no second
+    pass. The oracle computes the same semantics relationally as
+    three sequential conditional-min passes (min view; min click
+    after it; min purchase after that) — first-match-in-sorted-order
+    == conditional min at every step, which is exactly what the
+    side-by-side hash check proves. At 100 TB the relational form
+    re-shuffles per step; the fold visits each user's timeline once
+    (power users: shard by time range first — the
+    seq_event_assembly discipline).
+
+    Reference parity: beyond-reference (north-star extension)."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "event_type"))
+        ).alias("seq")
+    )
+    st = per_user.withColumn("st", F.expr(_FUNNEL_FOLD))
+    return st.select(
+        "user_id",
+        F.col("st.t1").alias("t_view"),
+        F.col("st.t2").alias("t_click"),
+        F.col("st.t3").alias("t_purchase"),
+        F.when(F.col("st.t3").isNotNull(), 3)
+        .when(F.col("st.t2").isNotNull(), 2)
+        .when(F.col("st.t1").isNotNull(), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("steps_completed"),
+    )

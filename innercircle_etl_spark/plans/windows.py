@@ -556,3 +556,106 @@ def w11_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k.groupBy("cohort_day", "days_since").agg(
         F.countDistinct("user_id").alias("n_active")
     )
+
+
+# ------------------------------------------ batch gap sessionization
+
+_SESS_GAP_US = 12 * 3600 * 1_000_000  # 12h inactivity closes a session
+
+_SESS_ORACLE = f"""
+WITH seq AS (
+    SELECT user_id, event_id, ts,
+           lag(ts) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) AS prv
+    FROM events
+),
+flg AS (
+    SELECT user_id, event_id, ts,
+           CASE WHEN prv IS NULL
+                 OR epoch_us(ts) - epoch_us(prv) > {_SESS_GAP_US}
+                THEN 1 ELSE 0 END AS new_s
+    FROM seq
+),
+sess AS (
+    SELECT user_id, ts,
+           SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS session_idx
+    FROM flg
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS dur_s
+FROM sess GROUP BY user_id, session_idx
+"""
+
+
+@register("w12_sessionize", oracle=_SESS_ORACLE)
+def w12_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W12 (beyond-parity): batch gap sessionization — the classic
+    lag-flag-cumsum composition that turns an event log into
+    sessions (an inactivity gap over 12h closes the session), with
+    per-session event count, start/end, and whole-second duration.
+    This is the BATCH analog of i8_session_window (streaming state
+    timeout): the same session semantics computed retrospectively
+    over the full log — every analytics backfill needs both.
+
+    Determinism: session boundaries order by (ts, event_id) so ties
+    are pinned; the gap compare and duration are integer micros via
+    the NTZ-safe timestamp-diff helper (unix_micros throws on the
+    fixture's TIMESTAMP_NTZ; registry doctrine from w10_twap).
+
+    Scale shape: ONE shuffle total. The lag flag and the running
+    session counter share the same user-keyed partitioning/sort (a
+    single Window exchange+sort in the physical plan), and the
+    per-session rollup's grouping keys (user_id, session_idx) are
+    satisfied by that same hashpartitioning(user_id) — user_id is a
+    subset of the keys — so the partial+final aggregate runs with no
+    second exchange (asserted by the plan test). Per-user
+    state is one pass over that user's timeline; power users at
+    100TB shard by coarse time range first (the seq_event_assembly
+    discipline), which cannot split a session shorter than the
+    shard overlap.
+
+    Reference parity: beyond-reference (north-star extension)."""
+    from innercircle_etl_spark.plans.streaming_queries import _ts_us
+
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    flg = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | ((_ts_us("ts") - _ts_us(F.lag("ts").over(w))) > _SESS_GAP_US),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("new_s"),
+    )
+    sess = flg.select(
+        "user_id",
+        "ts",
+        F.sum("new_s")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("session_idx"),
+    )
+    return (
+        sess.groupBy("user_id", "session_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        # exact integer floor-div, matching the oracle's `//`
+        .withColumn(
+            "dur_s",
+            F.expr(
+                "timestampdiff(MICROSECOND, session_start, session_end)"
+                " div 1000000"
+            ),
+        )
+    )

@@ -510,3 +510,38 @@ def test_bloom_incremental_joins_broadcast(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert plan.count("BroadcastHashJoin") >= 3, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_sessionize_single_user_window_exchange(spark, sf_dir):
+    """w12_sessionize is a ONE-shuffle query: the lag flag and the
+    running session counter share one user-keyed sort/partitioning,
+    and the per-session rollup's grouping keys (user_id,
+    session_idx) are satisfied by that same hashpartitioning(user_id)
+    — user_id is a subset of the keys — so no second exchange
+    appears. A second real exchange means either the windows stopped
+    sharing their sort or the rollup stopped reusing the window
+    partitioning."""
+    from innercircle_etl_spark.plan_text import real_shuffle_exchanges
+
+    plan = plan_of(spark, sf_dir, "w12_sessionize")
+    assert "CartesianProduct" not in plan, plan
+    ex = real_shuffle_exchanges(plan)
+    assert len(ex) == 1, (ex, plan)
+    assert "hashpartitioning(user_id" in ex[0], ex
+
+
+def test_funnel_states_single_shuffle_fold(spark, sf_dir):
+    """seq_funnel_states must fold the funnel state machine in ONE
+    user-keyed shuffle — no per-step re-shuffle (the oracle's
+    three-pass relational form is exactly what the Spark plan must
+    NOT do), no join at all, and the state fold stays a codegen'd
+    column expression (no Python UDF node)."""
+    from innercircle_etl_spark.plan_text import real_shuffle_exchanges
+
+    plan = plan_of(spark, sf_dir, "seq_funnel_states")
+    assert "CartesianProduct" not in plan, plan
+    assert "Join" not in plan, plan
+    ex = real_shuffle_exchanges(plan)
+    assert len(ex) == 1, (ex, plan)
+    assert "hashpartitioning(user_id" in ex[0], ex
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
