@@ -89,9 +89,15 @@ _PRIORITY = [
     "dedup_bloom_incremental",
     "w12_sessionize",
     "seq_funnel_states",
-    # ---- 29-50: the oldest remaining rows — 22 of the 45 whose
+    # ---- 29: NEW (first driver proof): the incremental-ingest
+    # dedup cascade composing the three batch-time gates (Bloom
+    # exact-membership -> banded-minhash near-dup probe ->
+    # corpus-LM rarity cull) into one labeled-verdict pass ----
+    "ep11_ingest_dedup",
+    # ---- 30-50: the oldest remaining rows — 21 of the 45 whose
     # newest green is round 6; streaming/upsert/source members first
-    # (least exercised inside fresh composites), the 19 left over
+    # (least exercised inside fresh composites); a14_grouped_agg_udf
+    # displaced past the window by ep11 and the others left over
     # (listed in the rotation pool below, NOTES round-9 handoff)
     # lead round 10 together with the round-7 rows ----
     "i6_watermark_window",

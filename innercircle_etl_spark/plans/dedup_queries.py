@@ -1699,34 +1699,15 @@ WHERE CAST(len(list_intersect(sn.sh, si.sh)) AS DOUBLE)
 """
 
 
-@register("dedup_incremental_minhash", oracle=_INC_ORACLE)
-def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental near-dup dedup — the DAILY-INGEST shape: a new
-    batch of documents probes an EXISTING corpus index instead of
-    re-deduping the whole corpus. Even doc_ids play the indexed
-    canon (in production: the banded signature table persisted from
-    prior runs — it is NOT recomputed per batch, which is the whole
-    point: batch cost is O(|batch|) hashing + band probes, never
-    O(|corpus|)); odd doc_ids plus planted near-dups of indexed
-    docs play the incoming batch. Output: (new_doc, canon_doc)
-    pairs with exact Jaccard >= 0.8 — the batch docs to drop (or
-    link) before appending. Batch-internal dups are deliberately
-    out of scope here (that is dedup_minhash_lsh run ON the batch;
-    a real pipeline composes both).
-
-    Scale shape: same banded LSH as dedup_minhash_lsh but the
-    candidate join is ASYMMETRIC (batch bands x index bands — no
-    batch-internal or index-internal pairs ever materialize), and
-    verify follows the round-6 broadcast discipline: only candidate
-    id pairs broadcast; shingle payloads meet in one shuffle join."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    idx_docs = docs.filter(F.col("doc_id") % 2 == 0)
-    batch_docs = docs.filter(F.col("doc_id") % 2 == 1).unionByName(
-        docs.filter(F.col("doc_id") % _INC_MOD == 0).select(
-            (F.col("doc_id") + PLANT_ID_OFFSET).alias("doc_id"),
-            F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
-        )
-    )
+def incremental_minhash_pairs(
+    spark: SparkSession, idx_docs: DataFrame, batch_docs: DataFrame
+) -> DataFrame:
+    """Shared builder: batch-vs-index banded-minhash near-dup pairs
+    (new_doc, canon_doc, jaccard >= 0.8) for arbitrary (doc_id,
+    text) frames — the parameterized body of
+    dedup_incremental_minhash, reused by ep11_ingest_dedup (the
+    semantic_clusters_from discipline: one source for both the
+    registered query and the composite)."""
 
     def prep(df: DataFrame) -> DataFrame:
         corpus = df.filter(
@@ -1781,6 +1762,37 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= 0.8)
         .select("new_doc", "canon_doc", "jaccard")
     )
+
+
+@register("dedup_incremental_minhash", oracle=_INC_ORACLE)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup dedup — the DAILY-INGEST shape: a new
+    batch of documents probes an EXISTING corpus index instead of
+    re-deduping the whole corpus. Even doc_ids play the indexed
+    canon (in production: the banded signature table persisted from
+    prior runs — it is NOT recomputed per batch, which is the whole
+    point: batch cost is O(|batch|) hashing + band probes, never
+    O(|corpus|)); odd doc_ids plus planted near-dups of indexed
+    docs play the incoming batch. Output: (new_doc, canon_doc)
+    pairs with exact Jaccard >= 0.8 — the batch docs to drop (or
+    link) before appending. Batch-internal dups are deliberately
+    out of scope here (that is dedup_minhash_lsh run ON the batch;
+    a real pipeline composes both).
+
+    Scale shape: same banded LSH as dedup_minhash_lsh but the
+    candidate join is ASYMMETRIC (batch bands x index bands — no
+    batch-internal or index-internal pairs ever materialize), and
+    verify follows the round-6 broadcast discipline: only candidate
+    id pairs broadcast; shingle payloads meet in one shuffle join."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    idx_docs = docs.filter(F.col("doc_id") % 2 == 0)
+    batch_docs = docs.filter(F.col("doc_id") % 2 == 1).unionByName(
+        docs.filter(F.col("doc_id") % _INC_MOD == 0).select(
+            (F.col("doc_id") + PLANT_ID_OFFSET).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
+        )
+    )
+    return incremental_minhash_pairs(spark, idx_docs, batch_docs)
 
 
 # ------------------------------- incremental (batch-vs-filter) dedup
@@ -1910,5 +1922,271 @@ def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             hit.alias("bloom_hit"),
             F.col("i_m").isNotNull().alias("exact_dup"),
             (hit & F.col("i_m").isNull()).alias("false_positive"),
+        )
+    )
+
+
+# ------------------------- ep11: the incremental-ingest dedup cascade
+
+_EP11_EXACT_MOD = 2 * DOC_EXACT_MOD  # exact copies of indexed docs
+_EP11_NEAR_MOD = 2 * DOC_NEAR_MOD  # ' zzz' near-dups of indexed docs
+_EP11_LQ_MOD = 42  # % 42 == 21 -> odd docs gaining a junk tail
+_EP11_LQ_REP = 20  # junk tokens appended to the low-quality plants
+
+_EP11_ORACLE = f"""
+WITH idx AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+batch AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+    UNION ALL
+    SELECT doc_id + {PLANT_ID_OFFSET}, text FROM documents
+    WHERE doc_id % {_EP11_EXACT_MOD} = 0
+    UNION ALL
+    SELECT doc_id + {2 * PLANT_ID_OFFSET}, text || ' zzz' FROM documents
+    WHERE doc_id % {_EP11_NEAR_MOD} = 0
+    UNION ALL
+    SELECT doc_id + {3 * PLANT_ID_OFFSET},
+           text || repeat(' qq7', {_EP11_LQ_REP}) FROM documents
+    WHERE doc_id % {_EP11_LQ_MOD} = 21
+),
+imd5 AS (SELECT DISTINCT md5(text) AS m FROM idx),
+exact AS (
+    SELECT b.doc_id FROM batch b JOIN imd5 i ON md5(b.text) = i.m
+),
+s1 AS (SELECT * FROM batch
+       WHERE doc_id NOT IN (SELECT doc_id FROM exact)),
+allr AS (
+    SELECT 0 AS side, doc_id, text FROM idx
+    UNION ALL
+    SELECT 1, doc_id, text FROM s1
+),
+tok AS (SELECT side, doc_id, string_split(text, ' ') AS w FROM allr),
+shq AS (
+    SELECT side, doc_id,
+           list_distinct([array_to_string(w[i:i+2], ' ')
+                          for i in generate_series(1, len(w) - 2)]) AS sh
+    FROM tok WHERE len(w) >= 3
+),
+hh AS (
+    SELECT side, doc_id, sh,
+           [('0x' || substr(m, 1, 8))::BIGINT for m in mm] AS h1,
+           [('0x' || substr(m, 9, 8))::BIGINT for m in mm] AS h2
+    FROM (SELECT side, doc_id, sh, [md5(x) for x in sh] AS mm FROM shq)
+),
+sig AS (SELECT side, doc_id, sh, [{_mh_list}] AS m FROM hh),
+bands AS (
+    SELECT side, doc_id, unnest([{_band_list}]) AS band_key FROM sig
+),
+cand AS (
+    SELECT DISTINCT n.doc_id AS new_doc, i.doc_id AS canon_doc
+    FROM bands n JOIN bands i ON n.band_key = i.band_key
+    WHERE n.side = 1 AND i.side = 0
+),
+near AS (
+    SELECT DISTINCT c.new_doc FROM cand c
+    JOIN shq sn ON sn.side = 1 AND c.new_doc = sn.doc_id
+    JOIN shq si ON si.side = 0 AND c.canon_doc = si.doc_id
+    WHERE CAST(len(list_intersect(sn.sh, si.sh)) AS DOUBLE)
+          / len(list_distinct(list_concat(sn.sh, si.sh))) >= 0.8
+),
+s2 AS (SELECT * FROM s1
+       WHERE doc_id NOT IN (SELECT new_doc FROM near)),
+lm AS (
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM (SELECT unnest(string_split(text, ' ')) AS term FROM idx)
+    GROUP BY 1
+),
+nn AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM lm),
+itoks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM idx
+),
+iscore AS (
+    SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM((nn.n * 1000) // lm.cnt) AS BIGINT) AS rarity_sum
+    FROM itoks t JOIN lm USING (term) CROSS JOIN nn
+    GROUP BY t.doc_id
+),
+imean AS (
+    SELECT CAST(SUM(rarity_sum) // SUM(n_tokens) AS BIGINT) AS cm
+    FROM iscore
+),
+btoks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM s2
+),
+bscore AS (
+    SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(COALESCE((nn.n * 1000) // lm.cnt, nn.n * 1000))
+                AS BIGINT) AS rarity_sum
+    FROM btoks t LEFT JOIN lm USING (term) CROSS JOIN nn
+    GROUP BY t.doc_id
+),
+cull AS (
+    SELECT b.doc_id FROM bscore b CROSS JOIN imean
+    WHERE (b.rarity_sum // b.n_tokens) * 10 > imean.cm * 12
+)
+SELECT doc_id, 'exact_dup' AS verdict FROM exact
+UNION ALL SELECT new_doc, 'near_dup' FROM near
+UNION ALL SELECT doc_id, 'low_quality' FROM cull
+UNION ALL SELECT doc_id, 'kept' FROM s2
+          WHERE doc_id NOT IN (SELECT doc_id FROM cull)
+"""
+
+
+@register("ep11_ingest_dedup", oracle=_EP11_ORACLE)
+def ep11_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP11: the INCREMENTAL-INGEST dedup cascade — what a daily
+    batch actually goes through before joining a 100 TB corpus,
+    composed from this module's registered stages in their
+    production order:
+
+      1. EXACT gate: the Bloom filter (dedup_bloom_incremental's
+         position-set form) prunes the md5 verify join — only
+         bloom-hit docs (true dups + the documented ~fill^2 false
+         positives) reach the exact check, which then clears the
+         FPs, so the stage output is exactly "text already in the
+         corpus" and the filter is purely a join-pruning device.
+      2. NEAR gate: survivors probe the corpus's banded minhash
+         index (incremental_minhash_pairs, the
+         dedup_incremental_minhash builder) — any >= 0.8-Jaccard
+         match drops the doc.
+      3. QUALITY gate: survivors are scored against the CORPUS
+         LM (text_lm_rarity_filter's integer-quantized surprisal,
+         trained on the index side only — new docs are judged by
+         the existing corpus's token distribution; out-of-vocab
+         tokens take the max surprisal N*1000, the add-epsilon
+         shape) and culled past 1.2x the corpus's own mean.
+
+    Output: every batch doc labeled exact_dup / near_dup /
+    low_quality / kept. Planted inputs exercise all four verdicts:
+    exact copies of indexed docs, ' zzz' near-dups, and junk-tail
+    low-quality variants.
+
+    Scale: each stage is O(batch) at batch time — the Bloom set,
+    the md5 set, the LM, and the corpus mean are all index-derived
+    broadcasts (persisted between runs in production); the only
+    corpus-sized work is building them, once. The cascade ordering
+    matters at 100 TB: the cheapest gate (broadcast membership)
+    runs first and every stage shrinks the batch the next stage
+    sees.
+
+    Reference parity: beyond-reference (north-star extension)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .unionByName(
+            docs.filter(F.col("doc_id") % _EP11_EXACT_MOD == 0).select(
+                (F.col("doc_id") + PLANT_ID_OFFSET).alias("doc_id"),
+                "text",
+            )
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % _EP11_NEAR_MOD == 0).select(
+                (F.col("doc_id") + 2 * PLANT_ID_OFFSET).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
+            )
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % _EP11_LQ_MOD == 21).select(
+                (F.col("doc_id") + 3 * PLANT_ID_OFFSET).alias("doc_id"),
+                F.concat(
+                    F.col("text"),
+                    F.expr(f"repeat(' qq7', {_EP11_LQ_REP})"),
+                ).alias("text"),
+            )
+        )
+    )
+
+    # -- stage 1: Bloom gate pruning the exact-md5 verify join
+    fpos = (
+        idx.select(_bloom_pos(1).alias("pos"))
+        .unionByName(idx.select(_bloom_pos(9).alias("pos")))
+        .distinct()
+    )
+    imd5 = idx.select(F.md5("text").alias("i_m")).distinct()
+    b = batch.select(
+        "doc_id",
+        "text",
+        _bloom_pos(1).alias("p1"),
+        _bloom_pos(9).alias("p2"),
+        F.md5("text").alias("m"),
+    )
+    f1 = fpos.select(F.col("pos").alias("f1_pos"))
+    f2 = fpos.select(F.col("pos").alias("f2_pos"))
+    maybe = (
+        b.join(F.broadcast(f1), b.p1 == F.col("f1_pos"), "semi")
+        .join(F.broadcast(f2), b.p2 == F.col("f2_pos"), "semi")
+    )
+    # Eager localCheckpoint on each stage's (tiny) dropped-id set:
+    # every verdict leg of the final union re-embeds the earlier
+    # stages (exact feeds 4 legs, near 3, cull 2) — unpinned, the
+    # bloom/minhash subtrees would be rebuilt once PER LEG (the
+    # r8 racing-consumer lesson); pinned, each stage runs exactly
+    # once and the legs read its materialized blocks.
+    exact = (
+        maybe.join(F.broadcast(imd5), maybe.m == F.col("i_m"), "semi")
+        .select("doc_id")
+        .localCheckpoint(eager=True)
+    )
+    s1 = batch.join(exact, "doc_id", "anti")
+
+    # -- stage 2: banded minhash probe of the corpus index
+    near = (
+        incremental_minhash_pairs(spark, idx, s1)
+        .select(F.col("new_doc").alias("doc_id"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    s2 = s1.join(near, "doc_id", "anti")
+
+    # -- stage 3: corpus-LM rarity cull (OOV -> max surprisal)
+    itoks = idx.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    lm = itoks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    nn = lm.agg(F.sum("cnt").alias("n"))
+    iscore = (
+        itoks.join(lm, "term")
+        .crossJoin(F.broadcast(nn))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.expr("(n * 1000) div cnt")).alias("rarity_sum"),
+        )
+    )
+    imean = iscore.agg(
+        F.expr("sum(rarity_sum) div sum(n_tokens)").alias("cm")
+    )
+    btoks = s2.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    bscore = (
+        btoks.join(lm, "term", "left")
+        .crossJoin(F.broadcast(nn))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.expr("coalesce((n * 1000) div cnt, n * 1000)")
+            ).alias("rarity_sum"),
+        )
+    )
+    cull = (
+        bscore.crossJoin(F.broadcast(imean))
+        .filter(F.expr("(rarity_sum div n_tokens) * 10 > cm * 12"))
+        .select("doc_id")
+        .localCheckpoint(eager=True)
+    )
+    kept = s2.select("doc_id").join(cull, "doc_id", "anti")
+
+    return (
+        exact.select("doc_id", F.lit("exact_dup").alias("verdict"))
+        .unionByName(
+            near.select("doc_id", F.lit("near_dup").alias("verdict"))
+        )
+        .unionByName(
+            cull.select("doc_id", F.lit("low_quality").alias("verdict"))
+        )
+        .unionByName(
+            kept.select("doc_id", F.lit("kept").alias("verdict"))
         )
     )

@@ -530,6 +530,35 @@ def test_sessionize_single_user_window_exchange(spark, sf_dir):
     assert "hashpartitioning(user_id" in ex[0], ex
 
 
+def test_ingest_dedup_cascade_shape(spark, sf_dir):
+    """ep11_ingest_dedup's verdict legs must read the PINNED stage
+    outputs (each gate's dropped-id set is eagerly localCheckpointed,
+    so the 4-leg union shows scans of existing RDDs, not four
+    re-executions of the bloom/minhash subtrees — the r8
+    racing-consumer lesson; the LM partial-aggregate shape is pinned
+    separately by test_lm_rarity_filter_plan_shape and runs here
+    inside the pinned cull stage, so it is rightly ABSENT from the
+    final plan), the kept-leg anti-join against the tiny cull set
+    must broadcast, and no cartesian appears. Semantics: every
+    batch doc gets exactly ONE verdict."""
+    from innercircle_etl_spark.plans import QUERIES
+
+    df = QUERIES["ep11_ingest_dedup"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "Scan ExistingRDD" in plan, plan  # pinned stage outputs
+    assert "BroadcastHashJoin" in plan, plan
+    rows = df.collect()
+    ids = [r.doc_id for r in rows]
+    assert len(ids) == len(set(ids)), "a doc got two verdicts"
+    assert {r.verdict for r in rows} == {
+        "exact_dup",
+        "near_dup",
+        "low_quality",
+        "kept",
+    }
+
+
 def test_funnel_states_single_shuffle_fold(spark, sf_dir):
     """seq_funnel_states must fold the funnel state machine in ONE
     user-keyed shuffle — no per-step re-shuffle (the oracle's
