@@ -94,12 +94,17 @@ _PRIORITY = [
     # exact-membership -> banded-minhash near-dup probe ->
     # corpus-LM rarity cull) into one labeled-verdict pass ----
     "ep11_ingest_dedup",
-    # ---- 30-50: the oldest remaining rows — 21 of the 45 whose
+    # ---- 30: NEW (first driver proof): DSIR hashed-ngram
+    # importance selection (integer-quantized likelihood ratio,
+    # B-bounded models) ----
+    "samp_dsir_importance",
+    # ---- 31-50: the oldest remaining rows — 20 of the 45 whose
     # newest green is round 6; streaming/upsert/source members first
-    # (least exercised inside fresh composites); a14_grouped_agg_udf
-    # displaced past the window by ep11 and the others left over
-    # (listed in the rotation pool below, NOTES round-9 handoff)
-    # lead round 10 together with the round-7 rows ----
+    # (least exercised inside fresh composites); a13_grouped_agg_udf
+    # and a14_grouped_agg_udf displaced past the window by the two
+    # new queries and the others left over (listed in the rotation
+    # pool below, NOTES round-9 handoff) lead round 10 together with
+    # the round-7 rows ----
     "i6_watermark_window",
     "i7_stream_dedup",
     "i13_stream_cdc_apply",

@@ -210,3 +210,145 @@ def samp_weighted_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyed.filter(
         u < F.least(F.lit(1.0), F.col("sample_weight"))
     ).select("doc_id", "lang", "sample_weight")
+
+
+# ------------------------------------- DSIR importance selection
+
+# Hashed-bigram feature space (DSIR's "hashed n-gram" buckets).
+_DSIR_B = 4096
+# Stand-in target domain: a curated source subset (in production:
+# the Wikipedia/books corpus the mix should look like).
+_DSIR_TARGET_SQL = "source IN ('src0', 'src1', 'src2', 'src3')"
+
+_DSIR_ORACLE = f"""
+WITH base AS (
+    SELECT doc_id, {_DSIR_TARGET_SQL} AS is_target,
+           string_split(text, ' ') AS w
+    FROM documents
+),
+bg AS (
+    SELECT doc_id, is_target,
+           unnest([array_to_string(w[i:i+1], ' ')
+                   for i in generate_series(1, len(w) - 1)]) AS g
+    FROM base WHERE len(w) >= 2
+),
+feats AS (
+    SELECT doc_id, is_target,
+           CAST(({_h16_sql("md5(g)")}) % {_DSIR_B} AS BIGINT) AS b
+    FROM bg
+),
+tmodel AS (
+    SELECT b, CAST(COUNT(*) AS BIGINT) AS ct
+    FROM feats WHERE is_target GROUP BY b
+),
+qmodel AS (
+    SELECT b, CAST(COUNT(*) AS BIGINT) AS cq FROM feats GROUP BY b
+),
+ratio AS (
+    SELECT q.b,
+           ((COALESCE(t.ct, 0) + 1) * 1000) // (q.cq + 1) AS r
+    FROM qmodel q LEFT JOIN tmodel t USING (b)
+),
+scored AS (
+    SELECT f.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(r.r) AS BIGINT) AS ratio_sum
+    FROM feats f JOIN ratio r USING (b)
+    GROUP BY f.doc_id
+),
+g AS (
+    SELECT CAST(SUM(ratio_sum) // SUM(n_bigrams) AS BIGINT) AS corpus_mean
+    FROM scored
+)
+SELECT s.doc_id,
+       s.n_bigrams,
+       CAST(s.ratio_sum // s.n_bigrams AS BIGINT) AS dsir_score,
+       (s.ratio_sum // s.n_bigrams) > g.corpus_mean AS selected
+FROM scored s CROSS JOIN g
+"""
+
+
+@register("samp_dsir_importance", oracle=_DSIR_ORACLE)
+def samp_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling", public): score
+    every raw document by how target-domain-like its hashed-bigram
+    distribution is — the importance ratio between a bag-of-hashed-
+    ngrams model of the TARGET corpus (here a curated source subset
+    standing in for Wikipedia/books) and one of the RAW corpus —
+    and select the above-average docs for the training mix.
+
+    Exact-arithmetic adaptation (the text_lm_rarity_filter
+    discipline): DSIR's per-feature log-ratio ``log p_t(b) -
+    log p_q(b)`` is replaced by the integer-quantized likelihood
+    ratio ``((ct[b]+1) * 1000) div (cq[b]+1)`` (add-one smoothing;
+    the two models' normalizers are per-corpus CONSTANTS, so they
+    cancel in every mean-vs-corpus-mean comparison and are dropped),
+    summed per doc and floor-mean'd — a monotone target-likeness
+    statistic whose keep boundary is exact BIGINT across engines
+    (engines' last-ulp ``ln`` would make it engine-dependent).
+
+    Plan/scale: both models are the SAME feature stream aggregated
+    twice — one corpus pass explodes bigrams to B=4096 hash buckets
+    (map-side combined groupBy; model size is B-BOUNDED, independent
+    of corpus size, DSIR's core trick), the ratio table is 4096 rows
+    (broadcast), scoring joins the feature stream to it map-side,
+    then one doc-keyed shuffle sums per document; the corpus mean is
+    a broadcast 1-row aggregate. At 100 TB: two bounded shuffles
+    (buckets, docs) and zero per-row Python.
+
+    Reference parity: beyond-reference (north-star extension)."""
+    base = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(_DSIR_TARGET_SQL).alias("is_target"),
+        F.split("text", " ").alias("w"),
+    )
+    feats = (
+        base.filter(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            "is_target",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1),"
+                    " i -> concat_ws(' ', slice(w, i, 2)))"
+                )
+            ).alias("g"),
+        )
+        .select(
+            "doc_id",
+            "is_target",
+            F.expr(f"({_h16_sql('md5(g)')}) % {_DSIR_B}")
+            .cast("long")
+            .alias("b"),
+        )
+    )
+    qmodel = feats.groupBy("b").agg(F.count(F.lit(1)).alias("cq"))
+    tmodel = (
+        feats.filter("is_target")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    ratio = qmodel.join(tmodel, "b", "left").select(
+        "b",
+        F.expr("((coalesce(ct, 0) + 1) * 1000) div (cq + 1)").alias("r"),
+    )
+    scored = (
+        feats.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("r").alias("ratio_sum"),
+        )
+    )
+    g = scored.agg(
+        F.expr("sum(ratio_sum) div sum(n_bigrams)").alias("corpus_mean")
+    )
+    return scored.crossJoin(F.broadcast(g)).select(
+        "doc_id",
+        "n_bigrams",
+        F.expr("ratio_sum div n_bigrams").alias("dsir_score"),
+        F.expr("(ratio_sum div n_bigrams) > corpus_mean").alias(
+            "selected"
+        ),
+    )

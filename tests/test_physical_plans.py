@@ -530,6 +530,21 @@ def test_sessionize_single_user_window_exchange(spark, sf_dir):
     assert "hashpartitioning(user_id" in ex[0], ex
 
 
+def test_dsir_importance_plan_shape(spark, sf_dir):
+    """samp_dsir_importance must keep DSIR's B-bounded-model shape:
+    both hashed-bigram models are map-side-combined aggregates
+    (partial_count before the bucket shuffle), the 4096-row ratio
+    table joins the feature stream as a BROADCAST (scoring is
+    map-side), the per-doc sum keeps its partial, and no cartesian
+    appears (the only nested-loop join is the broadcast 1-row
+    corpus mean)."""
+    plan = plan_of(spark, sf_dir, "samp_dsir_importance")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "partial_count" in plan, plan
+    assert "partial_sum" in plan, plan
+
+
 def test_ingest_dedup_cascade_shape(spark, sf_dir):
     """ep11_ingest_dedup's verdict legs must read the PINNED stage
     outputs (each gate's dropped-id set is eagerly localCheckpointed,
