@@ -98,13 +98,17 @@ _PRIORITY = [
     # importance selection (integer-quantized likelihood ratio,
     # B-bounded models) ----
     "samp_dsir_importance",
-    # ---- 31-50: the oldest remaining rows — 20 of the 45 whose
+    # ---- 31: NEW (first driver proof): the training-mix build
+    # composite (decontaminate -> DSIR select -> language rebalance
+    # -> shard pack, every pool doc labeled) ----
+    "ep12_training_mix",
+    # ---- 32-50: the oldest remaining rows — 19 of the 45 whose
     # newest green is round 6; streaming/upsert/source members first
-    # (least exercised inside fresh composites); a13_grouped_agg_udf
-    # and a14_grouped_agg_udf displaced past the window by the two
-    # new queries and the others left over (listed in the rotation
-    # pool below, NOTES round-9 handoff) lead round 10 together with
-    # the round-7 rows ----
+    # (least exercised inside fresh composites); a12_rollup,
+    # a13_grouped_agg_udf and a14_grouped_agg_udf displaced past the
+    # window by the three new queries and the others left over
+    # (listed in the rotation pool below, NOTES round-9 handoff)
+    # lead round 10 together with the round-7 rows ----
     "i6_watermark_window",
     "i7_stream_dedup",
     "i13_stream_cdc_apply",

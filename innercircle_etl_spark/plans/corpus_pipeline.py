@@ -157,3 +157,305 @@ def ep8_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").alias("n_tokens"),
     )
+
+
+# ------------------------------------------- EP12: training-mix build
+
+# Stage parameters — shared with the single-stage registrations so
+# the composite and its parts stay one source of truth.
+_EVAL_MOD = 101    # text_queries._EVAL_MOD: every 101st doc is eval
+_DECON_K = 8       # 8-word exact-overlap decontamination shingles
+
+
+def _ep12_oracle() -> str:
+    from innercircle_etl_spark.plans.sampling_queries import (
+        _DSIR_B,
+        _DSIR_TARGET_SQL,
+        _h16_sql,
+    )
+    from innercircle_etl_spark.functions.text import BPE_ISH_PATTERN
+
+    return f"""
+WITH pool AS (
+    SELECT doc_id, lang, source, text FROM documents
+    WHERE doc_id % {_EVAL_MOD} <> 0
+    UNION ALL   -- planted leaks: eval text re-entering as train ids
+    SELECT doc_id + {PLANT_ID_OFFSET}, lang, source, text
+    FROM documents WHERE doc_id % {_EVAL_MOD} = 0
+),
+psh AS (
+    SELECT doc_id,
+           unnest(list_distinct(
+               [array_to_string(w[i:i+{_DECON_K - 1}], ' ')
+                for i in generate_series(1, len(w) - {_DECON_K - 1})]
+           )) AS g
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM pool)
+    WHERE len(w) >= {_DECON_K}
+),
+esh AS (
+    SELECT DISTINCT
+           unnest(list_distinct(
+               [array_to_string(w[i:i+{_DECON_K - 1}], ' ')
+                for i in generate_series(1, len(w) - {_DECON_K - 1})]
+           )) AS g
+    FROM (SELECT string_split(text, ' ') AS w FROM documents
+          WHERE doc_id % {_EVAL_MOD} = 0)
+    WHERE len(w) >= {_DECON_K}
+),
+contam AS (SELECT DISTINCT p.doc_id FROM psh p JOIN esh e USING (g)),
+s1 AS (SELECT * FROM pool
+       WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+bg AS (
+    SELECT doc_id, {_DSIR_TARGET_SQL} AS is_target,
+           unnest([array_to_string(w[i:i+1], ' ')
+                   for i in generate_series(1, len(w) - 1)]) AS g
+    FROM (SELECT doc_id, source, string_split(text, ' ') AS w FROM s1)
+    WHERE len(w) >= 2
+),
+feats AS (
+    SELECT doc_id, is_target,
+           CAST(({_h16_sql("md5(g)")}) % {_DSIR_B} AS BIGINT) AS b
+    FROM bg
+),
+tmodel AS (
+    SELECT b, CAST(COUNT(*) AS BIGINT) AS ct
+    FROM feats WHERE is_target GROUP BY b
+),
+qmodel AS (
+    SELECT b, CAST(COUNT(*) AS BIGINT) AS cq FROM feats GROUP BY b
+),
+ratio AS (
+    SELECT q.b, ((COALESCE(t.ct, 0) + 1) * 1000) // (q.cq + 1) AS r
+    FROM qmodel q LEFT JOIN tmodel t USING (b)
+),
+scored AS (
+    SELECT f.doc_id, CAST(COUNT(*) AS BIGINT) AS nb,
+           CAST(SUM(r.r) AS BIGINT) AS rs
+    FROM feats f JOIN ratio r USING (b) GROUP BY f.doc_id
+),
+gm AS (SELECT CAST(SUM(rs) // SUM(nb) AS BIGINT) AS cm FROM scored),
+sel AS (
+    SELECT s.doc_id FROM scored s CROSS JOIN gm
+    WHERE (s.rs // s.nb) > gm.cm
+),
+s2 AS (SELECT * FROM s1 WHERE doc_id IN (SELECT doc_id FROM sel)),
+per_lang AS (
+    SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+             AS lang_tokens
+    FROM s2 GROUP BY lang
+),
+tot AS (
+    SELECT CAST(SUM(lang_tokens) AS BIGINT) AS total_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_langs
+    FROM per_lang
+),
+wts AS (
+    SELECT p.lang, CAST(t.total_tokens AS DOUBLE)
+             / (t.n_langs * p.lang_tokens) AS w
+    FROM per_lang p CROSS JOIN tot t
+),
+coin AS (
+    SELECT s.doc_id, s.lang, s.text, w.w,
+           CAST(({_h16_sql("md5(CAST(s.doc_id AS VARCHAR) || s.text)")})
+                AS DOUBLE) / 65536.0 AS u
+    FROM s2 s JOIN wts w USING (lang)
+),
+s3 AS (SELECT doc_id, lang, text FROM coin WHERE u < least(1.0, w)),
+toksq AS (
+    SELECT doc_id, lang,
+           len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS n_tok
+    FROM s3
+),
+packed AS (
+    SELECT doc_id, lang,
+           CAST(FLOOR((SUM(n_tok) OVER (
+                    PARTITION BY lang ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) - n_tok)
+                / {_PACK_BUDGET}) AS BIGINT) AS shard_id
+    FROM toksq
+)
+SELECT p.doc_id, p.lang, 'contaminated' AS verdict,
+       CAST(NULL AS BIGINT) AS shard_id
+FROM pool p JOIN contam c USING (doc_id)
+UNION ALL
+SELECT doc_id, lang, 'off_target', NULL FROM s1
+WHERE doc_id NOT IN (SELECT doc_id FROM sel)
+UNION ALL
+SELECT doc_id, lang, 'downsampled', NULL FROM coin
+WHERE NOT (u < least(1.0, w))
+UNION ALL
+SELECT doc_id, lang, 'packed', shard_id FROM packed
+"""
+
+
+@register("ep12_training_mix", oracle=_ep12_oracle())
+def ep12_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP12: the TRAINING-MIX build — the end-of-pipeline composite
+    that turns a cleaned corpus (ep8's output shape) into the shards
+    a training run consumes, composed from this repo's registered
+    stages in their production order:
+
+      1. DECONTAMINATE (text_decontaminate's 8-word-shingle form):
+         drop any train doc sharing an exact shingle with the
+         held-out eval set; the fixture plants verbatim leaks so the
+         stage actively removes rows.
+      2. SELECT (samp_dsir_importance's dsir_ratio_scores builder):
+         keep the above-corpus-mean target-like docs — the DSIR
+         data-selection gate; docs too short to carry a bigram
+         feature are not selectable.
+      3. REBALANCE (samp_weighted_resample's coin): per-language
+         inverse-token weights over the SURVIVORS, keep with
+         probability min(1, w) decided by the content-hash uniform.
+      4. PACK (text_pack_shards' cumulative window): survivors bin
+         into per-language {_PACK_BUDGET}-token shards.
+
+    Output: every pool doc labeled contaminated / off_target /
+    downsampled / packed, with the shard assignment for packed docs.
+
+    Scale: decontamination broadcasts the benchmark-sized eval
+    shingle set; DSIR's models are B-bounded (corpus-size-
+    independent) and the ratio table broadcasts; the rebalance
+    weight table is language-bounded; packing partitions by
+    language — no global order, no driver state. Stage verdict sets
+    are eagerly pinned (the ep11 discipline: the 4-leg union
+    re-embeds earlier stages; unpinned, each gate would re-run once
+    per leg).
+
+    Reference parity: beyond-reference (north-star extension)."""
+    from innercircle_etl_spark.functions import sketches as SK
+    from innercircle_etl_spark.plans.sampling_queries import (
+        _DSIR_TARGET_SQL,
+        _h16_sql,
+        dsir_ratio_scores,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    evd = docs.filter(F.col("doc_id") % _EVAL_MOD == 0)
+    pool = docs.filter(F.col("doc_id") % _EVAL_MOD != 0).unionByName(
+        evd.select(
+            (F.col("doc_id") + PLANT_ID_OFFSET).alias("doc_id"),
+            "lang",
+            "source",
+            "text",
+        )
+    )
+
+    # -- stage 1: decontaminate against the eval shingle set
+    toks = F.split(F.col("text"), " ")
+    psh = pool.select(
+        "doc_id", F.explode(SK.word_shingles(toks, _DECON_K)).alias("g")
+    )
+    esh = (
+        evd.select(F.explode(SK.word_shingles(toks, _DECON_K)).alias("g"))
+        .distinct()
+    )
+    contam = (
+        psh.join(F.broadcast(esh), "g")
+        .select("doc_id")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    s1 = pool.join(contam, "doc_id", "anti")
+
+    # -- stage 2: DSIR target-likeness selection
+    scored = dsir_ratio_scores(
+        s1.select(
+            "doc_id", F.expr(_DSIR_TARGET_SQL).alias("is_target"), "text"
+        )
+    )
+    gm = scored.agg(
+        F.expr("sum(ratio_sum) div sum(n_bigrams)").alias("cm")
+    )
+    sel = (
+        scored.crossJoin(F.broadcast(gm))
+        .filter(F.expr("(ratio_sum div n_bigrams) > cm"))
+        .select("doc_id")
+        .localCheckpoint(eager=True)
+    )
+    s2 = s1.join(sel, "doc_id", "semi")
+
+    # -- stage 3: per-language inverse-token rebalance over survivors
+    per_lang = s2.groupBy("lang").agg(
+        F.sum(F.size(F.split("text", " ")).cast("long")).alias(
+            "lang_tokens"
+        )
+    )
+    tot = per_lang.agg(
+        F.sum("lang_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_langs"),
+    )
+    wts = (
+        per_lang.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            (
+                F.col("total_tokens").cast("double")
+                / (F.col("n_langs") * F.col("lang_tokens"))
+            ).alias("w"),
+        )
+        .localCheckpoint(eager=True)  # lang-bounded; two legs read it
+    )
+    keyed = s2.join(F.broadcast(wts), "lang").select(
+        "doc_id",
+        "lang",
+        "text",
+        "w",
+        F.md5(
+            F.concat(F.col("doc_id").cast("string"), F.col("text"))
+        ).alias("k"),
+    )
+    coin = keyed.select(
+        "doc_id",
+        "lang",
+        "text",
+        "w",
+        (F.expr(f"({_h16_sql('k')})").cast("double") / 65536.0).alias("u"),
+    )
+    down = (
+        coin.filter(~(F.col("u") < F.least(F.lit(1.0), F.col("w"))))
+        .select("doc_id", "lang")
+        .localCheckpoint(eager=True)
+    )
+    s3 = s2.join(down, "doc_id", "anti")
+
+    # -- stage 4: pack survivors into per-language token shards
+    ntok = s3.select(
+        "doc_id",
+        "lang",
+        TX.bpe_ish_token_count(F.col("text")).cast("long").alias("n_tok"),
+    )
+    w_pack = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = ntok.select(
+        "doc_id",
+        "lang",
+        F.floor(
+            (F.sum("n_tok").over(w_pack) - F.col("n_tok")) / _PACK_BUDGET
+        ).alias("shard_id"),
+    )
+
+    null_shard = F.lit(None).cast("long").alias("shard_id")
+    return (
+        pool.join(contam, "doc_id", "semi")
+        .select("doc_id", "lang", F.lit("contaminated").alias("verdict"), null_shard)
+        .unionByName(
+            s1.join(sel, "doc_id", "anti").select(
+                "doc_id", "lang", F.lit("off_target").alias("verdict"), null_shard
+            )
+        )
+        .unionByName(
+            down.select(
+                "doc_id", "lang", F.lit("downsampled").alias("verdict"), null_shard
+            )
+        )
+        .unionByName(
+            packed.select(
+                "doc_id", "lang", F.lit("packed").alias("verdict"), "shard_id"
+            )
+        )
+    )

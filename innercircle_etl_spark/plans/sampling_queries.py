@@ -268,40 +268,16 @@ FROM scored s CROSS JOIN g
 """
 
 
-@register("samp_dsir_importance", oracle=_DSIR_ORACLE)
-def samp_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DSIR-style data selection (Xie et al. 2023, "Data Selection
-    for Language Models via Importance Resampling", public): score
-    every raw document by how target-domain-like its hashed-bigram
-    distribution is — the importance ratio between a bag-of-hashed-
-    ngrams model of the TARGET corpus (here a curated source subset
-    standing in for Wikipedia/books) and one of the RAW corpus —
-    and select the above-average docs for the training mix.
-
-    Exact-arithmetic adaptation (the text_lm_rarity_filter
-    discipline): DSIR's per-feature log-ratio ``log p_t(b) -
-    log p_q(b)`` is replaced by the integer-quantized likelihood
-    ratio ``((ct[b]+1) * 1000) div (cq[b]+1)`` (add-one smoothing;
-    the two models' normalizers are per-corpus CONSTANTS, so they
-    cancel in every mean-vs-corpus-mean comparison and are dropped),
-    summed per doc and floor-mean'd — a monotone target-likeness
-    statistic whose keep boundary is exact BIGINT across engines
-    (engines' last-ulp ``ln`` would make it engine-dependent).
-
-    Plan/scale: both models are the SAME feature stream aggregated
-    twice — one corpus pass explodes bigrams to B=4096 hash buckets
-    (map-side combined groupBy; model size is B-BOUNDED, independent
-    of corpus size, DSIR's core trick), the ratio table is 4096 rows
-    (broadcast), scoring joins the feature stream to it map-side,
-    then one doc-keyed shuffle sums per document; the corpus mean is
-    a broadcast 1-row aggregate. At 100 TB: two bounded shuffles
-    (buckets, docs) and zero per-row Python.
-
-    Reference parity: beyond-reference (north-star extension)."""
-    base = load(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.expr(_DSIR_TARGET_SQL).alias("is_target"),
-        F.split("text", " ").alias("w"),
+def dsir_ratio_scores(docs: DataFrame) -> DataFrame:
+    """Shared builder: per-doc DSIR target-likeness sums for an
+    arbitrary (doc_id, is_target, text) frame — the parameterized
+    body of samp_dsir_importance, reused by ep12_training_mix (the
+    incremental_minhash_pairs discipline: one source for both the
+    registered query and the composite). Returns (doc_id, n_bigrams,
+    ratio_sum); docs with < 2 tokens have no bigram feature and are
+    absent (callers treat them as not-selected)."""
+    base = docs.select(
+        "doc_id", "is_target", F.split("text", " ").alias("w")
     )
     feats = (
         base.filter(F.size("w") >= 2)
@@ -333,7 +309,7 @@ def samp_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "b",
         F.expr("((coalesce(ct, 0) + 1) * 1000) div (cq + 1)").alias("r"),
     )
-    scored = (
+    return (
         feats.join(F.broadcast(ratio), "b")
         .groupBy("doc_id")
         .agg(
@@ -341,6 +317,42 @@ def samp_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("r").alias("ratio_sum"),
         )
     )
+
+
+@register("samp_dsir_importance", oracle=_DSIR_ORACLE)
+def samp_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling", public): score
+    every raw document by how target-domain-like its hashed-bigram
+    distribution is — the importance ratio between a bag-of-hashed-
+    ngrams model of the TARGET corpus (here a curated source subset
+    standing in for Wikipedia/books) and one of the RAW corpus —
+    and select the above-average docs for the training mix.
+
+    Exact-arithmetic adaptation (the text_lm_rarity_filter
+    discipline): DSIR's per-feature log-ratio ``log p_t(b) -
+    log p_q(b)`` is replaced by the integer-quantized likelihood
+    ratio ``((ct[b]+1) * 1000) div (cq[b]+1)`` (add-one smoothing;
+    the two models' normalizers are per-corpus CONSTANTS, so they
+    cancel in every mean-vs-corpus-mean comparison and are dropped),
+    summed per doc and floor-mean'd — a monotone target-likeness
+    statistic whose keep boundary is exact BIGINT across engines
+    (engines' last-ulp ``ln`` would make it engine-dependent).
+
+    Plan/scale: both models are the SAME feature stream aggregated
+    twice — one corpus pass explodes bigrams to B=4096 hash buckets
+    (map-side combined groupBy; model size is B-BOUNDED, independent
+    of corpus size, DSIR's core trick), the ratio table is 4096 rows
+    (broadcast), scoring joins the feature stream to it map-side,
+    then one doc-keyed shuffle sums per document; the corpus mean is
+    a broadcast 1-row aggregate. At 100 TB: two bounded shuffles
+    (buckets, docs) and zero per-row Python.
+
+    Reference parity: beyond-reference (north-star extension)."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_DSIR_TARGET_SQL).alias("is_target"), "text"
+    )
+    scored = dsir_ratio_scores(docs)
     g = scored.agg(
         F.expr("sum(ratio_sum) div sum(n_bigrams)").alias("corpus_mean")
     )

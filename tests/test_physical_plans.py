@@ -574,6 +574,35 @@ def test_ingest_dedup_cascade_shape(spark, sf_dir):
     }
 
 
+def test_training_mix_cascade_shape(spark, sf_dir):
+    """ep12_training_mix follows the ep11 pinning discipline: the
+    verdict legs read eagerly-checkpointed stage sets (Scan
+    ExistingRDD), the anti/semi joins against those tiny sets
+    broadcast, no cartesian appears, and the per-language pack
+    window partitions by lang (no global sort). Semantics: every
+    pool doc gets exactly ONE verdict; only packed docs carry a
+    shard_id."""
+    from innercircle_etl_spark.plans import QUERIES
+
+    df = QUERIES["ep12_training_mix"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "Scan ExistingRDD" in plan, plan  # pinned stage outputs
+    assert "BroadcastHashJoin" in plan, plan
+    assert "rangepartitioning" not in plan, plan  # no global sort
+    rows = df.collect()
+    ids = [r.doc_id for r in rows]
+    assert len(ids) == len(set(ids)), "a doc got two verdicts"
+    for r in rows:
+        assert (r.shard_id is not None) == (r.verdict == "packed"), r
+    assert {r.verdict for r in rows} == {
+        "contaminated",
+        "off_target",
+        "downsampled",
+        "packed",
+    }
+
+
 def test_funnel_states_single_shuffle_fold(spark, sf_dir):
     """seq_funnel_states must fold the funnel state machine in ONE
     user-keyed shuffle — no per-step re-shuffle (the oracle's
