@@ -102,13 +102,18 @@ _PRIORITY = [
     # composite (decontaminate -> DSIR select -> language rebalance
     # -> shard pack, every pool doc labeled) ----
     "ep12_training_mix",
-    # ---- 32-50: the oldest remaining rows — 19 of the 45 whose
+    # ---- 32: NEW (first driver proof): mT5/XLM-R temperature-
+    # scaled language mix (alpha=0.5 via the correctly-rounded
+    # sqrt; integer-quantized shares) ----
+    "samp_temperature_mix",
+    # ---- 33-50: the oldest remaining rows — 18 of the 45 whose
     # newest green is round 6; streaming/upsert/source members first
     # (least exercised inside fresh composites); a12_rollup,
-    # a13_grouped_agg_udf and a14_grouped_agg_udf displaced past the
-    # window by the three new queries and the others left over
-    # (listed in the rotation pool below, NOTES round-9 handoff)
-    # lead round 10 together with the round-7 rows ----
+    # a13_grouped_agg_udf, a14_grouped_agg_udf and samp_weighted_
+    # resample displaced past the window by the four new queries —
+    # they and the others left over (listed in the rotation pool
+    # below, NOTES round-9 handoff) lead round 10 together with the
+    # round-7 rows ----
     "i6_watermark_window",
     "i7_stream_dedup",
     "i13_stream_cdc_apply",

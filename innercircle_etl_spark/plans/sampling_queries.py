@@ -364,3 +364,89 @@ def samp_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "selected"
         ),
     )
+
+
+# ------------------------------------- temperature-sampled language mix
+
+# mT5/XLM-R exponent alpha = 0.5 spelled as sqrt: IEEE-754 requires
+# sqrt to be CORRECTLY ROUNDED (unlike pow/ln/exp, which differ in
+# the last ulp across libm implementations), so this is the one
+# temperature exponent that is bit-identical across engines.
+_TEMP_ORACLE = """
+WITH per_lang AS (
+    SELECT lang,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+             AS lang_tokens
+    FROM documents GROUP BY lang
+),
+s AS (
+    SELECT lang, lang_tokens,
+           CAST(FLOOR(sqrt(CAST(lang_tokens AS DOUBLE)) * 1000)
+                AS BIGINT) AS sq
+    FROM per_lang
+),
+tot AS (
+    SELECT CAST(SUM(lang_tokens) AS BIGINT) AS tt,
+           CAST(SUM(sq) AS BIGINT) AS ts
+    FROM s
+)
+SELECT s.lang, s.lang_tokens,
+       (s.lang_tokens * 1000000) // tot.tt AS p_ppm,
+       (s.sq * 1000000) // tot.ts AS q_ppm,
+       (((s.sq * 1000000) // tot.ts) * 1000)
+           // ((s.lang_tokens * 1000000) // tot.tt) AS boost_milli
+FROM s CROSS JOIN tot
+"""
+
+
+@register("samp_temperature_mix", oracle=_TEMP_ORACLE)
+def samp_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language sampling (mT5 / XLM-R, public):
+    the multilingual-mix formula q_l ∝ p_l^alpha that upsamples tail
+    languages and downsamples the head — the standard between
+    uniform (text_mix_weights' target) and natural (p itself).
+
+    alpha is fixed at 0.5 and spelled ``sqrt``, the ONE temperature
+    exponent that is bit-identical across engines (IEEE-754 mandates
+    correctly-rounded sqrt; pow/ln differ in the last ulp between
+    libm implementations). Every derived share is integer-quantized
+    (sqrt scaled by 1000 then floored to BIGINT before the
+    normalizing sums, so the sums are exact integer arithmetic and
+    order-independent — a float sum over languages would be
+    partitioning-dependent). Output per language: natural share
+    p_ppm, temperature share q_ppm (parts per million), and the
+    boost ratio q/p in thousandths — the factors a sampler feeds
+    into samp_weighted_resample's coin.
+
+    Plan/scale: one map-side-combined groupBy builds the per-language
+    token counts (language-bounded), the normalizers are a broadcast
+    1-row aggregate — nothing here scales with corpus size past the
+    single token-count pass.
+
+    Reference parity: beyond-reference (north-star extension)."""
+    docs = load(spark, sf_dir, "documents").select("lang", "text")
+    per_lang = docs.groupBy("lang").agg(
+        F.sum(F.size(F.split("text", " ")).cast("long")).alias(
+            "lang_tokens"
+        )
+    )
+    s = per_lang.select(
+        "lang",
+        "lang_tokens",
+        F.floor(F.sqrt(F.col("lang_tokens").cast("double")) * 1000)
+        .cast("long")
+        .alias("sq"),
+    )
+    tot = s.agg(
+        F.sum("lang_tokens").alias("tt"), F.sum("sq").alias("ts")
+    )
+    return s.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "lang_tokens",
+        F.expr("(lang_tokens * 1000000) div tt").alias("p_ppm"),
+        F.expr("(sq * 1000000) div ts").alias("q_ppm"),
+        F.expr(
+            "(((sq * 1000000) div ts) * 1000)"
+            " div ((lang_tokens * 1000000) div tt)"
+        ).alias("boost_milli"),
+    )

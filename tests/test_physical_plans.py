@@ -545,6 +545,17 @@ def test_dsir_importance_plan_shape(spark, sf_dir):
     assert "partial_sum" in plan, plan
 
 
+def test_temperature_mix_plan_shape(spark, sf_dir):
+    """samp_temperature_mix is one map-side-combined token-count
+    shuffle plus a broadcast 1-row normalizer — no cartesian, no
+    second corpus pass (the normalizing sums aggregate the
+    language-bounded table, not the corpus)."""
+    plan = plan_of(spark, sf_dir, "samp_temperature_mix")
+    assert "CartesianProduct" not in plan, plan
+    assert "partial_sum" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan  # 1-row normalizer
+
+
 def test_ingest_dedup_cascade_shape(spark, sf_dir):
     """ep11_ingest_dedup's verdict legs must read the PINNED stage
     outputs (each gate's dropped-id set is eagerly localCheckpointed,
