@@ -106,11 +106,21 @@ _PRIORITY = [
     # scaled language mix (alpha=0.5 via the correctly-rounded
     # sqrt; integer-quantized shares) ----
     "samp_temperature_mix",
-    # ---- 33-50: the oldest remaining rows — 18 of the 45 whose
+    # ---- 33-34: NEW (first driver proof): semantic
+    # decontamination — asymmetric margin-multiprobe of train
+    # embeddings against the broadcast eval set — plus the
+    # re-proof of dedup_embedding_multiprobe, whose plan now
+    # routes through the shared _margin_keyed/_margin_probes
+    # builders the new query extracted (promoted from the pool;
+    # its later pool entry is shadowed by this first occurrence) ----
+    "decon_semantic_embeddings",
+    "dedup_embedding_multiprobe",
+    # ---- 35-50: the oldest remaining rows — 16 of the 45 whose
     # newest green is round 6; streaming/upsert/source members first
     # (least exercised inside fresh composites); a12_rollup,
-    # a13_grouped_agg_udf, a14_grouped_agg_udf and samp_weighted_
-    # resample displaced past the window by the four new queries —
+    # a13_grouped_agg_udf, a14_grouped_agg_udf, samp_weighted_
+    # resample, samp_stratified_hash and samp_epoch_shuffle
+    # displaced past the window by the six new/changed rows above —
     # they and the others left over (listed in the rotation pool
     # below, NOTES round-9 handoff) lead round 10 together with the
     # round-7 rows ----

@@ -900,6 +900,70 @@ def _emb_multiprobe_corpus(emb: DataFrame) -> DataFrame:
     return base.unionByName(perturbed)
 
 
+def _margin_keyed(corpus: DataFrame) -> DataFrame:
+    """Shared builder: (vec_id, v, mask, base, bucket) under the
+    module's 16-plane family — per-plane uncertainty mask (planes
+    whose |projection| <= the derived perturbation margin), the
+    certain-plane base bucket, and the exact sign bucket. Used by
+    dedup_embedding_multiprobe (symmetric self-join) and
+    decon_semantic_embeddings (asymmetric train-vs-eval probe)."""
+    planes = V.hyperplane_weights(_EMB_PLANES, _EMB_DIM)
+    margins = _emb_margins(planes)
+    mask, base = None, None
+    for p, (w, m) in enumerate(zip(planes, margins)):
+        warr = F.array(*[F.lit(float(x)) for x in w])
+        proj = V.dot(F.col("v"), warr)
+        mterm = F.when(F.abs(proj) <= m, F.lit(1 << p)).otherwise(F.lit(0))
+        bterm = F.when(
+            (F.abs(proj) > m) & (proj >= 0), F.lit(1 << p)
+        ).otherwise(F.lit(0))
+        mask = mterm if mask is None else mask + mterm
+        base = bterm if base is None else base + bterm
+    return corpus.select(
+        "vec_id",
+        "v",
+        mask.cast("bigint").alias("mask"),
+        base.cast("bigint").alias("base"),
+        V.sign_bucket(F.col("v"), planes).alias("bucket"),
+    )
+
+
+def _margin_probes(keyed: DataFrame) -> DataFrame:
+    """Shared builder: (pid, probe) — every sign-completion of a
+    vector's uncertain planes over its certain-plane base bucket.
+    Lossless for the derived-margin perturbation class: a flipped
+    plane's projection necessarily lands within the margin, so the
+    enumeration contains the partner's bucket."""
+    pow_lits = ", ".join(f"{1 << p}L" for p in range(_EMB_PLANES))
+    return (
+        keyed.withColumn(
+            "powers",
+            F.expr(f"filter(array({pow_lits}), x -> (mask & x) != 0)"),
+        )
+        .withColumn(
+            "k",
+            F.explode(
+                F.expr(
+                    "sequence(0L, cast(pow(2, size(powers)) AS BIGINT) - 1)"
+                )
+            ),
+        )
+        .withColumn(
+            "probe",
+            # guard the all-certain case: Spark's sequence(0, -1)
+            # DESCENDS to [0, -1], and pow(2, -1) casts to 0
+            F.expr(
+                "CASE WHEN size(powers) = 0 THEN base ELSE"
+                " base + aggregate(sequence(0, size(powers) - 1), 0L,"
+                " (acc, i) -> acc + CASE WHEN"
+                " (k div cast(pow(2, i) AS BIGINT)) % 2 = 1"
+                " THEN element_at(powers, i + 1) ELSE 0L END) END"
+            ),
+        )
+        .select(F.col("vec_id").alias("pid"), F.col("probe"))
+    )
+
+
 @register("dedup_embedding_multiprobe", oracle=_EMB_MP_ORACLE)
 def dedup_embedding_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup with MARGIN MULTIPROBE candidates — the
@@ -928,55 +992,10 @@ def dedup_embedding_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     corpus = _emb_multiprobe_corpus(emb)
 
-    planes = V.hyperplane_weights(_EMB_PLANES, _EMB_DIM)
-    margins = _emb_margins(planes)
-    mask, base = None, None
-    for p, (w, m) in enumerate(zip(planes, margins)):
-        warr = F.array(*[F.lit(float(x)) for x in w])
-        proj = V.dot(F.col("v"), warr)
-        mterm = F.when(F.abs(proj) <= m, F.lit(1 << p)).otherwise(F.lit(0))
-        bterm = F.when(
-            (F.abs(proj) > m) & (proj >= 0), F.lit(1 << p)
-        ).otherwise(F.lit(0))
-        mask = mterm if mask is None else mask + mterm
-        base = bterm if base is None else base + bterm
-    keyed = corpus.select(
-        "vec_id",
-        "v",
-        mask.cast("bigint").alias("mask"),
-        base.cast("bigint").alias("base"),
-        V.sign_bucket(F.col("v"), planes).alias("bucket"),
-    ).cache()
+    keyed = _margin_keyed(corpus).cache()
     keyed.count()  # eager: probe + exact sides share this cache
 
-    pow_lits = ", ".join(f"{1 << p}L" for p in range(_EMB_PLANES))
-    probes = (
-        keyed.withColumn(
-            "powers",
-            F.expr(f"filter(array({pow_lits}), x -> (mask & x) != 0)"),
-        )
-        .withColumn(
-            "k",
-            F.explode(
-                F.expr(
-                    "sequence(0L, cast(pow(2, size(powers)) AS BIGINT) - 1)"
-                )
-            ),
-        )
-        .withColumn(
-            "probe",
-            # guard the all-certain case: Spark's sequence(0, -1)
-            # DESCENDS to [0, -1], and pow(2, -1) casts to 0
-            F.expr(
-                "CASE WHEN size(powers) = 0 THEN base ELSE"
-                " base + aggregate(sequence(0, size(powers) - 1), 0L,"
-                " (acc, i) -> acc + CASE WHEN"
-                " (k div cast(pow(2, i) AS BIGINT)) % 2 = 1"
-                " THEN element_at(powers, i + 1) ELSE 0L END) END"
-            ),
-        )
-        .select(F.col("vec_id").alias("pid"), F.col("probe"))
-    )
+    probes = _margin_probes(keyed)
     exact = keyed.select(
         F.col("vec_id").alias("eid"), F.col("bucket"), F.col("v").alias("ev")
     )
@@ -2189,4 +2208,119 @@ def ep11_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(
             kept.select("doc_id", F.lit("kept").alias("verdict"))
         )
+    )
+
+
+# ------------------------- semantic decontamination (train vs eval)
+
+# Held-out discipline shared with text_queries' decontamination:
+# every 101st vector is the benchmark/eval set.
+_DECON_EVAL_MOD = 101
+
+_DECON_EMB_ORACLE = """
+WITH orig AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+ev AS (SELECT vec_id, v FROM orig WHERE vec_id %% %(em)s = 0),
+train AS (
+    SELECT vec_id, v FROM orig WHERE vec_id %% %(em)s <> 0
+    UNION ALL   -- planted leaks: perturbed copies of eval vectors
+    SELECT oid + %(off)s,
+           list_transform(generate_series(1, len(v)),
+               i -> CASE WHEN i = (oid %% 64) + 1 THEN v[i] + %(eps)s
+                         WHEN i = ((oid * 7) %% 64) + 1 THEN v[i] - %(eps)s
+                         ELSE v[i] END)
+    FROM (SELECT vec_id AS oid, v FROM ev)
+),
+pairs AS (
+    SELECT t.vec_id AS train_id, e.vec_id AS eval_id,
+           list_reduce(list_transform(generate_series(1, len(t.v)),
+                                      i -> t.v[i] * e.v[i]),
+                       (x, y) -> x + y)
+           / (sqrt(list_reduce(list_transform(t.v, x -> x*x), (x,y) -> x+y))
+              * sqrt(list_reduce(list_transform(e.v, x -> x*x), (x,y) -> x+y)))
+             AS cos
+    FROM train t CROSS JOIN ev e
+)
+SELECT train_id, eval_id, cos FROM pairs WHERE cos >= 0.99
+""" % {"eps": _EMB_EPS, "off": PLANT_ID_OFFSET, "em": _DECON_EVAL_MOD}
+
+
+@register("decon_semantic_embeddings", oracle=_DECON_EMB_ORACLE)
+def decon_semantic_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC decontamination — the embedding-space complement of
+    text_decontaminate's exact-shingle gate: flag training vectors
+    whose cosine to ANY held-out eval vector is >= 0.99, catching
+    paraphrase/format-shifted benchmark leakage that exact shingles
+    miss (the eval-dedup step public frontier-lab data pipelines run
+    alongside n-gram decontamination). The fixture plants the leak:
+    perturbed copies of eval vectors (the multiprobe +/-eps
+    two-coordinate shift) re-enter as train ids.
+
+    Candidates are ASYMMETRIC margin multiprobe (shared
+    _margin_keyed/_margin_probes builders): only the TRAIN side
+    enumerates probe buckets — a flipped plane's projection
+    necessarily lands within the derived margin on the PERTURBED
+    copy, so probing the train side alone is lossless for the
+    planted class while the eval side keeps its single exact
+    bucket. Exact cosine verify filters the candidates; the oracle
+    is the independent all-pairs train x eval scan.
+
+    Scale shape: eval sets are benchmark-sized, so BOTH eval tables
+    (bucket keys and vector payloads) broadcast; the train corpus is
+    never self-joined and never shuffles its vectors — candidate
+    generation is a map-side broadcast probe and the verify join is
+    also broadcast. At 100 TB this is one pass over the train
+    corpus. Cf. dedup_embedding_multiprobe (symmetric form,
+    dedup_queries.py) and ep11's exact/near text gates.
+
+    Reference parity: beyond-reference (north-star extension)."""
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", V.as_double(F.col("embedding")).alias("v"))
+    ev = base.filter(F.col("vec_id") % _DECON_EVAL_MOD == 0)
+    j1 = F.col("oid") % 64
+    j2 = (F.col("oid") * 7) % 64
+    planted = (
+        emb.filter(F.col("vec_id") % _DECON_EVAL_MOD == 0)
+        .select(F.col("vec_id").alias("oid"), "embedding")
+        .select(
+            (F.col("oid") + PLANT_ID_OFFSET).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: F.when(i == j1, x.cast("double") + _EMB_EPS)
+                .when(i == j2, x.cast("double") - _EMB_EPS)
+                .otherwise(x.cast("double")),
+            ).alias("v"),
+        )
+    )
+    train = base.filter(
+        F.col("vec_id") % _DECON_EVAL_MOD != 0
+    ).unionByName(planted)
+
+    tk = _margin_keyed(train).localCheckpoint(eager=True)
+    probes = _margin_probes(tk)
+    ek = _margin_keyed(ev).select(
+        F.col("vec_id").alias("eval_id"),
+        "bucket",
+        F.col("v").alias("evv"),
+    )
+    cand = (
+        probes.join(
+            F.broadcast(ek.select("eval_id", "bucket")),
+            probes.probe == F.col("bucket"),
+        )
+        .select(F.col("pid").alias("train_id"), "eval_id")
+        .distinct()
+    )
+    tv = tk.select(F.col("vec_id").alias("train_id"), F.col("v").alias("tv"))
+    return (
+        cand.join(tv, "train_id")
+        .join(F.broadcast(ek.select("eval_id", "evv")), "eval_id")
+        .select(
+            "train_id",
+            "eval_id",
+            V.cosine(F.col("tv"), F.col("evv")).alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.99)
     )

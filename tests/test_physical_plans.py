@@ -545,6 +545,18 @@ def test_dsir_importance_plan_shape(spark, sf_dir):
     assert "partial_sum" in plan, plan
 
 
+def test_semantic_decon_broadcast_probe(spark, sf_dir):
+    """decon_semantic_embeddings must keep the asymmetric shape:
+    the eval side (bucket keys and vector payloads) BROADCASTS —
+    the train corpus is never self-joined and never shuffles its
+    vectors — and the pinned train keying (Scan ExistingRDD) feeds
+    both the probe and verify sides. No cartesian."""
+    plan = plan_of(spark, sf_dir, "decon_semantic_embeddings")
+    assert "CartesianProduct" not in plan, plan
+    assert "Scan ExistingRDD" in plan, plan  # pinned train keying
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
 def test_temperature_mix_plan_shape(spark, sf_dir):
     """samp_temperature_mix is one map-side-combined token-count
     shuffle plus a broadcast 1-row normalizer — no cartesian, no
