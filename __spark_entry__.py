@@ -115,7 +115,13 @@ _PRIORITY = [
     # its later pool entry is shadowed by this first occurrence) ----
     "decon_semantic_embeddings",
     "dedup_embedding_multiprobe",
-    # ---- 35-50: the oldest remaining rows — 16 of the 45 whose
+    # ---- 35-36: NEW (first driver proof): the tokenizer-training
+    # family — BPE pair statistics (one corpus pass + vocabulary-
+    # bounded pair counts) and the 5-merge BPE trainer (distributed
+    # argmax + fenced-string greedy merge, both engines exact) ----
+    "tok_bpe_pair_stats",
+    "tok_bpe_merges",
+    # ---- 37-50: the oldest remaining rows — 14 of the 45 whose
     # newest green is round 6; streaming/upsert/source members first
     # (least exercised inside fresh composites); a12_rollup,
     # a13_grouped_agg_udf, a14_grouped_agg_udf, samp_weighted_
@@ -123,7 +129,8 @@ _PRIORITY = [
     # displaced past the window by the six new/changed rows above —
     # they and the others left over (listed in the rotation pool
     # below, NOTES round-9 handoff) lead round 10 together with the
-    # round-7 rows ----
+    # round-7 rows; graph_pagerank3 and mm_av_frame_sample_udtf
+    # displaced past the window by the tokenizer pair above ----
     "i6_watermark_window",
     "i7_stream_dedup",
     "i13_stream_cdc_apply",

@@ -28,6 +28,7 @@ from innercircle_etl_spark.plans import (  # noqa: F401,E402
     sources_queries,
     streaming_queries,
     text_queries,
+    tokenizer_queries,
     upserts,
     windows,
 )

@@ -166,3 +166,28 @@ def duck_dsum(expr: str) -> str:
 def duck_davg(expr: str) -> str:
     """DuckDB SQL text matching ``davg``."""
     return f"(CAST(SUM(CAST({expr} AS DECIMAL(38,6))) AS DOUBLE) / COUNT({expr}))"
+
+
+def pinned_rdd_ids(spark: SparkSession) -> dict:
+    """id -> java RDD handle for every persisted RDD — the only
+    handle PySpark exposes to a localCheckpoint's blocks. Used by
+    iterative loops to release a finished sweep's pinned blocks
+    (the round-8 advice lesson: intra-query pins accumulate for the
+    query's whole lifetime otherwise). Same py4j-drift guard as the
+    original in dedup_queries' label-propagation loop."""
+    try:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(j.id()): j for j in jmap.values()}
+    except Exception:  # py4j surface moved — blocks only cost memory
+        return {}
+
+
+def release_pins(handles) -> None:
+    """Blocking-unpersist a set of java RDD handles (values from
+    ``pinned_rdd_ids``). Never raises: a lost handle only costs
+    memory, never correctness."""
+    for jrdd in handles:
+        try:
+            jrdd.unpersist(True)
+        except Exception:
+            pass

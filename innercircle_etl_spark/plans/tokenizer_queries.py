@@ -1,0 +1,277 @@
+"""Tokenizer-training queries over the documents table (north-star
+extension family: BPE statistics and merge learning).
+
+Byte-pair-encoding training (Sennrich et al. 2016, public) is the
+canonical tokenizer-construction step of an LLM data pipeline, and
+its scale shape fits Spark exactly the way production trainers work:
+ONE corpus-scale pass builds the word-frequency table (Zipf-bounded,
+map-side combined), and every subsequent statistic — pair counts,
+merge selection, merge application — runs over the DISTINCT-word
+table, whose size is vocabulary-bounded and independent of corpus
+row count. At 100 TB the word-count shuffle is the only stage that
+sees the data; the training loop touches megabytes.
+
+Cross-engine exactness: counts are BIGINT, the merge argmax tiebreak
+is (count DESC, pair ASC) in both engines, and merge APPLICATION
+uses a delimited-string ``replace`` — ``|a||b|`` -> ``|ab|`` over
+``|``-fenced symbol strings — which both Spark and DuckDB scan
+left-to-right non-overlapping, i.e. exactly reference BPE's greedy
+merge order (pair COUNTING counts all adjacent occurrences including
+overlaps, also matching the reference implementation).
+
+Reference parity: beyond-reference (north-star extension).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from innercircle_etl_spark.plans.registry import (
+    load,
+    pinned_rdd_ids,
+    register,
+    release_pins,
+)
+
+_TOP_PAIRS = 20
+_N_MERGES = 5
+
+# The standard alphabetic pre-tokenizer class: words outside it are
+# dropped from training (and ``|`` can therefore never collide with
+# the symbol-fence character used by the merge representation).
+_WORD_RE = "^[a-z]+$"
+
+
+def word_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one corpus-scale pass: whitespace pre-tokenize + per-word
+    counts. Map-side combine does the heavy lifting (Zipf: the hot
+    words collapse in the map stage); output is vocabulary-bounded."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word").rlike(_WORD_RE))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wf"))
+    )
+
+
+_PAIR_STATS_ORACLE = f"""
+WITH words AS (
+    SELECT w AS word, COUNT(*) AS wf
+    FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+    WHERE regexp_full_match(w, '[a-z]+')
+    GROUP BY w
+),
+pairs AS (
+    SELECT substring(word, i, 2) AS pair, SUM(wf) AS pair_count
+    FROM words, unnest(generate_series(1, length(word) - 1)) AS t(i)
+    WHERE length(word) >= 2
+    GROUP BY 1
+)
+SELECT pair, CAST(pair_count AS BIGINT) AS pair_count,
+       CAST(row_number() OVER (ORDER BY pair_count DESC, pair ASC) AS INT)
+         AS rank
+FROM pairs
+ORDER BY pair_count DESC, pair ASC
+LIMIT {_TOP_PAIRS}
+"""
+
+
+@register("tok_bpe_pair_stats", oracle=_PAIR_STATS_ORACLE)
+def tok_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE pair statistics: the inner statistic of tokenizer training
+    — adjacent character-pair frequencies weighted by word frequency
+    (the iteration-0 ``get_stats`` of Sennrich et al.'s reference
+    trainer), top-20 candidates with deterministic
+    (count DESC, pair ASC) ranking.
+
+    Plan/scale: the word-frequency groupBy is the only corpus-scale
+    stage; the pair explode + count runs over distinct words
+    (vocabulary-bounded — at 100 TB this stage is megabytes), and the
+    top-K is a TakeOrderedAndProject, never a global sort. The rank
+    window runs AFTER the limit, over 20 rows."""
+    words = word_freqs(spark, sf_dir)
+    pairs = (
+        words.filter(F.length("word") >= 2)
+        .select(
+            "wf",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(word) - 1),"
+                    " i -> substring(word, i, 2))"
+                )
+            ).alias("pair"),
+        )
+        .groupBy("pair")
+        .agg(F.sum("wf").alias("pair_count"))
+    )
+    top = pairs.orderBy(
+        F.col("pair_count").desc(), F.col("pair").asc()
+    ).limit(_TOP_PAIRS)
+    w = Window.orderBy(F.col("pair_count").desc(), F.col("pair").asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def _bpe_merges_oracle(n_merges: int) -> str:
+    """Unrolled n-layer DuckDB mirror of the merge loop: each layer
+    recounts pairs over the fenced symbol strings, picks the argmax
+    with the same tiebreak, and applies it with the same left-to-
+    right ``replace``."""
+    layers = [
+        """
+w0 AS (
+    SELECT regexp_replace(word, '(.)', '|\\1|', 'g') AS sym_str, wf
+    FROM (
+        SELECT w AS word, COUNT(*) AS wf
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE regexp_full_match(w, '[a-z]+')
+        GROUP BY w
+    )
+)"""
+    ]
+    for i in range(1, n_merges + 1):
+        layers.append(
+            f"""
+c{i} AS (
+    SELECT syms[j] AS a, syms[j + 1] AS b, SUM(wf) AS cnt
+    FROM (SELECT string_split(trim(sym_str, '|'), '||') AS syms, wf
+          FROM w{i - 1}),
+         unnest(generate_series(1, len(syms) - 1)) AS t(j)
+    WHERE len(syms) >= 2
+    GROUP BY 1, 2
+),
+m{i} AS (SELECT a, b, cnt FROM c{i} ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+w{i} AS (
+    SELECT replace(sym_str, '|' || a || '||' || b || '|',
+                   '|' || a || b || '|') AS sym_str, wf
+    FROM w{i - 1}, m{i}
+)"""
+        )
+    finals = [
+        f"SELECT CAST({i} AS INT) AS step, a AS pair_a, b AS pair_b,"
+        f" a || b AS merged, CAST(cnt AS BIGINT) AS pair_count FROM m{i}"
+        for i in range(1, n_merges + 1)
+    ]
+    return (
+        "WITH "
+        + ",".join(layers)
+        + "\n"
+        + "\nUNION ALL\n".join(finals)
+    )
+
+
+@register("tok_bpe_merges", oracle=_bpe_merges_oracle(_N_MERGES))
+def tok_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge TRAINING: learn the first 5 merges — the
+    actual artifact (merges.txt) a BPE tokenizer trainer emits. Each
+    iteration counts adjacent symbol pairs over the distinct-word
+    table (frequency-weighted, overlaps counted — reference
+    semantics), selects the argmax pair with the deterministic
+    (count DESC, a ASC, b ASC) tiebreak, and applies it to every
+    word via the fenced-string replace (left-to-right greedy —
+    reference semantics; see module doc).
+
+    Distribution/scale: the merge argmax is a broadcast 1-row
+    ``min(struct(-cnt, a, b))`` aggregate — no driver collect, no
+    window over the pair space — and merge application is a
+    broadcast nested-loop of that 1 row against the vocabulary-
+    bounded word table. Each iteration is eagerly localCheckpointed
+    (the Lloyd/label-propagation lineage discipline: 5 unrolled
+    replace-joins would otherwise compound into one plan) and the
+    PREVIOUS iteration's pinned blocks are released as soon as the
+    new one materializes (round-8 advice: intra-query pins must not
+    accumulate). The output unions the 5 pinned 1-row merge frames.
+
+    Oracle: the same loop unrolled as 5 CTE layers —
+    exact BIGINT counts and the shared left-to-right replace make
+    every layer hash-identical across engines."""
+    def _new_pins(before: set) -> dict:
+        return {
+            i: j
+            for i, j in pinned_rdd_ids(spark).items()
+            if i not in before
+        }
+
+    snap = set(pinned_rdd_ids(spark))
+    words = (
+        word_freqs(spark, sf_dir)
+        .select(
+            F.regexp_replace("word", "(.)", "|$1|").alias("sym_str"), "wf"
+        )
+        .localCheckpoint(eager=True)
+    )
+    word_pins = _new_pins(snap)
+    merge_rows = []
+    for step in range(1, _N_MERGES + 1):
+        counts = (
+            words.select(
+                "wf",
+                F.split(F.expr("btrim(sym_str, '|')"), r"\|\|").alias(
+                    "syms"
+                ),
+            )
+            .filter(F.size("syms") >= 2)
+            .select(
+                "wf",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1),"
+                        " i -> struct(syms[i - 1] AS a, syms[i] AS b))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("wf").alias("cnt"))
+        )
+        # distributed argmax with the oracle's exact tiebreak:
+        # min(struct(-cnt, a, b)) == (cnt DESC, a ASC, b ASC) LIMIT 1
+        best = (
+            counts.agg(
+                F.min(
+                    F.struct(
+                        (-F.col("cnt")).alias("nc"), F.col("a"), F.col("b")
+                    )
+                ).alias("m")
+            )
+            .select(
+                F.col("m.a").alias("a"),
+                F.col("m.b").alias("b"),
+                (-F.col("m.nc")).alias("cnt"),
+            )
+            .localCheckpoint(eager=True)  # 1 row; feeds output AND apply
+        )
+        merge_rows.append(
+            best.select(
+                F.lit(step).cast("int").alias("step"),
+                F.col("a").alias("pair_a"),
+                F.col("b").alias("pair_b"),
+                F.concat("a", "b").alias("merged"),
+                F.col("cnt").alias("pair_count"),
+            )
+        )
+        if step == _N_MERGES:
+            break  # the last apply would be dead work
+        snap = set(pinned_rdd_ids(spark))
+        new_words = words.crossJoin(F.broadcast(best)).select(
+            F.expr(
+                "replace(sym_str, '|' || a || '||' || b || '|',"
+                " '|' || a || b || '|')"
+            ).alias("sym_str"),
+            "wf",
+        ).localCheckpoint(eager=True)
+        new_word_pins = _new_pins(snap)
+        # the new checkpoint is materialized and `best` is pinned
+        # separately: the prior word table's blocks are dead weight
+        # now (the pinned 1-row merge frames are never in word_pins —
+        # each snapshot is taken right before its own checkpoint)
+        release_pins(word_pins.values())
+        word_pins = new_word_pins
+        words = new_words
+    # the output depends only on the pinned merge rows — the final
+    # word table can be released before the caller materializes it
+    release_pins(word_pins.values())
+    out = merge_rows[0]
+    for r in merge_rows[1:]:
+        out = out.unionByName(r)
+    return out

@@ -641,3 +641,44 @@ def test_funnel_states_single_shuffle_fold(spark, sf_dir):
     assert len(ex) == 1, (ex, plan)
     assert "hashpartitioning(user_id" in ex[0], ex
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bpe_pair_stats_plan_shape(spark, sf_dir):
+    """tok_bpe_pair_stats must be: ONE corpus-scale word-count
+    shuffle + ONE vocabulary-bounded pair shuffle (both map-side
+    combined), top-K as TakeOrderedAndProject (never a global sort),
+    and the scan pruned to the text column."""
+    from innercircle_etl_spark.plan_text import real_shuffle_exchanges
+
+    plan = plan_of(spark, sf_dir, "tok_bpe_pair_stats")
+    assert "CartesianProduct" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "rangepartitioning" not in plan, plan  # no global sort
+    assert "partial_count" in plan and "partial_sum" in plan, plan
+    assert len(real_shuffle_exchanges(plan)) == 2, plan
+    assert "ReadSchema: struct<text:string>" in plan, plan
+
+
+def test_bpe_merges_output_is_pinned_rows(spark, sf_dir):
+    """tok_bpe_merges' OUTPUT plan must be a union of the 5 pinned
+    1-row merge frames (Scan ExistingRDD) — the iterative lineage
+    (5 count/argmax/apply rounds) must NOT re-enter the output plan
+    (the label-propagation checkpoint discipline), and the learned
+    merges must chain (a later merge may consume an earlier one's
+    symbol; at minimum every merged symbol is 2+ chars and steps
+    are 1..5 with non-increasing counts)."""
+    from innercircle_etl_spark.plan_text import real_shuffle_exchanges
+
+    df = QUERIES["tok_bpe_merges"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
+    assert real_shuffle_exchanges(plan) == [], plan
+    rows = sorted(df.collect(), key=lambda r: r.step)
+    assert [r.step for r in rows] == [1, 2, 3, 4, 5]
+    for r in rows:
+        assert r.merged == r.pair_a + r.pair_b and len(r.merged) >= 2
+    counts = [r.pair_count for r in rows]
+    # merge counts are non-increasing only within symbols untouched
+    # by earlier merges; the global invariant is positivity
+    assert all(c > 0 for c in counts), counts
