@@ -121,7 +121,11 @@ _PRIORITY = [
     # argmax + fenced-string greedy merge, both engines exact) ----
     "tok_bpe_pair_stats",
     "tok_bpe_merges",
-    # ---- 37-50: the oldest remaining rows — 14 of the 45 whose
+    # ---- 37: NEW (first driver proof): UniMax water-filling
+    # language-budget allocation (closed-form crossing in BIGINT
+    # div; broadcast 1-row crossing frame) ----
+    "samp_unimax",
+    # ---- 38-50: the oldest remaining rows — 13 of the 45 whose
     # newest green is round 6; streaming/upsert/source members first
     # (least exercised inside fresh composites); a12_rollup,
     # a13_grouped_agg_udf, a14_grouped_agg_udf, samp_weighted_
@@ -129,8 +133,9 @@ _PRIORITY = [
     # displaced past the window by the six new/changed rows above —
     # they and the others left over (listed in the rotation pool
     # below, NOTES round-9 handoff) lead round 10 together with the
-    # round-7 rows; graph_pagerank3 and mm_av_frame_sample_udtf
-    # displaced past the window by the tokenizer pair above ----
+    # round-7 rows; graph_pagerank3, mm_av_frame_sample_udtf and
+    # dedup_incremental_minhash displaced past the window by the
+    # tokenizer pair and samp_unimax above ----
     "i6_watermark_window",
     "i7_stream_dedup",
     "i13_stream_cdc_apply",

@@ -450,3 +450,141 @@ def samp_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div ((lang_tokens * 1000000) div tt)"
         ).alias("boost_milli"),
     )
+
+
+# --------------------------------------------- UniMax water-filling
+
+_UNIMAX_EPOCHS = 2  # per-language epoch cap (UniMax's N)
+# budget = 3/2 of the natural corpus — between 1 epoch of everything
+# and the 2-epoch cap, so both branches (capped tail, water-filled
+# head) are exercised at every fixture SF.
+
+_UNIMAX_ORACLE = f"""
+WITH l AS (
+    SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS c
+    FROM documents GROUP BY lang
+),
+t AS (SELECT CAST((SUM(c) * 3) // 2 AS BIGINT) AS b,
+             CAST(COUNT(*) AS BIGINT) AS n FROM l),
+r AS (
+    SELECT lang, c, c * {_UNIMAX_EPOCHS} AS cap,
+           CAST(row_number() OVER
+                (ORDER BY c * {_UNIMAX_EPOCHS} ASC, lang ASC) AS BIGINT)
+             AS idx,
+           CAST(COALESCE(SUM(c * {_UNIMAX_EPOCHS}) OVER
+                (ORDER BY c * {_UNIMAX_EPOCHS} ASC, lang ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS pre
+    FROM l
+),
+u AS (SELECT r.*, (b - pre) // (n - idx + 1) AS ui FROM r, t),
+x AS (SELECT MIN(idx) AS cross_idx FROM u WHERE cap > ui),
+a AS (
+    SELECT lang, c, cap,
+           CASE WHEN x.cross_idx IS NULL OR u.idx < x.cross_idx THEN cap
+                ELSE (SELECT ui FROM u uu, x xx
+                      WHERE uu.idx = xx.cross_idx) END AS alloc
+    FROM u, x
+)
+SELECT lang, c AS lang_tokens, cap AS cap_tokens,
+       CAST(alloc AS BIGINT) AS alloc_tokens,
+       CAST((alloc * 1000) // c AS BIGINT) AS epochs_milli
+FROM a
+"""
+
+
+@register("samp_unimax", oracle=_UNIMAX_ORACLE)
+def samp_unimax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax language-budget allocation (Chung et al. 2023, public):
+    distribute a token budget as uniformly as possible across
+    languages subject to a per-language epoch cap — the successor to
+    temperature sampling (samp_temperature_mix) for multilingual
+    pretraining mixes. Tail languages are capped at
+    ``_UNIMAX_EPOCHS`` epochs of their data; the head shares the
+    remaining budget at a common water level.
+
+    The water-filling has a CLOSED FORM over the cap-ascending
+    order: with caps sorted ascending, the candidate uniform level
+    at rank i is u_i = (B - prefix_cap_{{i-1}}) div (N - i + 1); the
+    crossing is the FIRST rank whose cap exceeds its u_i, every
+    earlier language takes its full cap, and every language from the
+    crossing on takes the crossing's u (in exact arithmetic the
+    uncapped levels are all equal; this operator DEFINES the
+    allocation by that closed form in BIGINT div, so both engines
+    agree bit-exactly — the UniMax paper's real-valued allocation
+    differs from it by under one token per language).
+
+    Plan/scale: one corpus-scale token-count groupBy (map-side
+    combined) reduces everything to N language rows; the rank/prefix
+    window runs over those N rows (dimension-bounded — the w4 global
+    -rank justification), the budget is a broadcast 1-row aggregate,
+    and the crossing is a broadcast 1-row min(struct(idx, ui)) that
+    carries its own water level — no driver collect anywhere.
+
+    Output per language: natural tokens, cap, allocated tokens, and
+    epochs_milli = alloc*1000 div natural (1000 = exactly one epoch).
+
+    Reference parity: beyond-reference (north-star extension)."""
+    docs = load(spark, sf_dir, "documents").select("lang", "text")
+    per_lang = docs.groupBy("lang").agg(
+        F.sum(F.size(F.split("text", " ")).cast("long")).alias("c")
+    )
+    tot = per_lang.agg(
+        F.expr("(sum(c) * 3) div 2").alias("b"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    cap = (F.col("c") * _UNIMAX_EPOCHS).alias("cap")
+    w = Window.orderBy(F.col("cap").asc(), F.col("lang").asc())
+    r = (
+        per_lang.select("lang", "c", cap)
+        .withColumn("idx", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "pre",
+            F.coalesce(
+                F.sum("cap").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0).cast("long"),
+            ),
+        )
+    )
+    u = (
+        r.crossJoin(F.broadcast(tot))
+        .withColumn("ui", F.expr("(b - pre) div (n - idx + 1)"))
+        # language-bounded (N rows); pinned because three consumers
+        # read it (crossing agg, final projection) — the racing-
+        # consumer lesson, at trivial cost here
+        .localCheckpoint(eager=True)
+    )
+    x = (
+        u.agg(
+            F.min(
+                F.when(
+                    F.col("cap") > F.col("ui"),
+                    F.struct(F.col("idx"), F.col("ui")),
+                )
+            ).alias("m")
+        )
+        .select(
+            F.col("m.idx").alias("cross_idx"),
+            F.col("m.ui").alias("u_star"),
+        )
+    )
+    alloc = F.when(
+        F.col("cross_idx").isNull() | (F.col("idx") < F.col("cross_idx")),
+        F.col("cap"),
+    ).otherwise(F.col("u_star"))
+    return u.crossJoin(F.broadcast(x)).select(
+        "lang",
+        F.col("c").alias("lang_tokens"),
+        F.col("cap").alias("cap_tokens"),
+        alloc.alias("alloc_tokens"),
+    ).select(
+        "lang",
+        "lang_tokens",
+        "cap_tokens",
+        "alloc_tokens",
+        F.expr("(alloc_tokens * 1000) div lang_tokens").alias(
+            "epochs_milli"
+        ),
+    )

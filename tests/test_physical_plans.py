@@ -682,3 +682,34 @@ def test_bpe_merges_output_is_pinned_rows(spark, sf_dir):
     # merge counts are non-increasing only within symbols untouched
     # by earlier merges; the global invariant is positivity
     assert all(c > 0 for c in counts), counts
+
+
+def test_unimax_plan_shape(spark, sf_dir):
+    """samp_unimax's output plan must read the PINNED language table
+    (Scan ExistingRDD — the corpus-scale token count ran once, at
+    checkpoint build) joined to ONE broadcast 1-row crossing frame;
+    the only shuffle left is the dimension-bounded SinglePartition
+    argmin over the N language rows. Both water-filling branches
+    must appear in the result (capped tail at exactly 2000 milli-
+    epochs, water-filled head below cap)."""
+    from innercircle_etl_spark.plan_text import real_shuffle_exchanges
+
+    df = QUERIES["samp_unimax"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    ex = real_shuffle_exchanges(plan)
+    assert len(ex) == 1 and "SinglePartition" in ex[0], (ex, plan)
+    rows = df.collect()
+    assert {r.lang for r in rows} >= {"en", "de"}
+    capped = [r for r in rows if r.alloc_tokens == r.cap_tokens]
+    filled = [r for r in rows if r.alloc_tokens < r.cap_tokens]
+    assert capped and filled, rows
+    assert all(r.epochs_milli == 2000 for r in capped), capped
+    levels = {r.alloc_tokens for r in filled}
+    assert len(levels) == 1, rows  # one shared water level
+    total = sum(r.alloc_tokens for r in rows)
+    budget = sum(r.lang_tokens for r in rows) * 3 // 2
+    # integer div loses < N tokens vs the exact budget
+    assert 0 <= budget - total < 1000, (total, budget)
