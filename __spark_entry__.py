@@ -125,7 +125,11 @@ _PRIORITY = [
     # language-budget allocation (closed-form crossing in BIGINT
     # div; broadcast 1-row crossing frame) ----
     "samp_unimax",
-    # ---- 38-50: the oldest remaining rows — 13 of the 45 whose
+    # ---- 38: NEW (first driver proof): contrastive triplet mining
+    # (nearest same-label positive + 3 nearest different-label hard
+    # negatives + margins, one window with is_neg in the key) ----
+    "ann_hard_negatives",
+    # ---- 39-50: the oldest remaining rows — 12 of the 45 whose
     # newest green is round 6; streaming/upsert/source members first
     # (least exercised inside fresh composites); a12_rollup,
     # a13_grouped_agg_udf, a14_grouped_agg_udf, samp_weighted_
@@ -133,9 +137,10 @@ _PRIORITY = [
     # displaced past the window by the six new/changed rows above —
     # they and the others left over (listed in the rotation pool
     # below, NOTES round-9 handoff) lead round 10 together with the
-    # round-7 rows; graph_pagerank3, mm_av_frame_sample_udtf and
-    # dedup_incremental_minhash displaced past the window by the
-    # tokenizer pair and samp_unimax above ----
+    # round-7 rows; graph_pagerank3, mm_av_frame_sample_udtf,
+    # dedup_incremental_minhash and dedup_ngram_jaccard_w5 displaced
+    # past the window by the tokenizer pair, samp_unimax and
+    # ann_hard_negatives above ----
     "i6_watermark_window",
     "i7_stream_dedup",
     "i13_stream_cdc_apply",

@@ -1527,3 +1527,126 @@ def ep10_rag_retrieval_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_hits"), F.lit(0)) * 1.0 / F.col("n_true")
         ).alias("recall"),
     )
+
+
+# ------------------------------------- contrastive triplet mining
+
+_HN_ANCHOR_MOD = 50  # every 50th vector anchors a training triplet
+_HN_NEGS = 3  # hard negatives mined per anchor
+
+_HN_ORACLE = f"""
+WITH e AS (
+    SELECT vec_id, label,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+a AS (
+    SELECT vec_id AS anchor_id, label AS anchor_label, v AS va
+    FROM e WHERE vec_id % {_HN_ANCHOR_MOD} = 0
+),
+scored AS (
+    SELECT a.anchor_id, e.vec_id AS cand_id,
+           (e.label != a.anchor_label) AS is_neg,
+           {_COS_SQL.format(a="a.va", b="e.v")} AS cos
+    FROM a JOIN e ON e.vec_id != a.anchor_id
+),
+ranked AS (
+    SELECT *, CAST(row_number() OVER (
+               PARTITION BY anchor_id, is_neg
+               ORDER BY cos DESC, cand_id ASC) AS INTEGER) AS rank
+    FROM scored
+),
+pos AS (
+    SELECT anchor_id, cand_id AS pos_id, cos AS pos_cos
+    FROM ranked WHERE NOT is_neg AND rank = 1
+),
+neg AS (
+    SELECT anchor_id, rank AS neg_rank, cand_id AS neg_id, cos AS neg_cos
+    FROM ranked WHERE is_neg AND rank <= {_HN_NEGS}
+)
+SELECT n.anchor_id, p.pos_id, p.pos_cos,
+       n.neg_rank, n.neg_id, n.neg_cos,
+       p.pos_cos - n.neg_cos AS margin
+FROM neg n JOIN pos p ON n.anchor_id = p.anchor_id
+"""
+
+
+@register("ann_hard_negatives", oracle=_HN_ORACLE)
+def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training TRIPLET MINING (DPR / SimCSE / E5-style,
+    all public): for each anchor vector, the nearest SAME-label
+    vector (the positive) and the 3 nearest DIFFERENT-label vectors
+    (the hard negatives — the highest-similarity wrong-class items,
+    the ones that actually move an embedding model), plus the
+    triplet margin pos_cos - neg_cos. A negative margin flags a
+    violation the training loop will learn from hardest. This is the
+    mining pass every contrastive data pipeline runs between corpus
+    embedding and batch construction.
+
+    Plan/scale: anchors are training-batch-sized → broadcast; the
+    corpus is scored in ONE pass and ranked in ONE shuffle keyed on
+    (anchor, is_neg) — positives and negatives come out of the same
+    window, no second corpus pass (an is_neg flag in the partition
+    key beats two windows over two filtered copies). The kept frame
+    (≤ {_HN_NEGS}+1 rows per anchor) is pinned before the pos×neg
+    join, which AQE broadcasts. This exact scorer is the recall
+    baseline; at 100 TB the candidate set would come from the LSH/
+    IVF buckets (ann_lsh_bucketed / ann_ivf_fixed_k) with identical
+    downstream mining.
+
+    Cosine folds are left-to-right → bit-identical to the oracle;
+    the margin is a single double subtraction of two bit-identical
+    values, so it hash-matches too.
+
+    Reference parity: beyond-reference (north-star extension)."""
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", "label", V.as_double(F.col("embedding")).alias("v")
+    )
+    anchors = e.filter(F.col("vec_id") % _HN_ANCHOR_MOD == 0).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("v").alias("va"),
+    )
+    scored = e.join(
+        F.broadcast(anchors), F.col("vec_id") != F.col("anchor_id")
+    ).select(
+        "anchor_id",
+        F.col("vec_id").alias("cand_id"),
+        (F.col("label") != F.col("anchor_label")).alias("is_neg"),
+        V.cosine(F.col("va"), F.col("v")).alias("cos"),
+    )
+    w = Window.partitionBy("anchor_id", "is_neg").orderBy(
+        F.col("cos").desc(), F.col("cand_id").asc()
+    )
+    kept = (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(
+            (F.col("is_neg") & (F.col("rank") <= _HN_NEGS))
+            | (~F.col("is_neg") & (F.col("rank") == 1))
+        )
+        # ≤ 4 rows per anchor — pinned because pos and neg legs both
+        # read it (racing-consumer lesson; re-running would re-score
+        # the corpus twice)
+        .localCheckpoint(eager=True)
+    )
+    pos = kept.filter(~F.col("is_neg")).select(
+        "anchor_id",
+        F.col("cand_id").alias("pos_id"),
+        F.col("cos").alias("pos_cos"),
+    )
+    neg = kept.filter(F.col("is_neg")).select(
+        "anchor_id",
+        F.col("rank").alias("neg_rank"),
+        F.col("cand_id").alias("neg_id"),
+        F.col("cos").alias("neg_cos"),
+    )
+    return neg.join(pos, "anchor_id").select(
+        "anchor_id",
+        "pos_id",
+        "pos_cos",
+        "neg_rank",
+        "neg_id",
+        "neg_cos",
+        (F.col("pos_cos") - F.col("neg_cos")).alias("margin"),
+    )

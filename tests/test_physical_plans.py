@@ -713,3 +713,27 @@ def test_unimax_plan_shape(spark, sf_dir):
     budget = sum(r.lang_tokens for r in rows) * 3 // 2
     # integer div loses < N tokens vs the exact budget
     assert 0 <= budget - total < 1000, (total, budget)
+
+
+def test_hard_negatives_shape(spark, sf_dir):
+    """ann_hard_negatives: the pos and neg legs must read the PINNED
+    kept frame (Scan ExistingRDD — the corpus was scored and ranked
+    exactly once, in the checkpoint build; the is_neg flag lives in
+    the window partition key so one window serves both legs), never
+    a cartesian. Each anchor emits exactly _HN_NEGS triplet rows
+    with ranks 1.._HN_NEGS and margin == pos_cos - neg_cos."""
+    from collections import Counter
+
+    from innercircle_etl_spark.plans.similarity_queries import _HN_NEGS
+
+    df = QUERIES["ann_hard_negatives"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
+    rows = df.collect()
+    per_anchor = Counter(r.anchor_id for r in rows)
+    assert all(n == _HN_NEGS for n in per_anchor.values()), per_anchor
+    for r in rows:
+        assert 1 <= r.neg_rank <= _HN_NEGS
+        assert r.margin == r.pos_cos - r.neg_cos
+        assert r.neg_id != r.pos_id != r.anchor_id
