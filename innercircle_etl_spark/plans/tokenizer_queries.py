@@ -186,12 +186,38 @@ def tok_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle: the same loop unrolled as 5 CTE layers —
     exact BIGINT counts and the shared left-to-right replace make
     every layer hash-identical across engines."""
+    merge_rows, _ = _bpe_train(spark, sf_dir, _N_MERGES)
+    out = merge_rows[0]
+    for r in merge_rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def _bpe_train(
+    spark: SparkSession,
+    sf_dir: str,
+    n_merges: int,
+    with_totals: bool = False,
+):
+    """Shared BPE training loop (see tok_bpe_merges for semantics):
+    returns ``(merge_rows, total_rows)`` — per-step pinned 1-row
+    frames. ``total_rows`` is populated only when ``with_totals``
+    (one extra vocabulary-bounded aggregate per step, plus the final
+    merge's apply, which the merges-only path skips as dead work);
+    total_rows[0] is the pre-merge (character-level) token count
+    with a NULL merged symbol."""
     def _new_pins(before: set) -> dict:
         return {
             i: j
             for i, j in pinned_rdd_ids(spark).items()
             if i not in before
         }
+
+    def _tokens() -> F.Column:
+        return F.sum(
+            F.col("wf")
+            * F.size(F.split(F.expr("btrim(sym_str, '|')"), r"\|\|"))
+        ).alias("corpus_tokens")
 
     snap = set(pinned_rdd_ids(spark))
     words = (
@@ -203,7 +229,18 @@ def tok_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     word_pins = _new_pins(snap)
     merge_rows = []
-    for step in range(1, _N_MERGES + 1):
+    total_rows = []
+    if with_totals:
+        total_rows.append(
+            words.agg(_tokens())
+            .select(
+                F.lit(0).cast("int").alias("step"),
+                F.lit(None).cast("string").alias("merged"),
+                F.col("corpus_tokens"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    for step in range(1, n_merges + 1):
         counts = (
             words.select(
                 "wf",
@@ -250,7 +287,7 @@ def tok_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("cnt").alias("pair_count"),
             )
         )
-        if step == _N_MERGES:
+        if step == n_merges and not with_totals:
             break  # the last apply would be dead work
         snap = set(pinned_rdd_ids(spark))
         new_words = words.crossJoin(F.broadcast(best)).select(
@@ -268,10 +305,67 @@ def tok_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         release_pins(word_pins.values())
         word_pins = new_word_pins
         words = new_words
-    # the output depends only on the pinned merge rows — the final
-    # word table can be released before the caller materializes it
+        if with_totals:
+            total_rows.append(
+                words.agg(_tokens())
+                .crossJoin(F.broadcast(best))
+                .select(
+                    F.lit(step).cast("int").alias("step"),
+                    F.concat("a", "b").alias("merged"),
+                    F.col("corpus_tokens"),
+                )
+                .localCheckpoint(eager=True)
+            )
+    # the outputs depend only on the pinned 1-row frames — the final
+    # word table can be released before the caller materializes them
     release_pins(word_pins.values())
-    out = merge_rows[0]
-    for r in merge_rows[1:]:
+    return merge_rows, total_rows
+
+
+def _bpe_compression_oracle(n_merges: int) -> str:
+    """The merges oracle's layers plus a per-layer corpus token
+    total — the compression curve."""
+    base = _bpe_merges_oracle(n_merges)
+    with_part, _, _ = base.partition("\nSELECT CAST(1 AS INT) AS step,")
+    totals = ",".join(
+        f"""
+t{i} AS (
+    SELECT CAST(SUM(wf * len(string_split(trim(sym_str, '|'), '||')))
+           AS BIGINT) AS corpus_tokens
+    FROM w{i}
+)"""
+        for i in range(0, n_merges + 1)
+    )
+    finals = [
+        "SELECT CAST(0 AS INT) AS step, CAST(NULL AS VARCHAR) AS merged,"
+        " corpus_tokens FROM t0"
+    ] + [
+        f"SELECT CAST({i} AS INT) AS step,"
+        f" (SELECT a || b FROM m{i}) AS merged, corpus_tokens FROM t{i}"
+        for i in range(1, n_merges + 1)
+    ]
+    return with_part + "," + totals + "\n" + "\nUNION ALL\n".join(finals)
+
+
+@register("tok_bpe_compression", oracle=_bpe_compression_oracle(_N_MERGES))
+def tok_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE compression curve: corpus token count after each of the
+    first 5 learned merges — the EVALUATION half of tokenizer
+    training (a tokenizer is judged by tokens-per-corpus; every
+    merge must strictly shrink it, and the curve's slope is how
+    trainers pick vocabulary size). Step 0 is the character-level
+    baseline; step k applies the k-th merge from the shared
+    ``_bpe_train`` loop (extracted from tok_bpe_merges with zero
+    plan change to the merges output).
+
+    The per-step total is one vocabulary-bounded aggregate
+    (sum over distinct words of wf * |symbols|) — corpus-size-
+    independent like the rest of the loop; the output unions the
+    6 pinned 1-row frames.
+
+    Reference parity: beyond-reference (north-star extension)."""
+    _, total_rows = _bpe_train(spark, sf_dir, _N_MERGES, with_totals=True)
+    out = total_rows[0]
+    for r in total_rows[1:]:
         out = out.unionByName(r)
     return out

@@ -737,3 +737,23 @@ def test_hard_negatives_shape(spark, sf_dir):
         assert 1 <= r.neg_rank <= _HN_NEGS
         assert r.margin == r.pos_cos - r.neg_cos
         assert r.neg_id != r.pos_id != r.anchor_id
+
+
+def test_bpe_compression_curve(spark, sf_dir):
+    """tok_bpe_compression: output = union of 6 pinned 1-row frames
+    (zero exchanges in the output plan), step 0 is the character
+    baseline with NULL merged, and every merge STRICTLY shrinks the
+    corpus token count (the definitional property of a BPE merge:
+    the argmax pair occurs at least once)."""
+    from innercircle_etl_spark.plan_text import real_shuffle_exchanges
+
+    df = QUERIES["tok_bpe_compression"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" in plan, plan
+    assert real_shuffle_exchanges(plan) == [], plan
+    rows = sorted(df.collect(), key=lambda r: r.step)
+    assert [r.step for r in rows] == [0, 1, 2, 3, 4, 5]
+    assert rows[0].merged is None
+    assert all(r.merged for r in rows[1:])
+    toks = [r.corpus_tokens for r in rows]
+    assert all(a > b for a, b in zip(toks, toks[1:])), toks
