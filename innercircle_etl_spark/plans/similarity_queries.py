@@ -1531,7 +1531,7 @@ def ep10_rag_retrieval_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------- contrastive triplet mining
 
-_HN_ANCHOR_MOD = 50  # every 50th vector anchors a training triplet
+_HN_ANCHORS = 40  # anchor batch size (FIXED — not corpus-proportional)
 _HN_NEGS = 3  # hard negatives mined per anchor
 
 _HN_ORACLE = f"""
@@ -1542,7 +1542,7 @@ WITH e AS (
 ),
 a AS (
     SELECT vec_id AS anchor_id, label AS anchor_label, v AS va
-    FROM e WHERE vec_id % {_HN_ANCHOR_MOD} = 0
+    FROM e WHERE vec_id < {_HN_ANCHORS}
 ),
 scored AS (
     SELECT a.anchor_id, e.vec_id AS cand_id,
@@ -1583,16 +1583,22 @@ def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     mining pass every contrastive data pipeline runs between corpus
     embedding and batch construction.
 
-    Plan/scale: anchors are training-batch-sized → broadcast; the
-    corpus is scored in ONE pass and ranked in ONE shuffle keyed on
-    (anchor, is_neg) — positives and negatives come out of the same
-    window, no second corpus pass (an is_neg flag in the partition
-    key beats two windows over two filtered copies). The kept frame
-    (≤ {_HN_NEGS}+1 rows per anchor) is pinned before the pos×neg
-    join, which AQE broadcasts. This exact scorer is the recall
-    baseline; at 100 TB the candidate set would come from the LSH/
-    IVF buckets (ann_lsh_bucketed / ann_ivf_fixed_k) with identical
-    downstream mining.
+    Plan/scale: the anchor set is a FIXED training batch (vec_id <
+    40 — the batch being mined), NOT corpus-proportional, so the
+    scored set is linear in corpus size and broadcast-joined. The
+    first cut used every-50th-vector anchors and TIMED OUT at sf1:
+    anchors ∝ n makes the scored set n²/50, and the cosine fold is
+    an interpreted higher-order function (~15 µs/row at dim 64) —
+    the ann_ivf_fixed_k lesson (k ⊥ n) applied to mining batches.
+    The corpus is scored in ONE pass and ranked in ONE shuffle keyed
+    on (anchor, is_neg) — positives and negatives come out of the
+    same window, no second corpus pass (an is_neg flag in the
+    partition key beats two windows over two filtered copies). The
+    kept frame (≤ {_HN_NEGS}+1 rows per anchor) is pinned before the
+    pos×neg join, which AQE broadcasts. This exact scorer is the
+    recall baseline; at 100 TB the candidate set would come from the
+    LSH/IVF buckets (ann_lsh_bucketed / ann_ivf_fixed_k) with
+    identical downstream mining.
 
     Cosine folds are left-to-right → bit-identical to the oracle;
     the margin is a single double subtraction of two bit-identical
@@ -1603,7 +1609,7 @@ def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = emb.select(
         "vec_id", "label", V.as_double(F.col("embedding")).alias("v")
     )
-    anchors = e.filter(F.col("vec_id") % _HN_ANCHOR_MOD == 0).select(
+    anchors = e.filter(F.col("vec_id") < _HN_ANCHORS).select(
         F.col("vec_id").alias("anchor_id"),
         F.col("label").alias("anchor_label"),
         F.col("v").alias("va"),
