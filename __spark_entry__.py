@@ -133,7 +133,11 @@ _PRIORITY = [
     # (per-merge corpus token totals via the shared _bpe_train
     # loop — the evaluation half of tokenizer training) ----
     "tok_bpe_compression",
-    # ---- 40-50: the oldest remaining rows — 11 of the 45 whose
+    # ---- 40: NEW (first driver proof): corpus-wide application of
+    # the trained tokenizer (broadcast vocab lookup, one doc-keyed
+    # sum — the deployment half) ----
+    "tok_apply_vocab",
+    # ---- 41-50: the oldest remaining rows — 10 of the 45 whose
     # newest green is round 6; streaming/upsert/source members first
     # (least exercised inside fresh composites); a12_rollup,
     # a13_grouped_agg_udf, a14_grouped_agg_udf, samp_weighted_
@@ -142,9 +146,10 @@ _PRIORITY = [
     # they and the others left over (listed in the rotation pool
     # below, NOTES round-9 handoff) lead round 10 together with the
     # round-7 rows; graph_pagerank3, mm_av_frame_sample_udtf,
-    # dedup_incremental_minhash, dedup_ngram_jaccard_w5 and
-    # ep1_daily_pipeline displaced past the window by the five
-    # tokenizer/sampling/ANN additions above ----
+    # dedup_incremental_minhash, dedup_ngram_jaccard_w5,
+    # ep1_daily_pipeline and s15_partitioned_db_pull displaced past
+    # the window by the six tokenizer/sampling/ANN additions
+    # above ----
     "i6_watermark_window",
     "i7_stream_dedup",
     "i13_stream_cdc_apply",

@@ -186,7 +186,7 @@ def tok_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle: the same loop unrolled as 5 CTE layers —
     exact BIGINT counts and the shared left-to-right replace make
     every layer hash-identical across engines."""
-    merge_rows, _ = _bpe_train(spark, sf_dir, _N_MERGES)
+    merge_rows, _, _ = _bpe_train(spark, sf_dir, _N_MERGES)
     out = merge_rows[0]
     for r in merge_rows[1:]:
         out = out.unionByName(r)
@@ -198,12 +198,16 @@ def _bpe_train(
     sf_dir: str,
     n_merges: int,
     with_totals: bool = False,
+    keep_words: bool = False,
 ):
     """Shared BPE training loop (see tok_bpe_merges for semantics):
-    returns ``(merge_rows, total_rows)`` — per-step pinned 1-row
-    frames. ``total_rows`` is populated only when ``with_totals``
-    (one extra vocabulary-bounded aggregate per step, plus the final
-    merge's apply, which the merges-only path skips as dead work);
+    returns ``(merge_rows, total_rows, words)`` — per-step pinned
+    1-row frames, plus the final (sym_str, wf) word table when
+    ``keep_words`` (pinned; callers own its release), else None
+    (released here). ``total_rows`` is populated only when
+    ``with_totals`` (one extra vocabulary-bounded aggregate per
+    step); either flag makes the loop apply the final merge too,
+    which the merges-only path skips as dead work;
     total_rows[0] is the pre-merge (character-level) token count
     with a NULL merged symbol."""
     def _new_pins(before: set) -> dict:
@@ -287,7 +291,7 @@ def _bpe_train(
                 F.col("cnt").alias("pair_count"),
             )
         )
-        if step == n_merges and not with_totals:
+        if step == n_merges and not (with_totals or keep_words):
             break  # the last apply would be dead work
         snap = set(pinned_rdd_ids(spark))
         new_words = words.crossJoin(F.broadcast(best)).select(
@@ -316,10 +320,12 @@ def _bpe_train(
                 )
                 .localCheckpoint(eager=True)
             )
+    if keep_words:
+        return merge_rows, total_rows, words
     # the outputs depend only on the pinned 1-row frames — the final
     # word table can be released before the caller materializes them
     release_pins(word_pins.values())
-    return merge_rows, total_rows
+    return merge_rows, total_rows, None
 
 
 def _bpe_compression_oracle(n_merges: int) -> str:
@@ -364,8 +370,94 @@ def tok_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     6 pinned 1-row frames.
 
     Reference parity: beyond-reference (north-star extension)."""
-    _, total_rows = _bpe_train(spark, sf_dir, _N_MERGES, with_totals=True)
+    _, total_rows, _ = _bpe_train(
+        spark, sf_dir, _N_MERGES, with_totals=True
+    )
     out = total_rows[0]
     for r in total_rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+def _apply_vocab_oracle(n_merges: int) -> str:
+    """The merge layers to w{n}, then corpus-wide application:
+    word -> symbol count via the reconstructed word key (stripping
+    the fences reverses the encoding — symbols carry no '|')."""
+    base = _bpe_merges_oracle(n_merges)
+    with_part, _, _ = base.partition("\nSELECT CAST(1 AS INT) AS step,")
+    return (
+        with_part
+        + f""",
+vocab AS (
+    SELECT replace(sym_str, '|', '') AS word,
+           CAST(len(string_split(trim(sym_str, '|'), '||')) AS BIGINT)
+             AS n_toks
+    FROM w{n_merges}
+),
+dw AS (
+    SELECT doc_id, w AS word
+    FROM documents, unnest(string_split(text, ' ')) AS t(w)
+    WHERE regexp_full_match(w, '[a-z]+')
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(length(dw.word)) AS BIGINT) AS n_chars_alpha,
+       CAST(SUM(v.n_toks) AS BIGINT) AS n_tokens_bpe,
+       CAST((SUM(length(dw.word)) * 1000) // SUM(v.n_toks) AS BIGINT)
+         AS compression_milli
+FROM dw JOIN vocab v USING (word)
+GROUP BY doc_id
+"""
+    )
+
+
+@register("tok_apply_vocab", oracle=_apply_vocab_oracle(_N_MERGES))
+def tok_apply_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the trained tokenizer corpus-wide: per-document token
+    counts under the 5 learned merges — the deployment half that
+    turns the trainer into a data-pipeline stage (per-doc token
+    budgets feed text_pack_shards / samp_* mixers; tokenization IS
+    a dictionary lookup once the vocab is trained). The word key is
+    reconstructed from the fenced symbol string (symbols contain no
+    ``|``, so stripping fences reverses the encoding) — the word
+    table never needed to carry the raw word through the loop.
+
+    Plan/scale: training is the vocabulary-bounded loop; application
+    is ONE corpus pass — explode words, hash-join the BROADCAST
+    word->token-count map (vocab-bounded by construction), one
+    doc-keyed sum shuffle. On unseen text a real deployment adds an
+    OOV fallback arm (char count), which this fixture cannot
+    exercise because train corpus == applied corpus by design.
+
+    Reference parity: beyond-reference (north-star extension)."""
+    _, _, words = _bpe_train(
+        spark, sf_dir, _N_MERGES, keep_words=True
+    )
+    vocab = words.select(
+        F.regexp_replace("sym_str", r"\|", "").alias("word"),
+        F.size(F.split(F.expr("btrim(sym_str, '|')"), r"\|\|"))
+        .cast("long")
+        .alias("n_toks"),
+    )
+    docs = load(spark, sf_dir, "documents")
+    dw = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word").rlike(_WORD_RE))
+    return (
+        dw.join(F.broadcast(vocab), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.length("word")).alias("n_chars_alpha"),
+            F.sum("n_toks").alias("n_tokens_bpe"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_chars_alpha",
+            "n_tokens_bpe",
+            F.expr("(n_chars_alpha * 1000) div n_tokens_bpe").alias(
+                "compression_milli"
+            ),
+        )
+    )

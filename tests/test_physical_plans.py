@@ -757,3 +757,27 @@ def test_bpe_compression_curve(spark, sf_dir):
     assert all(r.merged for r in rows[1:])
     toks = [r.corpus_tokens for r in rows]
     assert all(a > b for a, b in zip(toks, toks[1:])), toks
+
+
+def test_apply_vocab_broadcast_lookup(spark, sf_dir):
+    """tok_apply_vocab: tokenization must be a BROADCAST dictionary
+    lookup (vocab-bounded map side — never a shuffle of the corpus
+    on the word key) feeding ONE doc-keyed aggregation shuffle; the
+    vocab side reads the pinned trained word table. Compression must
+    be genuine: every doc's BPE token count is strictly under its
+    character count (5 merges guarantee at least one fused pair
+    somewhere, and chars >= tokens always)."""
+    from innercircle_etl_spark.plan_text import real_shuffle_exchanges
+
+    df = QUERIES["tok_apply_vocab"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
+    ex = real_shuffle_exchanges(plan)
+    assert len(ex) == 1 and "hashpartitioning(doc_id" in ex[0], (ex, plan)
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert r.n_tokens_bpe <= r.n_chars_alpha, r
+        assert r.compression_milli >= 1000, r
