@@ -37,7 +37,12 @@ from innercircle_etl_spark.plans.planting import (
     plant_near_docs,
     plant_scaled_vectors,
 )
-from innercircle_etl_spark.plans.registry import load, register
+from innercircle_etl_spark.plans.registry import (
+    load,
+    pinned_rdd_ids,
+    register,
+    release_pins,
+)
 
 # ---------------------------------------------------------------- exact
 
@@ -1141,13 +1146,8 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     components loop at edge-list scale). Oracle = a recursive-CTE
     transitive closure over the same pairs."""
     def _pinned_ids() -> dict:
-        """id -> java RDD handle for every persisted RDD (the only
-        handle PySpark exposes to a localCheckpoint's blocks)."""
-        try:
-            jmap = spark.sparkContext._jsc.getPersistentRDDs()
-            return {int(j.id()): j for j in jmap.values()}
-        except Exception:  # py4j surface moved — blocks only cost memory
-            return {}
+        # shared helper (registry.pinned_rdd_ids) bound to this session
+        return pinned_rdd_ids(spark)
 
     # blocks pinned BEFORE this query ran (e.g. a session-lifetime
     # Lloyd codebook pin) are not ours to release: unpersisting a
@@ -1214,11 +1214,7 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the query's whole lifetime and shrink the execution-memory
         # pool at sf10 (round-8 advice: the intra-query twin of the
         # drop_query_caches leak class). Blocking removal on purpose.
-        for jrdd in prior_sweep.values():
-            try:
-                jrdd.unpersist(True)
-            except Exception:
-                pass
+        release_pins(prior_sweep.values())
         prior_sweep = {
             i: j
             for i, j in _pinned_ids().items()
@@ -1233,14 +1229,9 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the result depends only on the LAST sweep's checkpoint — the
     # edge list (which embeds the whole minhash pipeline) can be
     # released before the caller materializes the result
-    edge_handles = {
-        i: j for i, j in _pinned_ids().items() if i in edge_ids
-    }
-    for jrdd in edge_handles.values():
-        try:
-            jrdd.unpersist(True)
-        except Exception:
-            pass
+    release_pins(
+        j for i, j in _pinned_ids().items() if i in edge_ids
+    )
     return labels.select(
         F.col("n").alias("doc_id"), F.col("label").alias("canonical_id")
     )
@@ -2300,9 +2291,15 @@ def decon_semantic_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tk = _margin_keyed(train).localCheckpoint(eager=True)
     probes = _margin_probes(tk)
-    ek = _margin_keyed(ev).select(
+    # the eval side never probes — it needs only its exact sign
+    # bucket and payload, not the margin mask/base (16 extra dot
+    # products per vector that _margin_keyed would compute and this
+    # select would drop)
+    ek = ev.select(
         F.col("vec_id").alias("eval_id"),
-        "bucket",
+        V.sign_bucket(F.col("v"), V.hyperplane_weights(
+            _EMB_PLANES, _EMB_DIM
+        )).alias("bucket"),
         F.col("v").alias("evv"),
     )
     cand = (

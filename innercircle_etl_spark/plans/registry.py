@@ -173,8 +173,8 @@ def pinned_rdd_ids(spark: SparkSession) -> dict:
     handle PySpark exposes to a localCheckpoint's blocks. Used by
     iterative loops to release a finished sweep's pinned blocks
     (the round-8 advice lesson: intra-query pins accumulate for the
-    query's whole lifetime otherwise). Same py4j-drift guard as the
-    original in dedup_queries' label-propagation loop."""
+    query's whole lifetime otherwise); the py4j drift guard makes a
+    moved JVM surface cost only memory, never correctness."""
     try:
         jmap = spark.sparkContext._jsc.getPersistentRDDs()
         return {int(j.id()): j for j in jmap.values()}

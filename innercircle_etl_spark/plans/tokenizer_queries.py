@@ -113,11 +113,10 @@ def tok_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rank", F.row_number().over(w).cast("int"))
 
 
-def _bpe_merges_oracle(n_merges: int) -> str:
-    """Unrolled n-layer DuckDB mirror of the merge loop: each layer
-    recounts pairs over the fenced symbol strings, picks the argmax
-    with the same tiebreak, and applies it with the same left-to-
-    right ``replace``."""
+def _bpe_merge_layers(n_merges: int) -> str:
+    """The shared WITH-clause body: w0 (fenced word table) plus one
+    count/argmax/apply layer per merge. All three tokenizer oracles
+    compose these layers rather than slicing each other's text."""
     layers = [
         """
 w0 AS (
@@ -148,14 +147,21 @@ w{i} AS (
     FROM w{i - 1}, m{i}
 )"""
         )
+    return "WITH " + ",".join(layers)
+
+
+def _bpe_merges_oracle(n_merges: int) -> str:
+    """Unrolled n-layer DuckDB mirror of the merge loop: each layer
+    recounts pairs over the fenced symbol strings, picks the argmax
+    with the same tiebreak, and applies it with the same left-to-
+    right ``replace``."""
     finals = [
         f"SELECT CAST({i} AS INT) AS step, a AS pair_a, b AS pair_b,"
         f" a || b AS merged, CAST(cnt AS BIGINT) AS pair_count FROM m{i}"
         for i in range(1, n_merges + 1)
     ]
     return (
-        "WITH "
-        + ",".join(layers)
+        _bpe_merge_layers(n_merges)
         + "\n"
         + "\nUNION ALL\n".join(finals)
     )
@@ -329,10 +335,9 @@ def _bpe_train(
 
 
 def _bpe_compression_oracle(n_merges: int) -> str:
-    """The merges oracle's layers plus a per-layer corpus token
-    total — the compression curve."""
-    base = _bpe_merges_oracle(n_merges)
-    with_part, _, _ = base.partition("\nSELECT CAST(1 AS INT) AS step,")
+    """The merge layers plus a per-layer corpus token total — the
+    compression curve."""
+    with_part = _bpe_merge_layers(n_merges)
     totals = ",".join(
         f"""
 t{i} AS (
@@ -383,10 +388,8 @@ def _apply_vocab_oracle(n_merges: int) -> str:
     """The merge layers to w{n}, then corpus-wide application:
     word -> symbol count via the reconstructed word key (stripping
     the fences reverses the encoding — symbols carry no '|')."""
-    base = _bpe_merges_oracle(n_merges)
-    with_part, _, _ = base.partition("\nSELECT CAST(1 AS INT) AS step,")
     return (
-        with_part
+        _bpe_merge_layers(n_merges)
         + f""",
 vocab AS (
     SELECT replace(sym_str, '|', '') AS word,

@@ -736,7 +736,9 @@ def test_hard_negatives_shape(spark, sf_dir):
     for r in rows:
         assert 1 <= r.neg_rank <= _HN_NEGS
         assert r.margin == r.pos_cos - r.neg_cos
-        assert r.neg_id != r.pos_id != r.anchor_id
+        assert r.neg_id != r.pos_id
+        assert r.neg_id != r.anchor_id
+        assert r.pos_id != r.anchor_id
 
 
 def test_bpe_compression_curve(spark, sf_dir):
