@@ -137,7 +137,11 @@ _PRIORITY = [
     # the trained tokenizer (broadcast vocab lookup, one doc-keyed
     # sum — the deployment half) ----
     "tok_apply_vocab",
-    # ---- 41-50: the oldest remaining rows — 10 of the 45 whose
+    # ---- 41: NEW (first driver proof): the contrastive-pair build
+    # composite (chunk -> hash-embed -> co-document positives +
+    # cross-document hard negatives + margins) ----
+    "ep13_contrastive_pairs",
+    # ---- 42-50: the oldest remaining rows — 9 of the 45 whose
     # newest green is round 6; streaming/upsert/source members first
     # (least exercised inside fresh composites); a12_rollup,
     # a13_grouped_agg_udf, a14_grouped_agg_udf, samp_weighted_
@@ -147,9 +151,9 @@ _PRIORITY = [
     # below, NOTES round-9 handoff) lead round 10 together with the
     # round-7 rows; graph_pagerank3, mm_av_frame_sample_udtf,
     # dedup_incremental_minhash, dedup_ngram_jaccard_w5,
-    # ep1_daily_pipeline and s15_partitioned_db_pull displaced past
-    # the window by the six tokenizer/sampling/ANN additions
-    # above ----
+    # ep1_daily_pipeline, s15_partitioned_db_pull and s14_orc_
+    # roundtrip displaced past the window by the seven late
+    # additions above ----
     "i6_watermark_window",
     "i7_stream_dedup",
     "i13_stream_cdc_apply",

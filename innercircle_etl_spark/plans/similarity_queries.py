@@ -1656,3 +1656,123 @@ def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neg_cos",
         (F.col("pos_cos") - F.col("neg_cos")).alias("margin"),
     )
+
+
+# --------------------------- ep13: contrastive pair construction
+
+_EP13_ANCHORS = 20  # fixed anchor-doc batch (the hard-negatives lesson)
+_EP13_NEGS = 2  # cross-document hard negatives per anchor
+
+
+def _ep13_oracle() -> str:
+    from innercircle_etl_spark.plans.text_queries import CHUNK_CTES_SQL
+
+    return f"""
+WITH {CHUNK_CTES_SQL},
+emb AS (
+    SELECT doc_id, chunk_idx,
+           list_transform(generate_series(1, {_RAG_D}),
+               k -> CAST(ascii(substr(md5(chunk_text), k, 1)) AS DOUBLE)
+                    - 75.0) AS v
+    FROM chunks),
+a AS (SELECT doc_id AS a_doc, v AS va FROM emb
+      WHERE doc_id < {_EP13_ANCHORS} AND chunk_idx = 0),
+scored AS (
+    SELECT a.a_doc, c.doc_id AS c_doc, c.chunk_idx AS c_chunk,
+           (c.doc_id = a.a_doc) AS is_pos,
+           {_COS_SQL.format(a="a.va", b="c.v")} AS cos
+    FROM a JOIN emb c
+      ON NOT (c.doc_id = a.a_doc AND c.chunk_idx = 0)),
+ranked AS (
+    SELECT *, CAST(row_number() OVER (
+        PARTITION BY a_doc, is_pos
+        ORDER BY cos DESC, c_doc ASC, c_chunk ASC) AS INTEGER) AS rnk
+    FROM scored),
+pos AS (
+    SELECT a_doc, CAST(c_chunk AS INTEGER) AS pos_chunk, cos AS pos_cos
+    FROM ranked WHERE is_pos AND rnk = 1),
+neg AS (
+    SELECT a_doc, rnk AS neg_rank, c_doc AS neg_doc,
+           CAST(c_chunk AS INTEGER) AS neg_chunk, cos AS neg_cos
+    FROM ranked WHERE NOT is_pos AND rnk <= {_EP13_NEGS})
+SELECT n.a_doc AS anchor_doc, p.pos_chunk, p.pos_cos,
+       n.neg_rank, n.neg_doc, n.neg_chunk, n.neg_cos,
+       p.pos_cos - n.neg_cos AS margin
+FROM neg n JOIN pos p ON n.a_doc = p.a_doc
+"""
+
+
+@register("ep13_contrastive_pairs", oracle=_ep13_oracle())
+def ep13_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END contrastive-pair construction from the raw corpus
+    (Contriever / E5 pretraining recipe, public): documents →
+    overlapping chunk windows → per-chunk embedding (both via the
+    shared text_chunk_windows / _rag_chunk_embeddings builders) →
+    per anchor chunk, the nearest OTHER crop of the SAME document
+    (the co-document positive — Contriever's independent-cropping
+    signal) plus the {_EP13_NEGS} nearest crops of OTHER documents
+    (cross-document hard negatives), with triplet margins. This is
+    the embedding-model training-data composite the ep series was
+    missing: ep9 builds the index, ep10 retrieves, ep13 builds the
+    TRAINING PAIRS.
+
+    Plan/scale: the anchor batch is FIXED ({_EP13_ANCHORS} docs'
+    first chunks — not corpus-proportional; the ann_hard_negatives
+    sf1 lesson), so scoring is one linear corpus pass against a
+    broadcast batch; ONE ranking shuffle with is_pos inside the
+    window partition key serves both the positive and negative legs
+    (the ann_hard_negatives shape, reused deliberately); the kept
+    frame (≤ {_EP13_NEGS}+1 rows per anchor) is pinned before the
+    AQE-broadcast pos×neg join. Anchors whose doc has a single
+    chunk drop out in BOTH engines (inner join to pos). The hash
+    embedding's dot/norm² are exact doubles → scores and margins
+    hash-match the oracle.
+
+    Reference parity: beyond-reference (north-star extension)."""
+    emb = _rag_chunk_embeddings(spark, sf_dir)
+    anchors = emb.filter(
+        (F.col("doc_id") < _EP13_ANCHORS) & (F.col("chunk_idx") == 0)
+    ).select(F.col("doc_id").alias("a_doc"), F.col("v").alias("va"))
+    scored = emb.join(
+        F.broadcast(anchors),
+        ~((F.col("doc_id") == F.col("a_doc")) & (F.col("chunk_idx") == 0)),
+    ).select(
+        "a_doc",
+        F.col("doc_id").alias("c_doc"),
+        F.col("chunk_idx").alias("c_chunk"),
+        (F.col("doc_id") == F.col("a_doc")).alias("is_pos"),
+        V.cosine(F.col("va"), F.col("v")).alias("cos"),
+    )
+    w = Window.partitionBy("a_doc", "is_pos").orderBy(
+        F.col("cos").desc(), F.col("c_doc").asc(), F.col("c_chunk").asc()
+    )
+    kept = (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(
+            (F.col("is_pos") & (F.col("rnk") == 1))
+            | (~F.col("is_pos") & (F.col("rnk") <= _EP13_NEGS))
+        )
+        .localCheckpoint(eager=True)
+    )
+    pos = kept.filter(F.col("is_pos")).select(
+        "a_doc",
+        F.col("c_chunk").alias("pos_chunk"),
+        F.col("cos").alias("pos_cos"),
+    )
+    neg = kept.filter(~F.col("is_pos")).select(
+        "a_doc",
+        F.col("rnk").alias("neg_rank"),
+        F.col("c_doc").alias("neg_doc"),
+        F.col("c_chunk").alias("neg_chunk"),
+        F.col("cos").alias("neg_cos"),
+    )
+    return neg.join(pos, "a_doc").select(
+        F.col("a_doc").alias("anchor_doc"),
+        "pos_chunk",
+        "pos_cos",
+        "neg_rank",
+        "neg_doc",
+        "neg_chunk",
+        "neg_cos",
+        (F.col("pos_cos") - F.col("neg_cos")).alias("margin"),
+    )

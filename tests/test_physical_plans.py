@@ -783,3 +783,26 @@ def test_apply_vocab_broadcast_lookup(spark, sf_dir):
     for r in rows:
         assert r.n_tokens_bpe <= r.n_chars_alpha, r
         assert r.compression_milli >= 1000, r
+
+
+def test_contrastive_pairs_shape(spark, sf_dir):
+    """ep13_contrastive_pairs: the pos/neg legs read the PINNED kept
+    frame (one scoring pass, one ranking shuffle — the
+    ann_hard_negatives shape over the chunk-embedding builders);
+    positives are co-document crops, negatives cross-document, and
+    margins are exact pos-neg differences."""
+    from collections import Counter
+
+    from innercircle_etl_spark.plans.similarity_queries import _EP13_NEGS
+
+    df = QUERIES["ep13_contrastive_pairs"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
+    rows = df.collect()
+    assert rows
+    per_anchor = Counter(r.anchor_doc for r in rows)
+    assert all(n <= _EP13_NEGS for n in per_anchor.values()), per_anchor
+    for r in rows:
+        assert r.neg_doc != r.anchor_doc, r  # negatives cross-document
+        assert r.margin == r.pos_cos - r.neg_cos, r
