@@ -141,7 +141,11 @@ _PRIORITY = [
     # composite (chunk -> hash-embed -> co-document positives +
     # cross-document hard negatives + margins) ----
     "ep13_contrastive_pairs",
-    # ---- 42-50: the oldest remaining rows — 9 of the 45 whose
+    # ---- 42: NEW (first driver proof): bottom-k fixed-size
+    # deterministic sample (TakeOrderedAndProject — the mergeable
+    # bottom-k sketch shape) ----
+    "samp_bottomk_fixed",
+    # ---- 43-50: the oldest remaining rows — 8 of the 45 whose
     # newest green is round 6; streaming/upsert/source members first
     # (least exercised inside fresh composites); a12_rollup,
     # a13_grouped_agg_udf, a14_grouped_agg_udf, samp_weighted_
@@ -151,8 +155,8 @@ _PRIORITY = [
     # below, NOTES round-9 handoff) lead round 10 together with the
     # round-7 rows; graph_pagerank3, mm_av_frame_sample_udtf,
     # dedup_incremental_minhash, dedup_ngram_jaccard_w5,
-    # ep1_daily_pipeline, s15_partitioned_db_pull and s14_orc_
-    # roundtrip displaced past the window by the seven late
+    # ep1_daily_pipeline, s15_partitioned_db_pull, s14_orc_roundtrip
+    # and s13_compaction displaced past the window by the eight late
     # additions above ----
     "i6_watermark_window",
     "i7_stream_dedup",

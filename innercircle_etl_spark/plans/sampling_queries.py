@@ -588,3 +588,58 @@ def samp_unimax(spark: SparkSession, sf_dir: str) -> DataFrame:
             "epochs_milli"
         ),
     )
+
+
+# ------------------------------------------- bottom-k fixed sample
+
+_BOTTOMK = 100  # exact sample size
+
+_BOTTOMK_ORACLE = f"""
+WITH keyed AS (
+    SELECT doc_id, lang, source,
+           md5(CAST(doc_id AS VARCHAR) || text) AS h
+    FROM documents
+)
+SELECT doc_id, lang, source,
+       CAST(row_number() OVER (ORDER BY h ASC, doc_id ASC) AS INT)
+         AS sample_rank
+FROM keyed
+ORDER BY h ASC, doc_id ASC
+LIMIT {_BOTTOMK}
+"""
+
+
+@register("samp_bottomk_fixed", oracle=_BOTTOMK_ORACLE)
+def samp_bottomk_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k sampling (Cohen & Kaplan's bottom-k sketch, public):
+    an EXACTLY-k uniform sample — order every row by a content hash
+    and keep the k smallest. The fixed-size complement to
+    samp_stratified_hash's rate-based coin: eval carve-outs, human-
+    review batches and debug slices need a guaranteed size, and the
+    content-hash key keeps the chosen set identical across re-runs,
+    engines and partitionings (df.sample() is neither fixed-size nor
+    partitioning-stable). A bottom-k set is also MERGEABLE: the
+    bottom-k of a union is computable from per-shard bottom-k's —
+    exactly what TakeOrderedAndProject exploits.
+
+    Plan/scale: ONE scan; per-partition top-k heaps + a k-row final
+    merge (TakeOrderedAndProject — never a global sort of the
+    corpus). The rank window runs after the limit, over k rows.
+
+    Reference parity: beyond-reference (north-star extension)."""
+    docs = load(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.md5(
+            F.concat(F.col("doc_id").cast("string"), F.col("text"))
+        ).alias("h"),
+    )
+    top = keyed.orderBy(F.col("h").asc(), F.col("doc_id").asc()).limit(
+        _BOTTOMK
+    )
+    w = Window.orderBy(F.col("h").asc(), F.col("doc_id").asc())
+    return top.withColumn(
+        "sample_rank", F.row_number().over(w).cast("int")
+    ).select("doc_id", "lang", "source", "sample_rank")

@@ -806,3 +806,20 @@ def test_contrastive_pairs_shape(spark, sf_dir):
     for r in rows:
         assert r.neg_doc != r.anchor_doc, r  # negatives cross-document
         assert r.margin == r.pos_cos - r.neg_cos, r
+
+
+def test_bottomk_is_take_ordered(spark, sf_dir):
+    """samp_bottomk_fixed must compile to TakeOrderedAndProject
+    (per-partition k-heaps + k-row merge — the mergeable bottom-k
+    sketch shape), never a global sort, and return exactly k rows
+    with a contiguous 1..k rank."""
+    from innercircle_etl_spark.plans.sampling_queries import _BOTTOMK
+
+    df = QUERIES["samp_bottomk_fixed"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    rows = df.collect()
+    assert sorted(r.sample_rank for r in rows) == list(
+        range(1, _BOTTOMK + 1)
+    )
