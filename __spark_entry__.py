@@ -145,7 +145,11 @@ _PRIORITY = [
     # deterministic sample (TakeOrderedAndProject — the mergeable
     # bottom-k sketch shape) ----
     "samp_bottomk_fixed",
-    # ---- 43-50: the oldest remaining rows — 8 of the 45 whose
+    # ---- 43: NEW (first driver proof): the image-text training-
+    # pair composite (phash dedup -> caption gate -> labeled
+    # verdicts — the multimodal ep) ----
+    "ep14_multimodal_pairs",
+    # ---- 44-50: the oldest remaining rows — 7 of the 45 whose
     # newest green is round 6; streaming/upsert/source members first
     # (least exercised inside fresh composites); a12_rollup,
     # a13_grouped_agg_udf, a14_grouped_agg_udf, samp_weighted_
@@ -155,9 +159,9 @@ _PRIORITY = [
     # below, NOTES round-9 handoff) lead round 10 together with the
     # round-7 rows; graph_pagerank3, mm_av_frame_sample_udtf,
     # dedup_incremental_minhash, dedup_ngram_jaccard_w5,
-    # ep1_daily_pipeline, s15_partitioned_db_pull, s14_orc_roundtrip
-    # and s13_compaction displaced past the window by the eight late
-    # additions above ----
+    # ep1_daily_pipeline, s15_partitioned_db_pull, s14_orc_roundtrip,
+    # s13_compaction and s12_corrupt_records displaced past the
+    # window by the nine late additions above ----
     "i6_watermark_window",
     "i7_stream_dedup",
     "i13_stream_cdc_apply",

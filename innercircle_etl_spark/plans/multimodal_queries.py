@@ -191,8 +191,9 @@ def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PHASH_T = 3  # max Hamming distance (64-bit signature)
 
-_PHASH_ORACLE = f"""
-WITH corpus AS ({DOC_MUT_CORPUS_SQL}
+# CTE body shared by the phash-pair oracle and ep14's composite
+# oracle (corpus -> byte stats -> 64 block sums -> 4x16-bit quarters).
+_PHASH_SIG_CTES = f"""corpus AS ({DOC_MUT_CORPUS_SQL}
 ),
 base AS (
     SELECT doc_id, text, length(text) AS L,
@@ -216,7 +217,9 @@ sig AS (
                    CASE WHEN 64 * bs[q * 16 + k + 1] > total
                         THEN (1 << k) ELSE 0 END), (x, y) -> x + y)) AS qs
     FROM blocks
-)
+)"""
+
+_PHASH_PAIRS_SELECT = f"""
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(bit_count(xor(a.qs[1], b.qs[1]))
           + bit_count(xor(a.qs[2], b.qs[2]))
@@ -228,6 +231,8 @@ WHERE bit_count(xor(a.qs[1], b.qs[1]))
     + bit_count(xor(a.qs[3], b.qs[3]))
     + bit_count(xor(a.qs[4], b.qs[4])) <= {_PHASH_T}
 """
+
+_PHASH_ORACLE = f"WITH {_PHASH_SIG_CTES}{_PHASH_PAIRS_SELECT}"
 
 
 @register("mm_dedup_phash", oracle=_PHASH_ORACLE)
@@ -348,4 +353,87 @@ def mm_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= _PHASH_T)
         .select("doc_a", "doc_b", "hamming")
         .distinct()
+    )
+
+
+# ----------------------- ep14: image-text training-pair composite
+
+_EP14_MIN_CAPTION = 16  # caption-quality floor (whitespace tokens)
+
+_EP14_ORACLE = f"""
+WITH {_PHASH_SIG_CTES},
+pairs AS ({_PHASH_PAIRS_SELECT}),
+dups AS (SELECT DISTINCT doc_b AS doc_id FROM pairs),
+caps AS (
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS image_bytes,
+           CAST(len(string_split(text, ' ')) AS INTEGER)
+             AS n_caption_tokens
+    FROM corpus
+    WHERE length(text) >= 64 AND strlen(text) = length(text)
+)
+SELECT c.doc_id, c.image_bytes, c.n_caption_tokens,
+       CASE WHEN d.doc_id IS NOT NULL THEN 'image_dup'
+            WHEN c.n_caption_tokens < {_EP14_MIN_CAPTION}
+              THEN 'bad_caption'
+            ELSE 'paired' END AS verdict
+FROM caps c LEFT JOIN dups d ON c.doc_id = d.doc_id
+"""
+
+
+@register("ep14_multimodal_pairs", oracle=_EP14_ORACLE)
+def ep14_multimodal_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-text TRAINING-PAIR build (the CLIP/LAION-style curation
+    recipe, public): every (image blob, caption) pair is gated in
+    production order — perceptual-hash near-dup removal keeps the
+    canonical (minimum-id) image of each near-identical group, then
+    a caption-quality floor drops pairs whose text is too short to
+    supervise — and every pair leaves labeled image_dup /
+    bad_caption / paired (the ep11/ep12 verdict discipline applied
+    to the multimodal family). Composes the registered
+    mm_dedup_phash (pigeonhole-blocked signature pairs, blobs never
+    shuffled) with the standard media fabrication.
+
+    Scale shape: the phash stage is ONE Arrow pass + quarter
+    equi-joins (no O(n²) anything); the dup-id set is id-only and
+    pinned (it feeds the verdict join while the caption stats come
+    from an independent corpus pass); caption stats are pure column
+    work. LAION-scale curation is exactly this DAG with real codecs
+    behind the same signature contract.
+
+    Reference parity: beyond-reference (north-star extension)."""
+    from innercircle_etl_spark.functions import text as TX
+    from innercircle_etl_spark.plans.planting import plant_mutated_docs
+
+    pairs = mm_dedup_phash(spark, sf_dir)
+    dups = (
+        pairs.select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        # id-only; pinned so the phash subtree runs exactly once
+        # even though the verdict join and any audit both read it
+        .localCheckpoint(eager=True)
+    )
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = plant_mutated_docs(docs).filter(
+        (F.length("text") >= 64)
+        & (F.octet_length("text") == F.length("text"))
+    )
+    caps = corpus.select(
+        "doc_id",
+        F.octet_length("text").cast("long").alias("image_bytes"),
+        TX.token_count(F.col("text")).alias("n_caption_tokens"),
+    )
+    return caps.join(
+        dups.withColumn("is_dup", F.lit(True)), "doc_id", "left"
+    ).select(
+        "doc_id",
+        "image_bytes",
+        "n_caption_tokens",
+        F.when(F.col("is_dup"), F.lit("image_dup"))
+        .when(
+            F.col("n_caption_tokens") < _EP14_MIN_CAPTION,
+            F.lit("bad_caption"),
+        )
+        .otherwise(F.lit("paired"))
+        .alias("verdict"),
     )

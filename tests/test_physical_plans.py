@@ -823,3 +823,27 @@ def test_bottomk_is_take_ordered(spark, sf_dir):
     assert sorted(r.sample_rank for r in rows) == list(
         range(1, _BOTTOMK + 1)
     )
+
+
+def test_multimodal_pairs_verdicts(spark, sf_dir):
+    """ep14_multimodal_pairs: exactly one verdict per pair, dups are
+    genuinely non-canonical (every image_dup doc has a smaller-id
+    phash partner), and the verdict join reads the PINNED dup-id set
+    (one phash execution). Blobs never appear in the output plan."""
+    from collections import Counter
+
+    df = QUERIES["ep14_multimodal_pairs"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
+    rows = df.collect()
+    assert rows
+    ids = [r.doc_id for r in rows]
+    assert len(ids) == len(set(ids)), "a pair got two verdicts"
+    verdicts = Counter(r.verdict for r in rows)
+    assert set(verdicts) <= {"image_dup", "bad_caption", "paired"}
+    assert verdicts["image_dup"] and verdicts["paired"], verdicts
+    pair_rows = QUERIES["mm_dedup_phash"](spark, sf_dir).collect()
+    dup_ids = {r.doc_b for r in pair_rows}
+    for r in rows:
+        assert (r.verdict == "image_dup") == (r.doc_id in dup_ids), r
