@@ -1529,6 +1529,40 @@ def ep10_rag_retrieval_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+_TOPK_SALT = 32  # phase-1 buckets per (group) in salted two-phase top-k
+
+
+def _salted_topk_rank(scored, part_cols, order_cols, k_max):
+    """Two-phase top-k rank — the w4b global-rank discipline applied
+    to per-group top-k: a plain window over (group) makes ONE reducer
+    sort every scored row of that group (with a fixed anchor batch
+    that is the whole corpus per anchor — the thing that dies at
+    100 TB). Phase 1 ranks within (group, salt) — parallelism =
+    |groups| x _TOPK_SALT — and keeps each bucket's top-k_max; phase
+    2 ranks the <= _TOPK_SALT * k_max survivors per group. Global
+    top-k == top-k of the per-bucket top-ks under ANY salt
+    assignment, so the salt hash need not be engine-portable
+    (xxhash64 is fine: it never reaches the result).
+
+    Returns ``scored`` + a ``rank`` column (phase-2 row_number over
+    ``order_cols`` within ``part_cols``), pre-filtered to
+    rank <= k_max."""
+    salt = F.pmod(F.xxhash64(*part_cols, *(
+        c for c in scored.columns if c not in part_cols
+    )), F.lit(_TOPK_SALT))
+    w1 = Window.partitionBy(*part_cols, "__salt").orderBy(*order_cols)
+    w2 = Window.partitionBy(*part_cols).orderBy(*order_cols)
+    return (
+        scored.withColumn("__salt", salt)
+        .withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= k_max)
+        .withColumn("rank", F.row_number().over(w2).cast("int"))
+        .filter(F.col("rank") <= k_max)
+        .drop("__salt", "__r1")
+    )
+
+
 # ------------------------------------- contrastive triplet mining
 
 _HN_ANCHORS = 40  # anchor batch size (FIXED — not corpus-proportional)
@@ -1593,7 +1627,10 @@ def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     The corpus is scored in ONE pass and ranked in ONE shuffle keyed
     on (anchor, is_neg) — positives and negatives come out of the
     same window, no second corpus pass (an is_neg flag in the
-    partition key beats two windows over two filtered copies). The
+    partition key beats two windows over two filtered copies), and
+    the ranking is the SALTED two-phase top-k (_salted_topk_rank —
+    a plain per-anchor window would sort the whole scored corpus on
+    one reducer per anchor at 100 TB). The
     kept frame (≤ {_HN_NEGS}+1 rows per anchor) is pinned before the
     pos×neg join, which AQE broadcasts. This exact scorer is the
     recall baseline; at 100 TB the candidate set would come from the
@@ -1622,11 +1659,13 @@ def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("label") != F.col("anchor_label")).alias("is_neg"),
         V.cosine(F.col("va"), F.col("v")).alias("cos"),
     )
-    w = Window.partitionBy("anchor_id", "is_neg").orderBy(
-        F.col("cos").desc(), F.col("cand_id").asc()
-    )
     kept = (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        _salted_topk_rank(
+            scored,
+            ["anchor_id", "is_neg"],
+            [F.col("cos").desc(), F.col("cand_id").asc()],
+            _HN_NEGS,
+        )
         .filter(
             (F.col("is_neg") & (F.col("rank") <= _HN_NEGS))
             | (~F.col("is_neg") & (F.col("rank") == 1))
@@ -1721,7 +1760,8 @@ def ep13_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf1 lesson), so scoring is one linear corpus pass against a
     broadcast batch; ONE ranking shuffle with is_pos inside the
     window partition key serves both the positive and negative legs
-    (the ann_hard_negatives shape, reused deliberately); the kept
+    (the ann_hard_negatives shape, reused deliberately — including
+    its salted two-phase top-k ranking); the kept
     frame (≤ {_EP13_NEGS}+1 rows per anchor) is pinned before the
     AQE-broadcast pos×neg join. Anchors whose doc has a single
     chunk drop out in BOTH engines (inner join to pos). The hash
@@ -1743,11 +1783,18 @@ def ep13_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") == F.col("a_doc")).alias("is_pos"),
         V.cosine(F.col("va"), F.col("v")).alias("cos"),
     )
-    w = Window.partitionBy("a_doc", "is_pos").orderBy(
-        F.col("cos").desc(), F.col("c_doc").asc(), F.col("c_chunk").asc()
-    )
     kept = (
-        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        _salted_topk_rank(
+            scored,
+            ["a_doc", "is_pos"],
+            [
+                F.col("cos").desc(),
+                F.col("c_doc").asc(),
+                F.col("c_chunk").asc(),
+            ],
+            _EP13_NEGS,
+        )
+        .withColumnRenamed("rank", "rnk")
         .filter(
             (F.col("is_pos") & (F.col("rnk") == 1))
             | (~F.col("is_pos") & (F.col("rnk") <= _EP13_NEGS))

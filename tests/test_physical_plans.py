@@ -847,3 +847,58 @@ def test_multimodal_pairs_verdicts(spark, sf_dir):
     dup_ids = {r.doc_b for r in pair_rows}
     for r in rows:
         assert (r.verdict == "image_dup") == (r.doc_id in dup_ids), r
+
+
+def test_salted_topk_two_phase(spark, sf_dir):
+    """_salted_topk_rank (used by ann_hard_negatives and ep13) must
+    produce the two-phase shape: one exchange keyed (group, __salt)
+    that does the corpus-sized sort in _TOPK_SALT-way parallel
+    buckets, then one keyed (group) that ranks only the <= S*k
+    survivors — and its result must equal the naive single-window
+    top-k exactly (salt never reaches values)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from innercircle_etl_spark.functions import vectors as V
+    from innercircle_etl_spark.plans.registry import load
+    from innercircle_etl_spark.plans.similarity_queries import (
+        _HN_ANCHORS,
+        _salted_topk_rank,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", V.as_double(F.col("embedding")).alias("v"))
+    anchors = e.filter(F.col("vec_id") < _HN_ANCHORS).select(
+        F.col("vec_id").alias("anchor_id"), F.col("v").alias("va")
+    )
+    scored = e.join(
+        F.broadcast(anchors), F.col("vec_id") != F.col("anchor_id")
+    ).select(
+        "anchor_id",
+        F.col("vec_id").alias("cand_id"),
+        V.cosine(F.col("va"), F.col("v")).alias("cos"),
+    )
+    order = [F.col("cos").desc(), F.col("cand_id").asc()]
+    salted = _salted_topk_rank(scored, ["anchor_id"], order, 3)
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    exchanges = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln
+    ]
+    assert any("__salt" in ln for ln in exchanges), plan
+    assert any(
+        "anchor_id" in ln and "__salt" not in ln for ln in exchanges
+    ), plan
+    w = Window.partitionBy("anchor_id").orderBy(*order)
+    naive = (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+    )
+    got = sorted(
+        (r.anchor_id, r.rank, r.cand_id, r.cos) for r in salted.collect()
+    )
+    want = sorted(
+        (r.anchor_id, r.rank, r.cand_id, r.cos) for r in naive.collect()
+    )
+    assert got == want
