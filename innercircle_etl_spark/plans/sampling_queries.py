@@ -601,10 +601,10 @@ WITH keyed AS (
     FROM documents
 )
 SELECT doc_id, lang, source,
-       CAST(row_number() OVER (ORDER BY h ASC, doc_id ASC) AS INT)
-         AS sample_rank
+       CAST(row_number() OVER (ORDER BY h ASC NULLS LAST, doc_id ASC)
+         AS INT) AS sample_rank
 FROM keyed
-ORDER BY h ASC, doc_id ASC
+ORDER BY h ASC NULLS LAST, doc_id ASC
 LIMIT {_BOTTOMK}
 """
 
@@ -636,10 +636,15 @@ def samp_bottomk_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.col("doc_id").cast("string"), F.col("text"))
         ).alias("h"),
     )
-    top = keyed.orderBy(F.col("h").asc(), F.col("doc_id").asc()).limit(
-        _BOTTOMK
-    )
-    w = Window.orderBy(F.col("h").asc(), F.col("doc_id").asc())
+    # NULLS LAST on both engines: Spark's asc() is NULLS FIRST but
+    # DuckDB's ASC is NULLS LAST — a NULL text (NULL md5) would
+    # otherwise enter the sample on one engine and miss it on the
+    # other (latent today: fixtures carry no NULL text; the phash
+    # ASCII-gate lesson applied to ordering)
+    top = keyed.orderBy(
+        F.col("h").asc_nulls_last(), F.col("doc_id").asc()
+    ).limit(_BOTTOMK)
+    w = Window.orderBy(F.col("h").asc_nulls_last(), F.col("doc_id").asc())
     return top.withColumn(
         "sample_rank", F.row_number().over(w).cast("int")
     ).select("doc_id", "lang", "source", "sample_rank")

@@ -1180,17 +1180,25 @@ _RAG_Q_MOD = 97  # every 97th doc's chunks are the query set
 _RAG_K = 3  # retrieved neighbors per query chunk
 
 
+# The hash-embedding CTE shared verbatim by every oracle that scores
+# chunk embeddings (_rag_oracle, _rag_ann_oracle, _ep13_oracle) — the
+# SQL twin of _rag_chunk_embeddings. ONE definition: an embedding-
+# recipe change that missed a pasted copy would silently diverge an
+# oracle from the shared Spark builder it verifies.
+_RAG_EMB_CTE = f"""emb AS (
+    SELECT doc_id, chunk_idx,
+           list_transform(generate_series(1, {_RAG_D}),
+               k -> CAST(ascii(substr(md5(chunk_text), k, 1)) AS DOUBLE)
+                    - 75.0) AS v
+    FROM chunks)"""
+
+
 def _rag_oracle() -> str:
     from innercircle_etl_spark.plans.text_queries import CHUNK_CTES_SQL
 
     return f"""
 WITH {CHUNK_CTES_SQL},
-emb AS (
-    SELECT doc_id, chunk_idx,
-           list_transform(generate_series(1, {_RAG_D}),
-               k -> CAST(ascii(substr(md5(chunk_text), k, 1)) AS DOUBLE)
-                    - 75.0) AS v
-    FROM chunks),
+{_RAG_EMB_CTE},
 q AS (SELECT * FROM emb WHERE doc_id % {_RAG_Q_MOD} = 0),
 scored AS (
     SELECT q.doc_id AS q_doc, q.chunk_idx AS q_chunk,
@@ -1217,7 +1225,7 @@ def _rag_chunk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles and scores value-hash across engines). The ONE place the
     embedding recipe lives on the Python side — ep10_rag_retrieval
     and rag_ann_topk both consume it; the oracles' SQL twin is the
-    `emb` CTE in _rag_oracle/_rag_ann_oracle. Swap in a real encoder
+    shared _RAG_EMB_CTE constant. Swap in a real encoder
     behind the same (doc_id, chunk_idx, v) contract."""
     from innercircle_etl_spark.plans.text_queries import (
         text_chunk_windows,
@@ -1380,12 +1388,7 @@ WITH exact AS (
 ann AS (
     SELECT q_doc, q_chunk, m_doc, m_chunk FROM (
         WITH {CHUNK_CTES_SQL},
-        emb AS (
-            SELECT doc_id, chunk_idx,
-                   list_transform(generate_series(1, {_RAG_D}),
-                       k -> CAST(ascii(substr(md5(chunk_text), k, 1))
-                            AS DOUBLE) - 75.0) AS v
-            FROM chunks),
+        {_RAG_EMB_CTE},
         b AS (
             SELECT doc_id, chunk_idx, v,
                    CAST({{BUCKET}} AS INTEGER) AS bucket
@@ -1548,6 +1551,12 @@ def _salted_topk_rank(scored, part_cols, order_cols, k_max):
     Returns ``scored`` + a ``rank`` column (phase-2 row_number over
     ``order_cols`` within ``part_cols``), pre-filtered to
     rank <= k_max."""
+    assert all(isinstance(c, str) for c in part_cols), (
+        "part_cols must be column NAMES (the salt expression and the "
+        "membership test below assume strings)"
+    )
+    reserved = {"rank", "__salt", "__r1"} & set(scored.columns)
+    assert not reserved, f"scored already carries {reserved}"
     salt = F.pmod(F.xxhash64(*part_cols, *(
         c for c in scored.columns if c not in part_cols
     )), F.lit(_TOPK_SALT))
@@ -1560,6 +1569,26 @@ def _salted_topk_rank(scored, part_cols, order_cols, k_max):
         .withColumn("rank", F.row_number().over(w2).cast("int"))
         .filter(F.col("rank") <= k_max)
         .drop("__salt", "__r1")
+    )
+
+
+def _mine_pos_neg(scored, group_col, order_cols, n_negs):
+    """Shared mining skeleton (ann_hard_negatives and ep13): the
+    scored frame must carry an ``is_neg`` boolean; per group keep
+    the rank-1 positive and the top-``n_negs`` negatives, ranked by
+    ``order_cols`` through the salted two-phase top-k, and PIN the
+    kept frame (<= n_negs+1 rows per group) — the pos and neg legs
+    both read it, and without the checkpoint each would re-run the
+    corpus scoring pass (the racing-consumer lesson)."""
+    return (
+        _salted_topk_rank(
+            scored, [group_col, "is_neg"], order_cols, max(n_negs, 1)
+        )
+        .filter(
+            (F.col("is_neg") & (F.col("rank") <= n_negs))
+            | (~F.col("is_neg") & (F.col("rank") == 1))
+        )
+        .localCheckpoint(eager=True)
     )
 
 
@@ -1659,21 +1688,11 @@ def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("label") != F.col("anchor_label")).alias("is_neg"),
         V.cosine(F.col("va"), F.col("v")).alias("cos"),
     )
-    kept = (
-        _salted_topk_rank(
-            scored,
-            ["anchor_id", "is_neg"],
-            [F.col("cos").desc(), F.col("cand_id").asc()],
-            _HN_NEGS,
-        )
-        .filter(
-            (F.col("is_neg") & (F.col("rank") <= _HN_NEGS))
-            | (~F.col("is_neg") & (F.col("rank") == 1))
-        )
-        # ≤ 4 rows per anchor — pinned because pos and neg legs both
-        # read it (racing-consumer lesson; re-running would re-score
-        # the corpus twice)
-        .localCheckpoint(eager=True)
+    kept = _mine_pos_neg(
+        scored,
+        "anchor_id",
+        [F.col("cos").desc(), F.col("cand_id").asc()],
+        _HN_NEGS,
     )
     pos = kept.filter(~F.col("is_neg")).select(
         "anchor_id",
@@ -1708,12 +1727,7 @@ def _ep13_oracle() -> str:
 
     return f"""
 WITH {CHUNK_CTES_SQL},
-emb AS (
-    SELECT doc_id, chunk_idx,
-           list_transform(generate_series(1, {_RAG_D}),
-               k -> CAST(ascii(substr(md5(chunk_text), k, 1)) AS DOUBLE)
-                    - 75.0) AS v
-    FROM chunks),
+{_RAG_EMB_CTE},
 a AS (SELECT doc_id AS a_doc, v AS va FROM emb
       WHERE doc_id < {_EP13_ANCHORS} AND chunk_idx = 0),
 scored AS (
@@ -1780,33 +1794,25 @@ def ep13_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "a_doc",
         F.col("doc_id").alias("c_doc"),
         F.col("chunk_idx").alias("c_chunk"),
-        (F.col("doc_id") == F.col("a_doc")).alias("is_pos"),
+        (F.col("doc_id") != F.col("a_doc")).alias("is_neg"),
         V.cosine(F.col("va"), F.col("v")).alias("cos"),
     )
-    kept = (
-        _salted_topk_rank(
-            scored,
-            ["a_doc", "is_pos"],
-            [
-                F.col("cos").desc(),
-                F.col("c_doc").asc(),
-                F.col("c_chunk").asc(),
-            ],
-            _EP13_NEGS,
-        )
-        .withColumnRenamed("rank", "rnk")
-        .filter(
-            (F.col("is_pos") & (F.col("rnk") == 1))
-            | (~F.col("is_pos") & (F.col("rnk") <= _EP13_NEGS))
-        )
-        .localCheckpoint(eager=True)
-    )
-    pos = kept.filter(F.col("is_pos")).select(
+    kept = _mine_pos_neg(
+        scored,
+        "a_doc",
+        [
+            F.col("cos").desc(),
+            F.col("c_doc").asc(),
+            F.col("c_chunk").asc(),
+        ],
+        _EP13_NEGS,
+    ).withColumnRenamed("rank", "rnk")
+    pos = kept.filter(~F.col("is_neg")).select(
         "a_doc",
         F.col("c_chunk").alias("pos_chunk"),
         F.col("cos").alias("pos_cos"),
     )
-    neg = kept.filter(~F.col("is_pos")).select(
+    neg = kept.filter(F.col("is_neg")).select(
         "a_doc",
         F.col("rnk").alias("neg_rank"),
         F.col("c_doc").alias("neg_doc"),
