@@ -659,3 +659,56 @@ def w12_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ----------------------------------------------- w13: exact EWMA
+
+_EWMA_ORACLE = """
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       list_reduce(list(value ORDER BY ts, event_id),
+                   (acc, x) -> acc * 0.5 + x * 0.5) AS ewma
+FROM events
+GROUP BY user_id
+"""
+
+
+@register("w13_ewma", oracle=_EWMA_ORACLE)
+def w13_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W13 (beyond-parity): exponentially weighted moving average of
+    each user's event values — the time-decayed feature/monitoring
+    statistic the window family lacked (w7's rolling mean weights
+    uniformly; EWMA discounts by recency). alpha is fixed at 0.5:
+    multiplication by 0.5 is EXACT in binary floating point
+    (exponent decrement), so the only rounding in the fold is the
+    addition — and both engines run the IDENTICAL left-to-right
+    sequential fold (DuckDB list_reduce seeds the accumulator with
+    the first element; Spark's aggregate over slice(2..) with
+    arr[0] as init is the same recurrence, ewma_1 = x_1), so the
+    result is bit-identical, not approximately equal. Ordering is
+    total via (ts, event_id).
+
+    Scale shape: ONE user-keyed shuffle; the sort and fold happen
+    inside the aggregate's collect+sort_array per user (bounded by
+    per-user event counts, like seq_funnel_states); no window, no
+    join, no UDF.
+
+    Reference parity: beyond-reference (north-star extension)."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(ts, event_id,"
+            " value))), s -> s.value)"
+        ).alias("vals"),
+    )
+    return per_user.select(
+        "user_id",
+        "n_events",
+        F.expr(
+            "aggregate(slice(vals, 2, size(vals) - 1), vals[0],"
+            " (acc, x) -> acc * 0.5D + x * 0.5D)"
+        ).alias("ewma"),
+    )

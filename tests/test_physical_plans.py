@@ -902,3 +902,46 @@ def test_salted_topk_two_phase(spark, sf_dir):
         (r.anchor_id, r.rank, r.cand_id, r.cos) for r in naive.collect()
     )
     assert got == want
+
+
+def test_ewma_single_shuffle_fold(spark, sf_dir):
+    """w13_ewma: ONE user-keyed shuffle, the fold is codegen'd
+    column work (no window, no join, no Python UDF), and the fold
+    semantics hold: a single-event user's ewma IS that value, and
+    every ewma lies within its user's [min, max] value range."""
+    from innercircle_etl_spark.plan_text import real_shuffle_exchanges
+
+    plan = plan_of(spark, sf_dir, "w13_ewma")
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    ex = real_shuffle_exchanges(plan)
+    assert len(ex) == 1 and "hashpartitioning(user_id" in ex[0], ex
+    df = QUERIES["w13_ewma"](spark, sf_dir)
+    from pyspark.sql import functions as F
+
+    from innercircle_etl_spark.plans.registry import load
+    ev = load(spark, sf_dir, "events").groupBy("user_id").agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    bad = (
+        df.join(ev, "user_id")
+        .filter((F.col("ewma") < F.col("lo")) | (F.col("ewma") > F.col("hi")))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_triangles_oriented_wedges(spark, sf_dir):
+    """graph_triangles: the wedge and closing joins are equi-joins
+    (never cartesian), the pinned edge/orientation frames are built
+    once (Scan ExistingRDD), and the counts satisfy the graph
+    identities: 3*triangles <= wedges and closure_ppm matches the
+    integer formula."""
+    df = QUERIES["graph_triangles"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
+    r = df.collect()[0]
+    assert r.n_nodes > 0 and r.n_edges > 0 and r.n_triangles > 0
+    assert 3 * r.n_triangles <= r.n_wedges
+    assert r.closure_ppm == 3 * r.n_triangles * 1000000 // r.n_wedges
