@@ -184,11 +184,13 @@ _PRIORITY = [
     "a12_rollup",
     "a13_grouped_pandas_stats",
     "a14_grouped_agg_udf",
-    # ---- 51-52: registered AFTER the window fills (first driver
+    # ---- 51-53: registered AFTER the window fills (first driver
     # proof lands in round 10 — no freshness displacement): exact
-    # bit-identical EWMA fold and degree-oriented triangle count ----
+    # bit-identical EWMA fold, degree-oriented triangle count, and
+    # the FK referential-integrity audit ----
     "w13_ewma",
     "graph_triangles",
+    "q5_referential_integrity",
     # ---- rotation pool (advisory order; past the 50-slot window).
     # First the 23 r6 rows that did not fit (p12_null_safe_eq/
     # f7_array_hof/t4_pivot/t5_unpivot displaced by the four new

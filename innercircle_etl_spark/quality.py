@@ -495,3 +495,80 @@ def q4_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return profile("l_partkey").unionByName(profile("l_suppkey"))
+
+
+_Q5_ORACLE = """
+SELECT 'lineitem.l_orderkey->orders' AS relation,
+       CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_child,
+       CAST((SELECT COUNT(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey))
+         AS BIGINT) AS n_orphans
+UNION ALL
+SELECT 'orders.o_custkey->customer',
+       (SELECT COUNT(*) FROM orders),
+       (SELECT COUNT(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey))
+UNION ALL
+SELECT 'customer.c_nationkey->nation',
+       (SELECT COUNT(*) FROM customer),
+       (SELECT COUNT(*) FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM nation n
+                          WHERE n.n_nationkey = c.c_nationkey))
+UNION ALL
+SELECT 'lineitem.l_partkey->part',
+       (SELECT COUNT(*) FROM lineitem),
+       (SELECT COUNT(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM part p
+                          WHERE p.p_partkey = l.l_partkey))
+UNION ALL
+SELECT 'lineitem.l_suppkey->supplier',
+       (SELECT COUNT(*) FROM lineitem),
+       (SELECT COUNT(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                          WHERE s.s_suppkey = l.l_suppkey))
+"""
+
+
+@register("q5_referential_integrity", oracle=_Q5_ORACLE)
+def q5_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 (beyond-parity): referential-integrity audit — orphan
+    counts for every foreign-key relation in the star schema, the
+    daily-load tripwire q1-q4 stop short of (a load that drops a
+    dimension partition shows up here before any join silently
+    shrinks). Each relation is one LEFT ANTI join counted: the anti
+    side is the dimension's key column only, so every small
+    dimension broadcasts and the fact table is scanned once per
+    relation with the key column pruned.
+
+    Reference parity: the reference's validation corpus checks row
+    counts and nulls (SURVEY §5); FK orphan auditing is the
+    beyond-parity completion of that family."""
+    def orphans(child: str, ckey: str, parent: str, pkey: str):
+        c = load(spark, sf_dir, child).select(F.col(ckey).alias("k"))
+        p = (
+            load(spark, sf_dir, parent)
+            .select(F.col(pkey).alias("k"))
+            .withColumn("__hit", F.lit(1))
+        )
+        # ONE pass: left join to the broadcast key set + conditional
+        # count (the first cut aggregated child and anti-join counts
+        # as two separate 1-row frames cross-joined per relation —
+        # 65 s of tiny-job scheduling at sf0.01; this form is one
+        # job per relation)
+        return c.join(F.broadcast(p), "k", "left").agg(
+            F.lit(f"{child}.{ckey}->{parent}").alias("relation"),
+            F.count(F.lit(1)).cast("long").alias("n_child"),
+            F.count(F.when(F.col("__hit").isNull(), 1))
+            .cast("long")
+            .alias("n_orphans"),
+        )
+
+    return (
+        orphans("lineitem", "l_orderkey", "orders", "o_orderkey")
+        .unionByName(orphans("orders", "o_custkey", "customer", "c_custkey"))
+        .unionByName(orphans("customer", "c_nationkey", "nation", "n_nationkey"))
+        .unionByName(orphans("lineitem", "l_partkey", "part", "p_partkey"))
+        .unionByName(orphans("lineitem", "l_suppkey", "supplier", "s_suppkey"))
+    )

@@ -945,3 +945,18 @@ def test_triangles_oriented_wedges(spark, sf_dir):
     assert r.n_nodes > 0 and r.n_edges > 0 and r.n_triangles > 0
     assert 3 * r.n_triangles <= r.n_wedges
     assert r.closure_ppm == 3 * r.n_triangles * 1000000 // r.n_wedges
+
+
+def test_referential_audit_broadcasts_dims(spark, sf_dir):
+    """q5_referential_integrity: every FK audit leg is a broadcast
+    join of the dimension key set against one fact scan + one
+    conditional-count aggregate — no shuffle of any fact table on a
+    key it doesn't need; zero orphans on the intact fixture."""
+    df = QUERIES["q5_referential_integrity"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 5, plan
+    rows = df.collect()
+    assert len(rows) == 5
+    assert all(r.n_orphans == 0 for r in rows), rows
+    assert all(r.n_child > 0 for r in rows), rows
