@@ -292,9 +292,10 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(
             deg.agg(
                 F.count(F.lit(1)).alias("n_nodes"),
-                F.sum(
-                    (F.col("d") * (F.col("d") - 1) / 2).cast("long")
-                ).alias("n_wedges"),
+                # BIGINT div, not float '/': a hub past ~9.5e7
+                # degree would round d*(d-1) in DOUBLE before the
+                # cast and diverge from the oracle's exact '//'
+                F.sum(F.expr("d * (d - 1) div 2")).alias("n_wedges"),
             )
         )
     )

@@ -537,10 +537,16 @@ def q5_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts for every foreign-key relation in the star schema, the
     daily-load tripwire q1-q4 stop short of (a load that drops a
     dimension partition shows up here before any join silently
-    shrinks). Each relation is one LEFT ANTI join counted: the anti
-    side is the dimension's key column only, so every small
-    dimension broadcasts and the fact table is scanned once per
-    relation with the key column pruned.
+    shrinks). Each relation is one left join
+    to the parent's DEDUPLICATED key set plus a conditional count
+    over a single pruned fact scan. The parent side is distinct (a
+    double-loaded dimension partition must not multiply child rows
+    — that would corrupt the very audit meant to catch it) and
+    deliberately UN-hinted: AQE broadcasts the genuinely small key
+    sets, while a fact-scaled parent (orders is 1:4 with lineitem —
+    billions of keys at 100 TB) shuffle-joins instead of OOMing the
+    driver with a forced broadcast (the text_boilerplate_scrub
+    convention).
 
     Reference parity: the reference's validation corpus checks row
     counts and nulls (SURVEY §5); FK orphan auditing is the
@@ -550,6 +556,7 @@ def q5_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         p = (
             load(spark, sf_dir, parent)
             .select(F.col(pkey).alias("k"))
+            .distinct()
             .withColumn("__hit", F.lit(1))
         )
         # ONE pass: left join to the broadcast key set + conditional
@@ -557,7 +564,7 @@ def q5_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         # as two separate 1-row frames cross-joined per relation —
         # 65 s of tiny-job scheduling at sf0.01; this form is one
         # job per relation)
-        return c.join(F.broadcast(p), "k", "left").agg(
+        return c.join(p, "k", "left").agg(
             F.lit(f"{child}.{ckey}->{parent}").alias("relation"),
             F.count(F.lit(1)).cast("long").alias("n_child"),
             F.count(F.when(F.col("__hit").isNull(), 1))

@@ -948,15 +948,17 @@ def test_triangles_oriented_wedges(spark, sf_dir):
 
 
 def test_referential_audit_broadcasts_dims(spark, sf_dir):
-    """q5_referential_integrity: every FK audit leg is a broadcast
-    join of the dimension key set against one fact scan + one
-    conditional-count aggregate — no shuffle of any fact table on a
-    key it doesn't need; zero orphans on the intact fixture."""
+    """q5_referential_integrity: each FK audit leg left-joins the
+    parent's DISTINCT key set (un-hinted — AQE broadcasts the small
+    ones at this scale; a fact-scaled parent may shuffle-join at
+    100 TB) + one conditional count; zero orphans on the intact
+    fixture. Collect first: AQE finalizes join strategies only on
+    execution."""
     df = QUERIES["q5_referential_integrity"](spark, sf_dir)
+    rows = df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
-    assert plan.count("BroadcastHashJoin") >= 5, plan
-    rows = df.collect()
+    assert plan.count("BroadcastHashJoin") >= 5, plan  # AQE, sf<=0.1
     assert len(rows) == 5
     assert all(r.n_orphans == 0 for r in rows), rows
     assert all(r.n_child > 0 for r in rows), rows
