@@ -26,8 +26,28 @@ def entry(spark: SparkSession) -> DataFrame:
     fact scan (SCALE.md round-7). Promoted from sf0.001 in round 8
     (verdict stretch item): measured cold-process wall including JVM
     startup is ~18 s, well inside the driver's smoke budget, and the
-    smoke now exercises the flagship at 100x the smallest fixture."""
-    return QUERIES["ep3_roi_cascade"](spark, "/root/testdata/sf0.1")
+    smoke now exercises the flagship at 100x the smallest fixture.
+
+    Round 10 (verdict stretch item 8): the smoke ASSERTS, not just
+    returns — a one-pass aggregate checks the result is non-empty
+    and that both rank columns start at 1 (a silent empty-result or
+    rank-off-by-one regression trips here, before the oracle sweep).
+    The assert pass runs the DAG once (~2.5 s warm-code at sf0.1);
+    the driver's collect of the returned frame re-runs it warm."""
+    df = QUERIES["ep3_roi_cascade"](spark, "/root/testdata/sf0.1")
+    from pyspark.sql import functions as F
+
+    chk = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("wallet_rank").alias("wr"),
+        F.min("coll_rank").alias("cr"),
+    ).collect()[0]
+    assert chk.n > 0, "ep3 smoke: empty result"
+    assert chk.wr == 1 and chk.cr == 1, (
+        f"ep3 smoke: rank floor regressed (wallet_rank min {chk.wr},"
+        f" coll_rank min {chk.cr})"
+    )
+    return df
 
 
 # Verification priority. Round-1's driver recorded rows for exactly
@@ -40,135 +60,25 @@ def entry(spark: SparkSession) -> DataFrame:
 # not listed (or not yet registered) keep registration order at the
 # end — the list is advisory, never a filter.
 _PRIORITY = [
-    # ---- positions 1-19 (round 9): the freshness rotation leaders —
-    # every registry query whose newest driver-green row is round 5
-    # (the only rows older than 3 rounds; staged at 51-69 last round,
-    # displaced then by the round-8 changed-plan re-proofs). With
-    # these green, every row's newest green is >= r6 ----
-    "i3_streaming_snapshot",
-    "i3b_stateful_snapshot",
-    "i1_highwatermark_increment",
-    "i5_scd_flag_flip",
-    "i8_session_window",
-    "i9_stream_static_join",
-    "u4_truncate_rebuild",
-    "u12_cdc_apply",
-    "q3_outlier_zscores",
-    "p2_p3_time_range",
-    "f4_case_coalesce",
-    "w2_first_per_key",
-    "w3_topn_per_group",
-    "w4_global_rank",
-    "u2_merge_update",
-    "u5_conditional_flag",
-    "u6_date_gaps",
-    "u3_partition_delete_reload",
-    "s10_watermark",
-    # ---- 20-21: NEW this round (first driver proof): the fixed-size
-    # codebook IVF (k independent of corpus size — the scale-honest
-    # configuration the sf10 control measured, now under its own
-    # oracle) and ep10's sub-linear LSH candidate path under a
-    # recall-vs-exact oracle ----
-    "ann_ivf_fixed_k",
-    "ep10_rag_retrieval_ann",
-    # ---- 22-24: plan changed this round (per-sweep checkpoint
-    # release + end-of-query pin release in the label-propagation
-    # loop; the semantic-dedup body refactored into the shared
-    # parameterized builder) plus the second new query: the
-    # fixed-size-codebook control for the semantic-dedup family ----
-    "dedup_cluster_canonical",
-    "dedup_semantic_fixed_k",
-    "dedup_semantic_clusters",
-    # ---- 25-28: NEW (first driver proof): CCNet-style corpus-LM
-    # rarity filter (integer-quantized surprisal), the Bloom
-    # incremental exact-membership gate, batch gap sessionization,
-    # and the funnel state-machine fold (displace t5_unpivot,
-    # t4_pivot, f7_array_hof, p12_null_safe_eq — all r6-green — to
-    # the head of the round-10 pool) ----
-    "text_lm_rarity_filter",
-    "dedup_bloom_incremental",
-    "w12_sessionize",
-    "seq_funnel_states",
-    # ---- 29: NEW (first driver proof): the incremental-ingest
-    # dedup cascade composing the three batch-time gates (Bloom
-    # exact-membership -> banded-minhash near-dup probe ->
-    # corpus-LM rarity cull) into one labeled-verdict pass ----
-    "ep11_ingest_dedup",
-    # ---- 30: NEW (first driver proof): DSIR hashed-ngram
-    # importance selection (integer-quantized likelihood ratio,
-    # B-bounded models) ----
-    "samp_dsir_importance",
-    # ---- 31: NEW (first driver proof): the training-mix build
-    # composite (decontaminate -> DSIR select -> language rebalance
-    # -> shard pack, every pool doc labeled) ----
-    "ep12_training_mix",
-    # ---- 32: NEW (first driver proof): mT5/XLM-R temperature-
-    # scaled language mix (alpha=0.5 via the correctly-rounded
-    # sqrt; integer-quantized shares) ----
-    "samp_temperature_mix",
-    # ---- 33-34: NEW (first driver proof): semantic
-    # decontamination — asymmetric margin-multiprobe of train
-    # embeddings against the broadcast eval set — plus the
-    # re-proof of dedup_embedding_multiprobe, whose plan now
-    # routes through the shared _margin_keyed/_margin_probes
-    # builders the new query extracted (promoted from the pool;
-    # its later pool entry is shadowed by this first occurrence) ----
-    "decon_semantic_embeddings",
-    "dedup_embedding_multiprobe",
-    # ---- 35-36: NEW (first driver proof): the tokenizer-training
-    # family — BPE pair statistics (one corpus pass + vocabulary-
-    # bounded pair counts) and the 5-merge BPE trainer (distributed
-    # argmax + fenced-string greedy merge, both engines exact) ----
-    "tok_bpe_pair_stats",
-    "tok_bpe_merges",
-    # ---- 37: NEW (first driver proof): UniMax water-filling
-    # language-budget allocation (closed-form crossing in BIGINT
-    # div; broadcast 1-row crossing frame) ----
-    "samp_unimax",
-    # ---- 38: NEW (first driver proof): contrastive triplet mining
-    # (nearest same-label positive + 3 nearest different-label hard
-    # negatives + margins, one window with is_neg in the key) ----
-    "ann_hard_negatives",
-    # ---- 39: NEW (first driver proof): the BPE compression curve
-    # (per-merge corpus token totals via the shared _bpe_train
-    # loop — the evaluation half of tokenizer training) ----
-    "tok_bpe_compression",
-    # ---- 40: NEW (first driver proof): corpus-wide application of
-    # the trained tokenizer (broadcast vocab lookup, one doc-keyed
-    # sum — the deployment half) ----
-    "tok_apply_vocab",
-    # ---- 41: NEW (first driver proof): the contrastive-pair build
-    # composite (chunk -> hash-embed -> co-document positives +
-    # cross-document hard negatives + margins) ----
-    "ep13_contrastive_pairs",
-    # ---- 42: NEW (first driver proof): bottom-k fixed-size
-    # deterministic sample (TakeOrderedAndProject — the mergeable
-    # bottom-k sketch shape) ----
-    "samp_bottomk_fixed",
-    # ---- 43: NEW (first driver proof): the image-text training-
-    # pair composite (phash dedup -> caption gate -> labeled
-    # verdicts — the multimodal ep) ----
-    "ep14_multimodal_pairs",
-    # ---- 44-50: the oldest remaining rows — 7 of the 45 whose
-    # newest green is round 6; streaming/upsert/source members first
-    # (least exercised inside fresh composites); a12_rollup,
-    # a13_grouped_agg_udf, a14_grouped_agg_udf, samp_weighted_
-    # resample, samp_stratified_hash and samp_epoch_shuffle
-    # displaced past the window by the six new/changed rows above —
-    # they and the others left over (listed in the rotation pool
-    # below, NOTES round-9 handoff) lead round 10 together with the
-    # round-7 rows; graph_pagerank3, mm_av_frame_sample_udtf,
-    # dedup_incremental_minhash, dedup_ngram_jaccard_w5,
-    # ep1_daily_pipeline, s15_partitioned_db_pull, s14_orc_roundtrip,
-    # s13_compaction and s12_corrupt_records displaced past the
-    # window by the nine late additions above ----
-    "i6_watermark_window",
-    "i7_stream_dedup",
-    "i13_stream_cdc_apply",
-    "u9_scd2_ranges",
-    "u10_incremental_agg",
-    "u11_dynamic_partition_overwrite",
-    "s11_schema_evolution",
+    # ================= ROUND-10 WINDOW: the full-registry freshness
+    # proof (round-9 verdict item 1). 182 registered queries rotate
+    # through a 50-slot driver window (~3.6-round period); this round
+    # every row whose newest driver green is r6, plus the 3 rows that
+    # have never run under the driver, fits in one window: positions
+    # 1-3 = the never-proven trio, 4-41 = all 38 r6-stale rows
+    # (oldest displacement first, per the NOTES round-9 handoff),
+    # 42-43 = this round's two new registrations, 44-50 = the seven
+    # stalest r7 rows. After this round no registry row's newest
+    # green is older than r7.
+    # ---- 1-3: registered past round-9's full window — first driver
+    # proof: exact bit-identical EWMA fold, degree-oriented triangle
+    # count, FK referential-integrity audit ----
+    "w13_ewma",
+    "graph_triangles",
+    "q5_referential_integrity",
+    # ---- 4-41: the 38 rows whose newest driver green is r6
+    # (verified against CORRECTNESS_r01..r09 at round-10 start;
+    # VERDICT r9 "What's missing" #1 lists the same set) ----
     "s12_corrupt_records",
     "s13_compaction",
     "s14_orc_roundtrip",
@@ -178,30 +88,18 @@ _PRIORITY = [
     "dedup_incremental_minhash",
     "graph_pagerank3",
     "mm_av_frame_sample_udtf",
-    "samp_stratified_hash",
-    "samp_epoch_shuffle",
-    "samp_weighted_resample",
-    "a12_rollup",
-    "a13_grouped_pandas_stats",
-    "a14_grouped_agg_udf",
-    # ---- 51-53: registered AFTER the window fills (first driver
-    # proof lands in round 10 — no freshness displacement): exact
-    # bit-identical EWMA fold, degree-oriented triangle count, and
-    # the FK referential-integrity audit ----
-    "w13_ewma",
-    "graph_triangles",
-    "q5_referential_integrity",
-    # ---- rotation pool (advisory order; past the 50-slot window).
-    # First the 23 r6 rows that did not fit (p12_null_safe_eq/
-    # f7_array_hof/t4_pivot/t5_unpivot displaced by the four new
-    # queries; ann_sq_adc and seq_event_assembly by the semantic
-    # re-proofs above) — they open round 10 ----
     "p12_null_safe_eq",
     "f7_array_hof",
     "t4_pivot",
     "t5_unpivot",
     "ann_sq_adc",
     "seq_event_assembly",
+    "samp_stratified_hash",
+    "samp_epoch_shuffle",
+    "samp_weighted_resample",
+    "a12_rollup",
+    "a13_grouped_pandas_stats",
+    "a14_grouped_agg_udf",
     "text_pii_scrub",
     "text_pack_shards",
     "text_train_eval_split",
@@ -219,8 +117,16 @@ _PRIORITY = [
     "w11_cohort_retention",
     "q2_column_profile",
     "q4_key_skew_report",
-    # ---- then the round-7 rows (stale-ness r7, fill round 10's
-    # remaining slots), then round-8 greens ----
+    # ---- 42-43: NEW this round (first driver proof): the
+    # DOULION-style edge-sampled triangle estimator (the 100TB
+    # relief valve for the registry's heaviest exact operator, under
+    # an oracle-checked accuracy contract) and the LSH-candidate
+    # hard-negative mining variant (recall-vs-exact oracle — the
+    # ep10_rag_retrieval_ann pattern applied to mining) ----
+    "graph_triangles_sampled",
+    "ann_hard_negatives_ann",
+    # ---- 44-50: the seven stalest r7 rows (the a* block; a8b and
+    # a11 lead the round-11 pool) ----
     "a1_count_distinct",
     "a1b_approx_distinct",
     "a3_sum_min_max_avg",
@@ -228,6 +134,9 @@ _PRIORITY = [
     "a6_having",
     "a7_conditional_agg",
     "a8_percentile_disc",
+    # ---- rotation pool (advisory order; past the 50-slot window).
+    # Round-11 leads here: the two r7 rows that missed 44-50, then
+    # the rest of the r7 block oldest-first, then r8, then r9 ----
     "a8b_approx_percentile",
     "a11_two_phase_agg",
     "a15_cms_heavy_hitters",
@@ -236,12 +145,8 @@ _PRIORITY = [
     "dedup_exact",
     "dedup_simhash",
     "dedup_edit_distance",
-    "dedup_embedding_multiprobe",
     "ann_cosine_topk",
     "ann_lsh_bucketed",
-    "ann_recall_at_k",
-    "ann_pq_adc",
-    "ann_lsh_multiprobe",
     "ep3_roi_cascade",
     "ep4_circles",
     "ep5_shadow_trade",
@@ -268,6 +173,55 @@ _PRIORITY = [
     "mm_av_frame_sample",
     "mm_image_resize",
     "text_repetition_quality",
+    # ---- r8 block ----
+    "a9_dedup_groupby",
+    "ann_ivf_lloyd",
+    "ann_ivf_probe",
+    "ann_lsh_multiprobe",
+    "ann_pq_adc",
+    "ann_recall_at_k",
+    "ann_recall_lloyd",
+    "d12_trade_decode_pipeline",
+    "d1_decode_log_price",
+    "d2_decode_calldata_token",
+    "dedup_embedding_cosine",
+    "dedup_minhash_lsh",
+    "dedup_minhash_recall",
+    "dedup_ngram_jaccard",
+    "dedup_shingle_containment",
+    "dedup_substring_spans",
+    "ep10_rag_retrieval",
+    "ep7_posts",
+    "ep8_corpus_pipeline",
+    "ep9_vector_index_pipeline",
+    "f1_string_funcs",
+    "f2_datetime_funcs",
+    "f3_math_decay",
+    "f5_array_access",
+    "f6_json_extract",
+    "i4_file_stream_exactly_once",
+    "j12_interval_bucket_join",
+    "j2_left_enrich",
+    "j4_left_anti",
+    "j5_left_semi",
+    "j6_double_anti",
+    "p1_project_arithmetic",
+    "p4_p5_inlist_like",
+    "p6_p7_membership",
+    "p8_p9_p10_null_blacklist",
+    "s2_s3_csv_roundtrip",
+    "s6_json_source",
+    "s8_rest_source",
+    "s9_rest_sink",
+    "t1_union_all_legs",
+    "t2_except",
+    "t3_intersect",
+    "text_bm25_search",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_quality_score",
+    "text_token_stats",
+    "x12_salted_agg",
 ]
 
 
