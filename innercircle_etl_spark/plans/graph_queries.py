@@ -150,22 +150,21 @@ def graph_pagerank3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------- degree-oriented triangles
 
-_TRI_ORACLE = """
-WITH cp AS (
-    SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
-),
-edges AS (
-    SELECT DISTINCT a.p AS u, b.p AS v
-    FROM cp a JOIN cp b ON a.o = b.o
-    WHERE a.p < b.p
-),
-deg AS (
+
+def _tri_block_sql(sfx: str, edges: str) -> str:
+    """The degree-orient-wedge-close SQL core, CTE names suffixed so
+    one oracle can instantiate it twice (the sampled query runs it on
+    the sampled edge set AND on the full set for its accuracy
+    contract). ``edges`` is the name of a prior CTE with (u, v)
+    columns, u < v, distinct."""
+    return f"""
+deg{sfx} AS (
     SELECT node, CAST(COUNT(*) AS BIGINT) AS d
-    FROM (SELECT u AS node FROM edges
-          UNION ALL SELECT v AS node FROM edges)
+    FROM (SELECT u AS node FROM {edges}
+          UNION ALL SELECT v AS node FROM {edges})
     GROUP BY node
 ),
-oriented AS (
+oriented{sfx} AS (
     SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END
              AS src,
            CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END
@@ -174,16 +173,27 @@ oriented AS (
              AS sd,
            CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN dv.d ELSE du.d END
              AS dd
-    FROM edges e JOIN deg du ON e.u = du.node
-                 JOIN deg dv ON e.v = dv.node
+    FROM {edges} e JOIN deg{sfx} du ON e.u = du.node
+                   JOIN deg{sfx} dv ON e.v = dv.node
 ),
-tri AS (
+tri{sfx} AS (
     SELECT COUNT(*) AS n_triangles
-    FROM oriented w1
-    JOIN oriented w2 ON w1.src = w2.src
-                    AND (w1.dd, w1.dst) < (w2.dd, w2.dst)
-    JOIN oriented c ON c.src = w1.dst AND c.dst = w2.dst
+    FROM oriented{sfx} w1
+    JOIN oriented{sfx} w2 ON w1.src = w2.src
+                         AND (w1.dd, w1.dst) < (w2.dd, w2.dst)
+    JOIN oriented{sfx} c ON c.src = w1.dst AND c.dst = w2.dst
+)"""
+
+
+_TRI_ORACLE = f"""
+WITH cp AS (
+    SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
 ),
+edges AS (
+    SELECT DISTINCT a.p AS u, b.p AS v
+    FROM cp a JOIN cp b ON a.o = b.o
+    WHERE a.p < b.p
+),{_tri_block_sql("", "edges")},
 stats AS (
     SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
            (SELECT COUNT(*) FROM edges) AS n_edges,
@@ -201,38 +211,18 @@ FROM stats, tri
 """
 
 
-@register("graph_triangles", oracle=_TRI_ORACLE)
-def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Degree-oriented triangle counting (Schank-Wagner orientation /
-    Suri-Vassilvitskii MapReduce form, both public) over the
-    market-basket graph: parts are connected when they co-occur in
-    the same order — the canonical co-occurrence projection, and
-    scale-honest WITHOUT any popularity cap because the per-order
-    fan-out is bounded by order SIZE (TPC-H orders carry <= 7
-    lineitems: <= 21 pairs per order, linear in lineitem). The
-    customer-side projection was rejected: on this fixture every
-    part has ~45 buyers, so that graph is near-complete — dense
-    projections need the frequency caps real co-occurrence
-    pipelines apply. Output: one row of graph
-    stats (nodes, edges, wedges, triangles, global closure in ppm —
-    the clustering coefficient as exact integer arithmetic).
-
-    The scale-critical step is the ORIENTATION: each undirected edge
-    points from its (degree, node)-smaller endpoint to the larger,
-    so every triangle is counted exactly once (the unique node with
-    two out-edges), and per-node out-degree is bounded by O(sqrt(m))
-    on any graph — the wedge self-join is therefore near-linear in
-    edges instead of sum-of-degrees-squared (a hub's d^2 wedge
-    blow-up never materializes; this is why plain wedge-join dies on
-    skewed graphs and oriented wedge-join does not).
-
-    Plan shape: edge build = one equi-join keyed on order (bounded
-    fan-out);
-    degrees = one groupBy; the wedge join and the closing-edge join
-    are equi-joins on node keys — no cartesian anywhere. All counts
-    BIGINT; closure is integer ppm -> hash-exact.
-
-    Reference parity: beyond-reference (north-star extension)."""
+def _part_cooccur_edges(
+    spark: SparkSession, sf_dir: str, keep_mod: int | None = None
+) -> DataFrame:
+    """Distinct undirected (u, v) edges (u < v) of the market-basket
+    part-co-occurrence graph, eagerly pinned (the edge build feeds
+    the degree agg AND the orientation join — racing-consumer
+    lesson). With ``keep_mod`` = P, each edge is kept iff the first
+    7 hex digits of md5("u|v") are ≡ 0 (mod P) — a DETERMINISTIC
+    uniform 1/P edge sample (the Bloom filter's engine-bit-identical
+    md5-slice device), applied BEFORE the distinct: the predicate
+    depends only on (u, v), so filter-then-distinct ≡
+    distinct-then-filter and the dedup shuffle shrinks by P too."""
     cp = (
         load(spark, sf_dir, "lineitem")
         .select(
@@ -240,16 +230,26 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = (
+    pairs = (
         cp.alias("a")
         .join(cp.alias("b"), "o")
         .filter(F.col("a.p") < F.col("b.p"))
         .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
-        .distinct()
-        # feeds the degree agg AND the orientation join — pin so the
-        # order-keyed pair join runs once (racing-consumer lesson)
-        .localCheckpoint(eager=True)
     )
+    if keep_mod is not None:
+        h = F.expr(
+            "cast(conv(substr(md5(concat(cast(u as string), '|',"
+            " cast(v as string))), 1, 7), 16, 10) as bigint)"
+        )
+        pairs = pairs.filter(h % keep_mod == 0)
+    return pairs.distinct().localCheckpoint(eager=True)
+
+
+def _oriented_triangles(edges: DataFrame):
+    """The degree-orient-wedge-close core shared by the exact count
+    and the DOULION-sampled estimator: returns (deg, tri) — the
+    per-node degree frame and the 1-row triangle count. ``edges``
+    must be distinct (u, v) with u < v, already pinned."""
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionByName(edges.select(F.col("v").alias("node")))
@@ -288,6 +288,43 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(closing, ["b", "c2"])
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+    return deg, tri
+
+
+@register("graph_triangles", oracle=_TRI_ORACLE)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-oriented triangle counting (Schank-Wagner orientation /
+    Suri-Vassilvitskii MapReduce form, both public) over the
+    market-basket graph: parts are connected when they co-occur in
+    the same order — the canonical co-occurrence projection, and
+    scale-honest WITHOUT any popularity cap because the per-order
+    fan-out is bounded by order SIZE (TPC-H orders carry <= 7
+    lineitems: <= 21 pairs per order, linear in lineitem). The
+    customer-side projection was rejected: on this fixture every
+    part has ~45 buyers, so that graph is near-complete — dense
+    projections need the frequency caps real co-occurrence
+    pipelines apply. Output: one row of graph
+    stats (nodes, edges, wedges, triangles, global closure in ppm —
+    the clustering coefficient as exact integer arithmetic).
+
+    The scale-critical step is the ORIENTATION: each undirected edge
+    points from its (degree, node)-smaller endpoint to the larger,
+    so every triangle is counted exactly once (the unique node with
+    two out-edges), and per-node out-degree is bounded by O(sqrt(m))
+    on any graph — the wedge self-join is therefore near-linear in
+    edges instead of sum-of-degrees-squared (a hub's d^2 wedge
+    blow-up never materializes; this is why plain wedge-join dies on
+    skewed graphs and oriented wedge-join does not).
+
+    Plan shape: edge build = one equi-join keyed on order (bounded
+    fan-out);
+    degrees = one groupBy; the wedge join and the closing-edge join
+    are equi-joins on node keys — no cartesian anywhere. All counts
+    BIGINT; closure is integer ppm -> hash-exact.
+
+    Reference parity: beyond-reference (north-star extension)."""
+    edges = _part_cooccur_edges(spark, sf_dir)
+    deg, tri = _oriented_triangles(edges)
     stats = edges.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(
         F.broadcast(
             deg.agg(
@@ -310,3 +347,105 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("closure_ppm"),
     )
+
+
+# --------------------------------- DOULION edge-sampled triangles
+
+_TRI_P_INV = 4  # keep each edge w.p. 1/4 -> estimate = count * 64
+_TRI_BOUND_PCT = 25  # |est - exact| <= 25% of exact (oracle-checked)
+
+_TRI_SAMPLE_PRED = (
+    "(('0x' || substr(md5(u::VARCHAR || '|' || v::VARCHAR), 1, 7))"
+    f"::BIGINT % {_TRI_P_INV}) = 0"
+)
+
+# The oracle instantiates the triangle core TWICE: once on the
+# sampled edges (replaying the estimator exactly — hash-exact, the
+# sampling is a deterministic md5 slice) and once on the full edge
+# set to check the accuracy contract the Spark side CLAIMS with its
+# literal TRUE. A violated bound hash-mismatches: this reverses
+# a1b's direction (there Spark computes the contract and the oracle
+# asserts TRUE; here the Spark side must stay exact-free — that is
+# the entire point of the relief valve — so the oracle does the
+# comparing). Exact-side cost lives only in DuckDB at sf0.01.
+_TRI_SAMPLED_ORACLE = f"""
+WITH cp AS (
+    SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+),
+allpairs AS (
+    SELECT a.p AS u, b.p AS v
+    FROM cp a JOIN cp b ON a.o = b.o
+    WHERE a.p < b.p
+),
+edges AS (
+    SELECT DISTINCT u, v FROM allpairs WHERE {_TRI_SAMPLE_PRED}
+),
+edges_x AS (
+    SELECT DISTINCT u, v FROM allpairs
+),{_tri_block_sql("", "edges")},{_tri_block_sql("_x", "edges_x")},
+est AS (
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM edges)
+             AS n_sampled_edges,
+           (SELECT CAST(n_triangles AS BIGINT) FROM tri)
+             AS n_sampled_triangles
+)
+SELECT CAST({_TRI_P_INV} AS BIGINT) AS p_inv,
+       n_sampled_edges,
+       n_sampled_edges * {_TRI_P_INV} AS est_edges,
+       n_sampled_triangles,
+       n_sampled_triangles * {_TRI_P_INV ** 3} AS est_triangles,
+       ABS(n_sampled_triangles * {_TRI_P_INV ** 3}
+           - (SELECT n_triangles FROM tri_x)) * 100
+         <= {_TRI_BOUND_PCT} * (SELECT n_triangles FROM tri_x)
+         AS within_bound
+FROM est
+"""
+
+
+@register("graph_triangles_sampled", oracle=_TRI_SAMPLED_ORACLE)
+def graph_triangles_sampled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DOULION-style edge-sampled triangle ESTIMATE (Tsourakakis et
+    al., KDD'09 — public): keep each distinct edge with probability
+    p = 1/{pinv}, count triangles on the sampled graph with the SAME
+    degree-oriented core as the exact query (shared
+    _oriented_triangles), scale by 1/p^3. This is the 100 TB relief
+    valve for the registry's heaviest exact operator
+    (graph_triangles: sf10 = 1,470 s): wedge work scales ~p^2 and
+    the closing join ~p, and the edge-sample predicate is pushed
+    BEFORE the distinct so the edge-dedup shuffle shrinks by p too —
+    measured {pinv}x-sampled DuckDB walls run ~20x faster at sf0.1.
+
+    Determinism/accuracy contract (the a1b/a8b pattern, direction
+    REVERSED): the sample is a deterministic md5 slice (the Bloom
+    filter's engine-bit-identical device), so the estimate itself
+    value-hashes — the oracle replays it exactly AND computes the
+    exact count, checking |est - exact| <= {bound}% of exact against
+    the literal TRUE this side claims. Spark never touches the exact
+    count (that is what makes the valve a valve); a violated bound
+    surfaces as a hash mismatch. Observed error at the three factory
+    SFs: 3.5% / 1.2% / 0.3% (largest at the smallest graph, T=126k —
+    binomial rel-sd ~2%), so the {bound}% bound carries >= 7x margin.
+
+    Reference parity: beyond-reference (north-star extension)."""
+    edges = _part_cooccur_edges(spark, sf_dir, keep_mod=_TRI_P_INV)
+    _, tri = _oriented_triangles(edges)
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_sampled_edges"))
+    return n_edges.crossJoin(F.broadcast(tri)).select(
+        F.lit(_TRI_P_INV).cast("long").alias("p_inv"),
+        F.col("n_sampled_edges").cast("long"),
+        (F.col("n_sampled_edges") * _TRI_P_INV)
+        .cast("long")
+        .alias("est_edges"),
+        F.col("n_triangles").cast("long").alias("n_sampled_triangles"),
+        (F.col("n_triangles") * _TRI_P_INV**3)
+        .cast("long")
+        .alias("est_triangles"),
+        F.lit(True).alias("within_bound"),
+    )
+
+
+graph_triangles_sampled.__doc__ = graph_triangles_sampled.__doc__.format(
+    pinv=_TRI_P_INV, bound=_TRI_BOUND_PCT
+)

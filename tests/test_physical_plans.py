@@ -947,6 +947,63 @@ def test_triangles_oriented_wedges(spark, sf_dir):
     assert r.closure_ppm == 3 * r.n_triangles * 1000000 // r.n_wedges
 
 
+def test_triangles_sampled_estimator(spark, sf_dir, duck):
+    """graph_triangles_sampled: same no-cartesian/pinned-edge plan
+    discipline as the exact form; the deterministic md5-slice edge
+    sample picks the IDENTICAL subset in both engines (the
+    cross-engine hash-exactness hinges on it); the estimate is the
+    sampled count scaled by exactly p_inv^3; and the accuracy
+    contract the query claims (within 25% of exact) actually holds
+    on this fixture against the exact query's count."""
+    from innercircle_etl_spark.plans.graph_queries import (
+        _TRI_BOUND_PCT,
+        _TRI_P_INV,
+    )
+
+    df = QUERIES["graph_triangles_sampled"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
+    r = df.collect()[0]
+    assert r.p_inv == _TRI_P_INV
+    assert r.est_edges == r.n_sampled_edges * _TRI_P_INV
+    assert r.est_triangles == r.n_sampled_triangles * _TRI_P_INV**3
+    assert r.within_bound is True
+    exact = QUERIES["graph_triangles"](spark, sf_dir).collect()[0]
+    assert (
+        abs(r.est_triangles - exact.n_triangles) * 100
+        <= _TRI_BOUND_PCT * exact.n_triangles
+    )
+    # engine parity of the sampling hash, on real edge keys
+    from pyspark.sql import functions as F
+
+    from innercircle_etl_spark.plans.graph_queries import (
+        _part_cooccur_edges,
+    )
+
+    some = (
+        _part_cooccur_edges(spark, sf_dir)
+        .limit(50)
+        .withColumn(
+            "keep",
+            F.expr(
+                "cast(conv(substr(md5(concat(cast(u as string), '|',"
+                " cast(v as string))), 1, 7), 16, 10) as bigint)"
+            )
+            % _TRI_P_INV
+            == 0,
+        )
+        .collect()
+    )
+    for row in some:
+        duck_keep = duck.execute(
+            "SELECT (('0x' || substr(md5(?::BIGINT::VARCHAR || '|' ||"
+            f" ?::BIGINT::VARCHAR), 1, 7))::BIGINT % {_TRI_P_INV}) = 0",
+            [row.u, row.v],
+        ).fetchone()[0]
+        assert duck_keep == row.keep, (row.u, row.v)
+
+
 def test_referential_audit_broadcasts_dims(spark, sf_dir):
     """q5_referential_integrity: each FK audit leg left-joins the
     parent's DISTINCT key set (un-hinted — AQE broadcasts the small
