@@ -120,7 +120,7 @@ _PRIORITY = [
     # ---- 42-43: NEW this round (first driver proof): the
     # DOULION-style edge-sampled triangle estimator (the 100TB
     # relief valve for the registry's heaviest exact operator, under
-    # an oracle-checked accuracy contract) and the LSH-candidate
+    # an oracle-checked accuracy contract) and the IVF-candidate
     # hard-negative mining variant (recall-vs-exact oracle — the
     # ep10_rag_retrieval_ann pattern applied to mining) ----
     "graph_triangles_sampled",

@@ -741,6 +741,67 @@ def test_hard_negatives_shape(spark, sf_dir):
         assert r.pos_id != r.anchor_id
 
 
+def test_hard_negatives_ann_recall(spark, sf_dir):
+    """ann_hard_negatives_ann: per-(anchor, leg) recall of the
+    LSH-candidate mining against the exact kept set. Invariants:
+    no cartesian, both legs present per anchor where truth exists,
+    the positive leg's truth is exactly 1, the negative leg's at
+    most _HN_NEGS, 0 <= n_hits <= n_true, recall == n_hits/n_true;
+    and every ANN-kept candidate actually lives in one of its
+    anchor's nprobe nearest IVF cells (the candidate-generation
+    contract)."""
+    from innercircle_etl_spark.plans.similarity_queries import (
+        _FIXED_K,
+        _HN_ANCHORS,
+        _HN_NEGS,
+        _IVF_NPROBE,
+        _hn_frames,
+        _hn_ivf_assign,
+        _hn_kept_ann,
+    )
+
+    df = QUERIES["ann_hard_negatives_ann"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.anchor_id < _HN_ANCHORS
+        truth_cap = _HN_NEGS if r.is_neg else 1
+        assert 1 <= r.n_true <= truth_cap, r
+        assert 0 <= r.n_hits <= r.n_true, r
+        assert r.recall == r.n_hits / r.n_true, r
+
+    from pyspark.sql import functions as F
+
+    from innercircle_etl_spark.functions import vectors as V
+
+    e, _ = _hn_frames(spark, sf_dir)
+    cent = e.filter(F.col("vec_id") < _FIXED_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    cell = {
+        a.vec_id: a.cid for a in _hn_ivf_assign(e, cent).collect()
+    }
+    # recompute each anchor's two nearest cells driver-side
+    per_anchor: dict[int, list] = {}
+    for a in (
+        e.filter(F.col("vec_id") < _HN_ANCHORS)
+        .crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id", "cid", V.cosine(F.col("v"), F.col("cv")).alias("c")
+        )
+        .collect()
+    ):
+        per_anchor.setdefault(a.vec_id, []).append((-a.c, a.cid))
+    probed = {
+        aid: {cid for _, cid in sorted(cands)[:_IVF_NPROBE]}
+        for aid, cands in per_anchor.items()
+    }
+    for k in _hn_kept_ann(spark, sf_dir).collect():
+        assert cell[k.cand_id] in probed[k.anchor_id], k
+
+
 def test_bpe_compression_curve(spark, sf_dir):
     """tok_bpe_compression: output = union of 6 pinned 1-row frames
     (zero exchanges in the output plan), step 0 is the character
