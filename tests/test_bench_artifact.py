@@ -14,17 +14,23 @@ from __future__ import annotations
 import io
 import json
 
-from bench import HEADLINE, emit_artifacts
+from bench import HEADLINE, LLM_HEADLINE, emit_artifacts
 
 
 def _fixture():
-    # shaped exactly like bench.main()'s dicts, at headline size
-    timings = {name: 1.234 for name in HEADLINE}
+    # shaped exactly like bench.main()'s dicts, at headline size,
+    # with worst-case-width values (xx.xxx) in every slot
+    timings = {name: 12.345 for name in HEADLINE}
+    llm_timings = {name: 12.345 for name in LLM_HEADLINE}
     compact = {
         "metric": "headline_total_wall_clock",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "llm_total": round(sum(llm_timings.values()), 3),
+        "llm_queries": llm_timings,
+        "drift": {"cpu": 1.254, "io": 1.188},
+        "drift_normalized_total": 196.89,
         "sf": 0.1,
     }
     spread = {
@@ -35,14 +41,16 @@ def _fixture():
             "samples": [9.876, 2.345, 1.234, 1.5, 1.6, 1.7],
             "noise_probes": [{"cpu": 0.4, "io": 0.15}] * 3,
         }
-        for name in HEADLINE
+        for name in HEADLINE + LLM_HEADLINE
     }
     full = dict(
         compact,
         spread=spread,
         calibration={
             "start": {"min": 0.2, "median": 0.21, "max": 0.3, "io": 0.4},
-            "per_query": {name: 0.21 for name in HEADLINE},
+            "per_query": {
+                name: 0.21 for name in HEADLINE + LLM_HEADLINE
+            },
             "end": {"min": 0.2, "median": 0.22, "max": 0.5, "io": 0.5},
         },
     )
@@ -50,20 +58,23 @@ def _fixture():
 
 
 def test_compact_line_fits_capture_window(tmp_path):
-    """The stdout line must stay small even with every headline
-    query present — the r06/r07 failures were ~8 KB lines truncated
-    to a tail fragment. 2 KB is comfortably inside the observed
-    capture (~1.5 KB of r07 tail survived)."""
+    """The stdout line must stay small even with BOTH headline
+    groups present — the r06/r07 failures were ~8 KB lines truncated
+    to a tail fragment, of which ~1.5 KB survived; the two-group
+    line with drift fields must stay inside that observed floor."""
     compact, full = _fixture()
     out = io.StringIO()
     line = emit_artifacts(
         compact, full, str(tmp_path / "BENCH_local.json"), stdout=out
     )
     assert line == out.getvalue().strip()
-    assert len(line) < 2048, len(line)
+    assert len(line) < 1500, len(line)
     parsed = json.loads(line)
     assert parsed["metric"] == "headline_total_wall_clock"
     assert set(parsed["queries"]) == set(HEADLINE)
+    assert set(parsed["llm_queries"]) == set(LLM_HEADLINE)
+    assert parsed["drift"].keys() == {"cpu", "io"}
+    assert "drift_normalized_total" in parsed
     assert "spread" not in parsed and "calibration" not in parsed
 
 
@@ -74,7 +85,7 @@ def test_full_payload_written_and_supersets_compact(tmp_path):
     payload = json.loads(path.read_text())
     for k, v in compact.items():
         assert payload[k] == v
-    assert set(payload["spread"]) == set(HEADLINE)
+    assert set(payload["spread"]) == set(HEADLINE + LLM_HEADLINE)
     assert payload["calibration"]["start"]["io"] == 0.4
 
 
