@@ -1720,7 +1720,9 @@ def _hn_ivf_assign(e: DataFrame, cent: DataFrame) -> DataFrame:
     )
 
 
-def _hn_kept_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _hn_kept_ann(
+    spark: SparkSession, sf_dir: str, assign: DataFrame | None = None
+) -> DataFrame:
     """The PRODUCTION mining leg: candidates from the fixed-k=32 IVF
     (ann_ivf_fixed_k's codebook, nprobe=2) instead of the full
     corpus — each anchor scores only its two nearest cells (~6% of
@@ -1732,12 +1734,26 @@ def _hn_kept_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 4-bucket LSH (which managed 43%) — nearest-centroid cells
     track cosine structure; random hyperplane signs on near-random
     64-dim vectors do not. This is the leg a 100 TB run keeps; the
-    exact scorer exists only to measure its recall."""
+    exact scorer exists only to measure its recall.
+
+    ``assign`` is the cost knob that makes this a win: pass the
+    PREBUILT (vec_id, label, v, cid) inverted file (what
+    ep9_vector_index_pipeline maintains) and the per-batch cost is
+    probes (40 x 32) + probed-cell scoring (~6% of a corpus pass) +
+    the salted rank — measured 16x under the exact scorer's corpus
+    pass at sf10. Built INLINE (the default here, and what the
+    registered recall query must do to stay self-contained), the
+    assignment itself costs a 32-centroid corpus pass — nearly the
+    exact scorer's 40-anchor pass, so the inline form roughly
+    breaks even: mining ONE fixed batch cannot amortize an index
+    build. Production mines a stream of batches against the same
+    index; the exact scorer pays its full corpus pass PER BATCH."""
     e, _ = _hn_frames(spark, sf_dir)
     cent = e.filter(F.col("vec_id") < _FIXED_K).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     )
-    assign = _hn_ivf_assign(e, cent)
+    if assign is None:
+        assign = _hn_ivf_assign(e, cent)
     # nprobe nearest cells per ANCHOR: |anchors| x |codebook| is
     # dimension-sized, the rank window never touches the corpus
     qcrossed = (
