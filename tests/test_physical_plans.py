@@ -798,8 +798,15 @@ def test_hard_negatives_ann_recall(spark, sf_dir):
         aid: {cid for _, cid in sorted(cands)[:_IVF_NPROBE]}
         for aid, cands in per_anchor.items()
     }
-    for k in _hn_kept_ann(spark, sf_dir).collect():
+    inline_kept = _hn_kept_ann(spark, sf_dir).collect()
+    for k in inline_kept:
         assert cell[k.cand_id] in probed[k.anchor_id], k
+    # the amortized path (prebuilt inverted file — what production
+    # mines against) must produce the IDENTICAL kept set
+    prebuilt = _hn_ivf_assign(e, cent).localCheckpoint(eager=True)
+    amortized = _hn_kept_ann(spark, sf_dir, assign=prebuilt).collect()
+    key = lambda r: (r.anchor_id, bool(r.is_neg), r.cand_id)  # noqa: E731
+    assert sorted(map(key, amortized)) == sorted(map(key, inline_kept))
 
 
 def test_bpe_compression_curve(spark, sf_dir):
