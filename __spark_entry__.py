@@ -61,8 +61,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # end — the list is advisory, never a filter.
 _PRIORITY = [
     # ================= ROUND-10 WINDOW: the full-registry freshness
-    # proof (round-9 verdict item 1). 182 registered queries rotate
-    # through a 50-slot driver window (~3.6-round period); this round
+    # proof (round-9 verdict item 1). 184 registered queries (182 at
+    # round-9 close + this round's two at positions 42-43) rotate
+    # through a 50-slot driver window (~3.7-round period); this round
     # every row whose newest driver green is r6, plus the 3 rows that
     # have never run under the driver, fits in one window: positions
     # 1-3 = the never-proven trio, 4-41 = all 38 r6-stale rows

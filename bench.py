@@ -198,7 +198,13 @@ def main() -> None:
     # the artifact entirely — worse than a noisier min. Past 60% of
     # budget the warm reps are skipped (methodology note prints so
     # the artifact says which mins are ramp-exposed).
-    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "480"))
+    # 540s default for the 30-query two-group suite (was 480 for 20
+    # queries; the clean two-group run measures ~6-7 min with warm
+    # reps). The LLM group runs LAST, so on a slow box its warm reps
+    # are the first casualties of the 0.6 gate — its mins are then
+    # ramp-exposed (stderr notes say which); the ordering is
+    # deliberate: the original 20-query trend keeps priority.
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "540"))
     bench_t0 = time.time()
     spread: dict[str, dict[str, float]] = {}
     # One calibration SAMPLE before every query (3s of overhead
@@ -213,6 +219,19 @@ def main() -> None:
     cal_probe: dict[str, float] = {}
 
     def measure(name: str, timings: dict[str, float]) -> None:
+        # Hard artifact-preservation gates (the 0.6/0.85 gates below
+        # only trim OPTIONAL warm/extra reps; with two groups the
+        # mandatory timed reps themselves must degrade before the
+        # run can outlive a harness timeout and lose BOTH groups'
+        # numbers): past 95% of budget skip the query entirely (a
+        # missing llm entry beats a lost artifact), past 75% drop to
+        # a single timed rep (recorded in spread as n=1 — readable).
+        if time.time() - bench_t0 > 0.95 * budget_s:
+            print(f"# {name}: SKIPPED (budget)", file=sys.stderr)
+            return
+        reps_here = (
+            reps if time.time() - bench_t0 < 0.75 * budget_s else 1
+        )
         t0 = time.time()
         spark.range(30_000_000).selectExpr(
             "id % 32 AS k", "id AS v"
@@ -234,7 +253,7 @@ def main() -> None:
         else:
             print(f"# {name}: warm rep skipped (budget)", file=sys.stderr)
         samples, n = [], 0
-        for _ in range(reps):
+        for _ in range(reps_here):
             t0 = time.time()
             n = fn(spark, sf_dir).count()
             samples.append(time.time() - t0)

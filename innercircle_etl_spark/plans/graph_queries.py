@@ -237,11 +237,9 @@ def _part_cooccur_edges(
         .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
     )
     if keep_mod is not None:
-        h = F.expr(
-            "cast(conv(substr(md5(concat(cast(u as string), '|',"
-            " cast(v as string))), 1, 7), 16, 10) as bigint)"
+        pairs = pairs.filter(
+            F.expr(TRI_SAMPLE_HASH_SPARK) % keep_mod == 0
         )
-        pairs = pairs.filter(h % keep_mod == 0)
     return pairs.distinct().localCheckpoint(eager=True)
 
 
@@ -354,6 +352,13 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TRI_P_INV = 4  # keep each edge w.p. 1/4 -> estimate = count * 64
 _TRI_BOUND_PCT = 25  # |est - exact| <= 25% of exact (oracle-checked)
 
+# The edge-sampling hash, once per engine (the test's per-edge
+# parity check imports BOTH — never a hand copy): first 7 hex of
+# md5("u|v") as a BIGINT.
+TRI_SAMPLE_HASH_SPARK = (
+    "cast(conv(substr(md5(concat(cast(u as string), '|',"
+    " cast(v as string))), 1, 7), 16, 10) as bigint)"
+)
 _TRI_SAMPLE_PRED = (
     "(('0x' || substr(md5(u::VARCHAR || '|' || v::VARCHAR), 1, 7))"
     f"::BIGINT % {_TRI_P_INV}) = 0"

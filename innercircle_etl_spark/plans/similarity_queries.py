@@ -1600,7 +1600,7 @@ _HN_NEGS = 3  # hard negatives mined per anchor
 # Exact-mining CTE chain (e → anchors → full-corpus scored → ranked),
 # shared between the ann_hard_negatives oracle and the
 # ann_hard_negatives_ann recall oracle (which re-ranks the same
-# anchors over LSH-bucket candidates and diffs the kept sets).
+# anchors over IVF-cell candidates and diffs the kept sets).
 _HN_EXACT_CTES = f"""e AS (
     SELECT vec_id, label,
            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -1748,35 +1748,33 @@ def _hn_kept_ann(
     breaks even: mining ONE fixed batch cannot amortize an index
     build. Production mines a stream of batches against the same
     index; the exact scorer pays its full corpus pass PER BATCH."""
-    e, _ = _hn_frames(spark, sf_dir)
+    e, anchors = _hn_frames(spark, sf_dir)
     cent = e.filter(F.col("vec_id") < _FIXED_K).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     )
     if assign is None:
         assign = _hn_ivf_assign(e, cent)
     # nprobe nearest cells per ANCHOR: |anchors| x |codebook| is
-    # dimension-sized, the rank window never touches the corpus
-    qcrossed = (
-        e.filter(F.col("vec_id") < _HN_ANCHORS)
-        .crossJoin(F.broadcast(cent))
-        .select(
-            "vec_id",
-            "label",
-            "v",
-            "cid",
-            V.cosine(F.col("v"), F.col("cv")).alias("ccos"),
-        )
+    # dimension-sized, the rank window never touches the corpus.
+    # The anchor frame is _hn_frames' — the SAME definition the
+    # exact recall baseline mines, by construction.
+    qcrossed = anchors.crossJoin(F.broadcast(cent)).select(
+        "anchor_id",
+        "anchor_label",
+        "va",
+        "cid",
+        V.cosine(F.col("va"), F.col("cv")).alias("ccos"),
     )
-    w_probe = Window.partitionBy("vec_id").orderBy(
+    w_probe = Window.partitionBy("anchor_id").orderBy(
         F.col("ccos").desc(), F.col("cid").asc()
     )
     probes = (
         qcrossed.withColumn("rn", F.row_number().over(w_probe))
         .filter(F.col("rn") <= _IVF_NPROBE)
         .select(
-            F.col("vec_id").alias("anchor_id"),
-            F.col("label").alias("anchor_label"),
-            F.col("v").alias("va"),
+            "anchor_id",
+            "anchor_label",
+            "va",
             F.col("cid").alias("pcid"),
         )
     )
@@ -1853,7 +1851,7 @@ def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ------------------- hard-negative mining, LSH candidate path
+# ------------------- hard-negative mining, IVF candidate path
 
 _HN_ANN_ORACLE = f"""
 WITH {_HN_EXACT_CTES},

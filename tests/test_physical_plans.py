@@ -743,7 +743,7 @@ def test_hard_negatives_shape(spark, sf_dir):
 
 def test_hard_negatives_ann_recall(spark, sf_dir):
     """ann_hard_negatives_ann: per-(anchor, leg) recall of the
-    LSH-candidate mining against the exact kept set. Invariants:
+    IVF-candidate mining against the exact kept set. Invariants:
     no cartesian, both legs present per anchor where truth exists,
     the positive leg's truth is exactly 1, the negative leg's at
     most _HN_NEGS, 0 <= n_hits <= n_true, recall == n_hits/n_true;
@@ -1026,6 +1026,7 @@ def test_triangles_sampled_estimator(spark, sf_dir, duck):
     from innercircle_etl_spark.plans.graph_queries import (
         _TRI_BOUND_PCT,
         _TRI_P_INV,
+        TRI_SAMPLE_HASH_SPARK,
     )
 
     df = QUERIES["graph_triangles_sampled"](spark, sf_dir)
@@ -1054,12 +1055,7 @@ def test_triangles_sampled_estimator(spark, sf_dir, duck):
         .limit(50)
         .withColumn(
             "keep",
-            F.expr(
-                "cast(conv(substr(md5(concat(cast(u as string), '|',"
-                " cast(v as string))), 1, 7), 16, 10) as bigint)"
-            )
-            % _TRI_P_INV
-            == 0,
+            F.expr(TRI_SAMPLE_HASH_SPARK) % _TRI_P_INV == 0,
         )
         .collect()
     )
