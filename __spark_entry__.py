@@ -61,8 +61,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # end — the list is advisory, never a filter.
 _PRIORITY = [
     # ================= ROUND-10 WINDOW: the full-registry freshness
-    # proof (round-9 verdict item 1). 184 registered queries (182 at
-    # round-9 close + this round's two at positions 42-43) rotate
+    # proof (round-9 verdict item 1). 185 registered queries (182 at
+    # round-9 close + this round's three at positions 42-44) rotate
     # through a 50-slot driver window (~3.7-round period); this round
     # every row whose newest driver green is r6, plus the 3 rows that
     # have never run under the driver, fits in one window: positions
@@ -126,7 +126,12 @@ _PRIORITY = [
     # ep10_rag_retrieval_ann pattern applied to mining) ----
     "graph_triangles_sampled",
     "ann_hard_negatives_ann",
-    # ---- 44-50: the seven stalest r7 rows (the a* block; a8b and
+    # ---- 44: NEW (third round-10 registration): ep13's production
+    # candidate path — same-doc equi-join positives ∪ IVF-cell hard
+    # negatives, per-(anchor,leg) recall-vs-exact oracle (measured
+    # 1.0 / 1.0 at sf0.01) ----
+    "ep13_contrastive_pairs_ann",
+    # ---- 45-50: the six stalest r7 rows (the a* block; a8, a8b and
     # a11 lead the round-11 pool) ----
     "a1_count_distinct",
     "a1b_approx_distinct",
@@ -134,10 +139,10 @@ _PRIORITY = [
     "a4_scalar_subquery",
     "a6_having",
     "a7_conditional_agg",
-    "a8_percentile_disc",
     # ---- rotation pool (advisory order; past the 50-slot window).
-    # Round-11 leads here: the two r7 rows that missed 44-50, then
+    # Round-11 leads here: the three r7 rows that missed 45-50, then
     # the rest of the r7 block oldest-first, then r8, then r9 ----
+    "a8_percentile_disc",
     "a8b_approx_percentile",
     "a11_two_phase_agg",
     "a15_cms_heavy_hitters",

@@ -1985,11 +1985,54 @@ _EP13_ANCHORS = 20  # fixed anchor-doc batch (the hard-negatives lesson)
 _EP13_NEGS = 2  # cross-document hard negatives per anchor
 
 
-def _ep13_oracle() -> str:
+def _ep13_anchors(emb: DataFrame) -> DataFrame:
+    """(a_doc, va): the FIXED anchor batch — the first chunk of the
+    first _EP13_ANCHORS docs (never corpus-proportional)."""
+    return emb.filter(
+        (F.col("doc_id") < _EP13_ANCHORS) & (F.col("chunk_idx") == 0)
+    ).select(F.col("doc_id").alias("a_doc"), F.col("v").alias("va"))
+
+
+def _ep13_scored_exact(emb: DataFrame, anchors: DataFrame) -> DataFrame:
+    """(a_doc, c_doc, c_chunk, is_neg, cos): every non-anchor chunk
+    scored against the broadcast anchor batch — the exact (recall
+    baseline) candidate set."""
+    return emb.join(
+        F.broadcast(anchors),
+        ~((F.col("doc_id") == F.col("a_doc")) & (F.col("chunk_idx") == 0)),
+    ).select(
+        "a_doc",
+        F.col("doc_id").alias("c_doc"),
+        F.col("chunk_idx").alias("c_chunk"),
+        (F.col("doc_id") != F.col("a_doc")).alias("is_neg"),
+        V.cosine(F.col("va"), F.col("v")).alias("cos"),
+    )
+
+
+def _ep13_mine(scored: DataFrame) -> DataFrame:
+    """ep13's mining: salted rank over (a_doc, is_neg), keep the
+    rank-1 positive + top-_EP13_NEGS negatives, pinned."""
+    return _mine_pos_neg(
+        scored,
+        "a_doc",
+        [
+            F.col("cos").desc(),
+            F.col("c_doc").asc(),
+            F.col("c_chunk").asc(),
+        ],
+        _EP13_NEGS,
+    )
+
+
+# Exact ep13 CTE chain (chunks → emb → anchors → full-chunk-corpus
+# scored → ranked), shared between the ep13_contrastive_pairs oracle
+# and the ep13_contrastive_pairs_ann recall oracle (which re-ranks
+# the same anchors over same-doc ∪ IVF-cell candidates and diffs
+# the kept sets).
+def _ep13_exact_ctes() -> str:
     from innercircle_etl_spark.plans.text_queries import CHUNK_CTES_SQL
 
-    return f"""
-WITH {CHUNK_CTES_SQL},
+    return f"""{CHUNK_CTES_SQL},
 {_RAG_EMB_CTE},
 a AS (SELECT doc_id AS a_doc, v AS va FROM emb
       WHERE doc_id < {_EP13_ANCHORS} AND chunk_idx = 0),
@@ -2003,7 +2046,12 @@ ranked AS (
     SELECT *, CAST(row_number() OVER (
         PARTITION BY a_doc, is_pos
         ORDER BY cos DESC, c_doc ASC, c_chunk ASC) AS INTEGER) AS rnk
-    FROM scored),
+    FROM scored)"""
+
+
+def _ep13_oracle() -> str:
+    return f"""
+WITH {_ep13_exact_ctes()},
 pos AS (
     SELECT a_doc, CAST(c_chunk AS INTEGER) AS pos_chunk, cos AS pos_cos
     FROM ranked WHERE is_pos AND rnk = 1),
@@ -2047,28 +2095,8 @@ def ep13_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference parity: beyond-reference (north-star extension)."""
     emb = _rag_chunk_embeddings(spark, sf_dir)
-    anchors = emb.filter(
-        (F.col("doc_id") < _EP13_ANCHORS) & (F.col("chunk_idx") == 0)
-    ).select(F.col("doc_id").alias("a_doc"), F.col("v").alias("va"))
-    scored = emb.join(
-        F.broadcast(anchors),
-        ~((F.col("doc_id") == F.col("a_doc")) & (F.col("chunk_idx") == 0)),
-    ).select(
-        "a_doc",
-        F.col("doc_id").alias("c_doc"),
-        F.col("chunk_idx").alias("c_chunk"),
-        (F.col("doc_id") != F.col("a_doc")).alias("is_neg"),
-        V.cosine(F.col("va"), F.col("v")).alias("cos"),
-    )
-    kept = _mine_pos_neg(
-        scored,
-        "a_doc",
-        [
-            F.col("cos").desc(),
-            F.col("c_doc").asc(),
-            F.col("c_chunk").asc(),
-        ],
-        _EP13_NEGS,
+    kept = _ep13_mine(
+        _ep13_scored_exact(emb, _ep13_anchors(emb))
     ).withColumnRenamed("rank", "rnk")
     pos = kept.filter(~F.col("is_neg")).select(
         "a_doc",
@@ -2092,3 +2120,217 @@ def ep13_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neg_cos",
         (F.col("pos_cos") - F.col("neg_cos")).alias("margin"),
     )
+
+
+# ------------- ep13 contrastive pairs, production candidate path
+
+_EP13_IVF_K = 32  # chunk-space codebook: first chunk of docs 0..31
+
+
+def _ep13_ann_oracle() -> str:
+    cos_assign = _COS_SQL.format(a="e2.v", b="c.cv")
+    cos_probe = _COS_SQL.format(a="a.va", b="c.cv")
+    return f"""
+WITH {_ep13_exact_ctes()},
+keep_x AS (
+    SELECT a_doc, NOT is_pos AS is_neg, c_doc, c_chunk FROM ranked
+    WHERE (is_pos AND rnk = 1) OR (NOT is_pos AND rnk <= {_EP13_NEGS})
+),
+cent AS (
+    SELECT doc_id AS cid, v AS cv FROM emb
+    WHERE doc_id < {_EP13_IVF_K} AND chunk_idx = 0
+),
+assign AS (
+    SELECT doc_id, chunk_idx, v, cid FROM (
+        SELECT e2.doc_id, e2.chunk_idx, e2.v, c.cid,
+               row_number() OVER (
+                   PARTITION BY e2.doc_id, e2.chunk_idx
+                   ORDER BY {cos_assign} DESC, c.cid ASC
+               ) AS rn
+        FROM emb e2 CROSS JOIN cent c
+    ) WHERE rn = 1
+),
+probes AS (
+    SELECT a_doc, va, cid AS pcid FROM (
+        SELECT a.a_doc, a.va, c.cid,
+               row_number() OVER (
+                   PARTITION BY a.a_doc
+                   ORDER BY {cos_probe} DESC, c.cid ASC
+               ) AS rn
+        FROM a CROSS JOIN cent c
+    ) WHERE rn <= {_IVF_NPROBE}
+),
+cand AS (
+    SELECT a.a_doc, e2.doc_id AS c_doc, e2.chunk_idx AS c_chunk,
+           a.va, e2.v
+    FROM a JOIN emb e2
+      ON e2.doc_id = a.a_doc AND e2.chunk_idx != 0
+    UNION ALL
+    SELECT p.a_doc, s.doc_id, s.chunk_idx, p.va, s.v
+    FROM probes p JOIN assign s
+      ON s.cid = p.pcid AND s.doc_id != p.a_doc
+),
+scored_a AS (
+    SELECT a_doc, c_doc, c_chunk, (c_doc != a_doc) AS is_neg,
+           {_COS_SQL.format(a="va", b="v")} AS cos
+    FROM cand
+),
+ranked_a AS (
+    SELECT *, CAST(row_number() OVER (
+        PARTITION BY a_doc, is_neg
+        ORDER BY cos DESC, c_doc ASC, c_chunk ASC) AS INTEGER) AS rnk
+    FROM scored_a
+),
+keep_a AS (
+    SELECT a_doc, is_neg, c_doc, c_chunk FROM ranked_a
+    WHERE (NOT is_neg AND rnk = 1) OR (is_neg AND rnk <= {_EP13_NEGS})
+),
+hits AS (
+    SELECT k.a_doc, k.is_neg, COUNT(*) AS n_hits
+    FROM keep_x k JOIN keep_a a2
+      ON k.a_doc = a2.a_doc AND k.is_neg = a2.is_neg
+     AND k.c_doc = a2.c_doc AND k.c_chunk = a2.c_chunk
+    GROUP BY k.a_doc, k.is_neg
+),
+tot AS (
+    SELECT a_doc, is_neg, COUNT(*) AS n_true
+    FROM keep_x GROUP BY a_doc, is_neg
+)
+SELECT t.a_doc AS anchor_doc, t.is_neg,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(t.n_true AS BIGINT) AS n_true,
+       coalesce(h.n_hits, 0) * 1.0 / t.n_true AS recall
+FROM tot t LEFT JOIN hits h
+  ON t.a_doc = h.a_doc AND t.is_neg = h.is_neg
+"""
+
+
+@register("ep13_contrastive_pairs_ann", oracle=_ep13_ann_oracle())
+def ep13_contrastive_pairs_ann(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ep13's documented sub-linear candidate path, now under its
+    own recall-vs-exact oracle (the ann_hard_negatives_ann pattern
+    applied to the pair-construction composite). The production
+    candidate set is a UNION of two legs, because ep13's two pair
+    legs have different retrieval structure:
+
+    - POSITIVES are co-document crops — found by a doc_id EQUI-JOIN
+      (each anchor scores only its own document's other chunks),
+      never by ANN. This reproduces the exact positive leg BY
+      CONSTRUCTION (the exact is_neg=false partition contains only
+      same-doc rows), at per-document cost.
+    - HARD NEGATIVES are globally-nearest other-doc crops — found by
+      fixed-k={ivfk} IVF over the chunk space (codebook = first
+      chunk of docs 0..{ivfk1}, nprobe={nprobe}): measured 40/40
+      negative recall at sf0.01. Sign-LSH was rejected here AGAIN
+      (17-28/55 overall, 0/15 positives at the registered plane
+      counts): md5-hash embeddings are uncorrelated even for
+      overlapping crops, so bucket signs carry no signal while
+      nearest-centroid cells still track raw cosine geometry. An
+      IVF-only candidate set was ALSO rejected — it finds the
+      negatives (40/40) but positives at chance (~nprobe/k): a
+      same-doc crop is NOT globally near its anchor in hash space.
+      The union encodes the right retrieval key per leg: doc_id for
+      positives, geometry for negatives.
+
+    Both legs feed the IDENTICAL _ep13_mine salted ranking; the kept
+    set is diffed against the exact kept set per (anchor, leg).
+    Exact-double cosines + unique-cid tiebreaks keep everything
+    hash-exact. Scale: the exact leg exists only to MEASURE recall;
+    production keeps the union legs — same-doc equi-join (O(chunks
+    per doc) per anchor) + amortizable IVF assignment + ~{nprobe}/
+    {ivfk} of a corpus pass, vs a full corpus pass per anchor batch.
+
+    Reference parity: beyond-reference (north-star extension)."""
+    emb = _rag_chunk_embeddings(spark, sf_dir).localCheckpoint(
+        eager=True  # anchors, exact leg, cent, assignment, same-doc
+        # leg all read it — without the pin the chunk/md5 build
+        # would run five times (racing-consumer lesson)
+    )
+    anchors = _ep13_anchors(emb)
+    exact_kept = _ep13_mine(_ep13_scored_exact(emb, anchors)).select(
+        "a_doc", "is_neg", "c_doc", "c_chunk"
+    )
+    cent = emb.filter(
+        (F.col("doc_id") < _EP13_IVF_K) & (F.col("chunk_idx") == 0)
+    ).select(F.col("doc_id").alias("cid"), F.col("v").alias("cv"))
+    ccos = V.cosine(F.col("v"), F.col("cv"))
+    assign = (
+        emb.crossJoin(F.broadcast(cent))
+        .select("doc_id", "chunk_idx", "v", "cid", ccos.alias("ccos"))
+        .groupBy("doc_id", "chunk_idx")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("ccos"),
+                    (-F.col("cid")).alias("ncid"),
+                    F.col("v"),
+                )
+            ).alias("m")
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.col("m.v").alias("v"),
+            (-F.col("m.ncid")).alias("cid"),
+        )
+    )
+    w_probe = Window.partitionBy("a_doc").orderBy(
+        F.col("ccos").desc(), F.col("cid").asc()
+    )
+    probes = (
+        anchors.crossJoin(F.broadcast(cent))
+        .select(
+            "a_doc",
+            "va",
+            "cid",
+            V.cosine(F.col("va"), F.col("cv")).alias("ccos"),
+        )
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= _IVF_NPROBE)
+        .select("a_doc", "va", F.col("cid").alias("pcid"))
+    )
+    cand_cols = lambda: [  # noqa: E731
+        "a_doc",
+        F.col("doc_id").alias("c_doc"),
+        F.col("chunk_idx").alias("c_chunk"),
+        (F.col("doc_id") != F.col("a_doc")).alias("is_neg"),
+        V.cosine(F.col("va"), F.col("v")).alias("cos"),
+    ]
+    same_doc = emb.join(
+        F.broadcast(anchors),
+        (F.col("doc_id") == F.col("a_doc")) & (F.col("chunk_idx") != 0),
+    ).select(*cand_cols())
+    ivf_neg = assign.join(
+        F.broadcast(probes),
+        (F.col("cid") == F.col("pcid"))
+        & (F.col("doc_id") != F.col("a_doc")),
+    ).select(*cand_cols())
+    ann_kept = _ep13_mine(same_doc.unionByName(ivf_neg)).select(
+        "a_doc", "is_neg", "c_doc", "c_chunk"
+    )
+    hits = (
+        exact_kept.join(ann_kept, ["a_doc", "is_neg", "c_doc", "c_chunk"])
+        .groupBy("a_doc", "is_neg")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    tot = exact_kept.groupBy("a_doc", "is_neg").agg(
+        F.count(F.lit(1)).alias("n_true")
+    )
+    return tot.join(hits, ["a_doc", "is_neg"], "left").select(
+        F.col("a_doc").alias("anchor_doc"),
+        "is_neg",
+        F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+        "n_true",
+        (
+            F.coalesce(F.col("n_hits"), F.lit(0)) * 1.0 / F.col("n_true")
+        ).alias("recall"),
+    )
+
+
+ep13_contrastive_pairs_ann.__doc__ = (
+    ep13_contrastive_pairs_ann.__doc__.format(
+        ivfk=_EP13_IVF_K, ivfk1=_EP13_IVF_K - 1, nprobe=_IVF_NPROBE
+    )
+)

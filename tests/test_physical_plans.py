@@ -809,6 +809,34 @@ def test_hard_negatives_ann_recall(spark, sf_dir):
     assert sorted(map(key, amortized)) == sorted(map(key, inline_kept))
 
 
+def test_ep13_ann_recall(spark, sf_dir):
+    """ep13_contrastive_pairs_ann: per-(anchor, leg) recall of the
+    union candidate set (same-doc positives + IVF-cell negatives)
+    against the exact kept set. Invariants: no cartesian, truth caps
+    per leg, recall identities — and the POSITIVE leg's recall is
+    exactly 1.0 by construction (the exact positive partition
+    contains only same-doc rows, and the same-doc equi-join feeds
+    every one of them to the identical ranking)."""
+    from innercircle_etl_spark.plans.similarity_queries import (
+        _EP13_ANCHORS,
+        _EP13_NEGS,
+    )
+
+    df = QUERIES["ep13_contrastive_pairs_ann"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.anchor_doc < _EP13_ANCHORS
+        truth_cap = _EP13_NEGS if r.is_neg else 1
+        assert 1 <= r.n_true <= truth_cap, r
+        assert 0 <= r.n_hits <= r.n_true, r
+        assert r.recall == r.n_hits / r.n_true, r
+        if not r.is_neg:
+            assert r.recall == 1.0, r
+
+
 def test_bpe_compression_curve(spark, sf_dir):
     """tok_bpe_compression: output = union of 6 pinned 1-row frames
     (zero exchanges in the output plan), step 0 is the character
