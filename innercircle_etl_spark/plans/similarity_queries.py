@@ -1683,41 +1683,151 @@ def _hn_kept_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _hn_mine(scored)
 
 
-def _hn_ivf_assign(e: DataFrame, cent: DataFrame) -> DataFrame:
-    """(vec_id, label, v, cid): every corpus vector assigned to its
-    nearest fixed-codebook centroid — ivf_topk's broadcast-argmax
-    discipline (map-side partial-aggregated max(struct), never a
-    window over the corpus x codebook product), with ``label``
-    riding along for the is_neg flag downstream."""
-    spread = e.repartition(
-        e.sparkSession.sparkContext.defaultParallelism, "vec_id"
+def _ivf_assign(
+    df: DataFrame,
+    cent: DataFrame,
+    key_cols: list[str],
+    payload_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(key_cols..., payload_cols..., v, cid): every corpus vector
+    assigned to its nearest fixed-codebook centroid — ivf_topk's
+    broadcast-argmax discipline: spread the corpus across cores
+    FIRST (the |codebook|x cosine expansion is the largest map
+    stage, and a pinned/small-file upstream can leave too few
+    splits), then a map-side partial-aggregated max(struct), never
+    a window over the corpus x codebook product. Tiebreak parity
+    with (ccos DESC, cid ASC): struct comparison is lexicographic,
+    cid is unique, so fields after ncid never participate."""
+    spread = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, *key_cols
     )
     crossed = spread.crossJoin(F.broadcast(cent)).select(
-        "vec_id",
-        "label",
+        *key_cols,
+        *payload_cols,
         "v",
         "cid",
         V.cosine(F.col("v"), F.col("cv")).alias("ccos"),
     )
     return (
-        crossed.groupBy("vec_id")
+        crossed.groupBy(*key_cols)
         .agg(
             F.max(
                 F.struct(
                     F.col("ccos"),
                     (-F.col("cid")).alias("ncid"),
                     F.col("v"),
-                    F.col("label"),
+                    *[F.col(c) for c in payload_cols],
                 )
             ).alias("m")
         )
         .select(
-            "vec_id",
-            F.col("m.label").alias("label"),
+            *key_cols,
+            *[F.col(f"m.{c}").alias(c) for c in payload_cols],
             F.col("m.v").alias("v"),
             (-F.col("m.ncid")).alias("cid"),
         )
     )
+
+
+def _hn_ivf_assign(e: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, label, v, cid): the mining family's inverted file —
+    _ivf_assign keyed by vec_id with ``label`` riding along for the
+    is_neg flag downstream."""
+    return _ivf_assign(e, cent, ["vec_id"], ("label",)).select(
+        "vec_id", "label", "v", "cid"
+    )
+
+
+def _ivf_probes(
+    anchors: DataFrame,
+    cent: DataFrame,
+    group_col: str,
+    keep_cols: tuple[str, ...],
+    nprobe: int = _IVF_NPROBE,
+) -> DataFrame:
+    """(group_col, keep_cols..., pcid): each anchor's nprobe nearest
+    cells. |anchors| x |codebook| is dimension-sized, so the rank
+    window is fine HERE — it never touches the corpus. The anchor
+    vector column must be named ``va``."""
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("ccos").desc(), F.col("cid").asc()
+    )
+    return (
+        anchors.crossJoin(F.broadcast(cent))
+        .select(
+            group_col,
+            *keep_cols,
+            "cid",
+            V.cosine(F.col("va"), F.col("cv")).alias("ccos"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= nprobe)
+        .select(group_col, *keep_cols, F.col("cid").alias("pcid"))
+    )
+
+
+def _recall_vs_exact(
+    exact_kept: DataFrame,
+    ann_kept: DataFrame,
+    group_cols: list[str],
+    out_aliases: dict[str, str] | None = None,
+) -> DataFrame:
+    """Per-group hits / truth / recall: diff two kept frames on ALL
+    of exact_kept's columns (both sides must carry exactly the
+    identifying columns), grouped by ``group_cols``. The shared tail
+    of every *_ann recall query — one place for the coalesce /
+    divide discipline."""
+    key_cols = exact_kept.columns
+    hits = (
+        exact_kept.join(ann_kept, key_cols)
+        .groupBy(*group_cols)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    tot = exact_kept.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_true")
+    )
+    aliases = out_aliases or {}
+    return tot.join(hits, list(group_cols), "left").select(
+        *[F.col(c).alias(aliases.get(c, c)) for c in group_cols],
+        F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+        "n_true",
+        (
+            F.coalesce(F.col("n_hits"), F.lit(0)) * 1.0 / F.col("n_true")
+        ).alias("recall"),
+    )
+
+
+def _recall_sql_tail(
+    key_cols: list[str],
+    group_cols: list[str],
+    out_aliases: dict[str, str] | None = None,
+) -> str:
+    """The oracle-side twin of _recall_vs_exact: hits/tot CTEs and
+    the final recall SELECT over prior CTEs ``keep_x`` (exact) and
+    ``keep_a`` (candidate-path), keyed on ``key_cols``."""
+    aliases = out_aliases or {}
+    on_all = " AND ".join(f"k.{c} = a2.{c}" for c in key_cols)
+    gb = ", ".join(group_cols)
+    kg = ", ".join(f"k.{c}" for c in group_cols)
+    on_g = " AND ".join(f"t.{c} = h.{c}" for c in group_cols)
+    out = ", ".join(
+        f"t.{c} AS {aliases[c]}" if c in aliases else f"t.{c}"
+        for c in group_cols
+    )
+    return f"""hits AS (
+    SELECT {kg}, COUNT(*) AS n_hits
+    FROM keep_x k JOIN keep_a a2 ON {on_all}
+    GROUP BY {kg}
+),
+tot AS (
+    SELECT {gb}, COUNT(*) AS n_true
+    FROM keep_x GROUP BY {gb}
+)
+SELECT {out},
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(t.n_true AS BIGINT) AS n_true,
+       coalesce(h.n_hits, 0) * 1.0 / t.n_true AS recall
+FROM tot t LEFT JOIN hits h ON {on_g}"""
 
 
 def _hn_kept_ann(
@@ -1754,29 +1864,10 @@ def _hn_kept_ann(
     )
     if assign is None:
         assign = _hn_ivf_assign(e, cent)
-    # nprobe nearest cells per ANCHOR: |anchors| x |codebook| is
-    # dimension-sized, the rank window never touches the corpus.
     # The anchor frame is _hn_frames' — the SAME definition the
     # exact recall baseline mines, by construction.
-    qcrossed = anchors.crossJoin(F.broadcast(cent)).select(
-        "anchor_id",
-        "anchor_label",
-        "va",
-        "cid",
-        V.cosine(F.col("va"), F.col("cv")).alias("ccos"),
-    )
-    w_probe = Window.partitionBy("anchor_id").orderBy(
-        F.col("ccos").desc(), F.col("cid").asc()
-    )
-    probes = (
-        qcrossed.withColumn("rn", F.row_number().over(w_probe))
-        .filter(F.col("rn") <= _IVF_NPROBE)
-        .select(
-            "anchor_id",
-            "anchor_label",
-            "va",
-            F.col("cid").alias("pcid"),
-        )
+    probes = _ivf_probes(
+        anchors, cent, "anchor_id", ("anchor_label", "va")
     )
     scored = assign.join(
         F.broadcast(probes),
@@ -1902,23 +1993,8 @@ keep_a AS (
     SELECT anchor_id, is_neg, cand_id FROM ranked_a
     WHERE (NOT is_neg AND rank = 1) OR (is_neg AND rank <= {_HN_NEGS})
 ),
-hits AS (
-    SELECT k.anchor_id, k.is_neg, COUNT(*) AS n_hits
-    FROM keep_x k JOIN keep_a a2
-      ON k.anchor_id = a2.anchor_id AND k.is_neg = a2.is_neg
-     AND k.cand_id = a2.cand_id
-    GROUP BY k.anchor_id, k.is_neg
-),
-tot AS (
-    SELECT anchor_id, is_neg, COUNT(*) AS n_true
-    FROM keep_x GROUP BY anchor_id, is_neg
-)
-SELECT t.anchor_id, t.is_neg,
-       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
-       CAST(t.n_true AS BIGINT) AS n_true,
-       coalesce(h.n_hits, 0) * 1.0 / t.n_true AS recall
-FROM tot t LEFT JOIN hits h
-  ON t.anchor_id = h.anchor_id AND t.is_neg = h.is_neg
+{_recall_sql_tail(["anchor_id", "is_neg", "cand_id"],
+                  ["anchor_id", "is_neg"])}
 """
 
 
@@ -1960,23 +2036,7 @@ def ann_hard_negatives_ann(
     ann_kept = _hn_kept_ann(spark, sf_dir).select(
         "anchor_id", "is_neg", "cand_id"
     )
-    hits = (
-        exact_kept.join(ann_kept, ["anchor_id", "is_neg", "cand_id"])
-        .groupBy("anchor_id", "is_neg")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
-    )
-    tot = exact_kept.groupBy("anchor_id", "is_neg").agg(
-        F.count(F.lit(1)).alias("n_true")
-    )
-    return tot.join(hits, ["anchor_id", "is_neg"], "left").select(
-        "anchor_id",
-        "is_neg",
-        F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
-        "n_true",
-        (
-            F.coalesce(F.col("n_hits"), F.lit(0)) * 1.0 / F.col("n_true")
-        ).alias("recall"),
-    )
+    return _recall_vs_exact(exact_kept, ann_kept, ["anchor_id", "is_neg"])
 
 
 # --------------------------- ep13: contrastive pair construction
@@ -2185,23 +2245,8 @@ keep_a AS (
     SELECT a_doc, is_neg, c_doc, c_chunk FROM ranked_a
     WHERE (NOT is_neg AND rnk = 1) OR (is_neg AND rnk <= {_EP13_NEGS})
 ),
-hits AS (
-    SELECT k.a_doc, k.is_neg, COUNT(*) AS n_hits
-    FROM keep_x k JOIN keep_a a2
-      ON k.a_doc = a2.a_doc AND k.is_neg = a2.is_neg
-     AND k.c_doc = a2.c_doc AND k.c_chunk = a2.c_chunk
-    GROUP BY k.a_doc, k.is_neg
-),
-tot AS (
-    SELECT a_doc, is_neg, COUNT(*) AS n_true
-    FROM keep_x GROUP BY a_doc, is_neg
-)
-SELECT t.a_doc AS anchor_doc, t.is_neg,
-       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
-       CAST(t.n_true AS BIGINT) AS n_true,
-       coalesce(h.n_hits, 0) * 1.0 / t.n_true AS recall
-FROM tot t LEFT JOIN hits h
-  ON t.a_doc = h.a_doc AND t.is_neg = h.is_neg
+{_recall_sql_tail(["a_doc", "is_neg", "c_doc", "c_chunk"],
+                  ["a_doc", "is_neg"], {"a_doc": "anchor_doc"})}
 """
 
 
@@ -2255,43 +2300,11 @@ def ep13_contrastive_pairs_ann(
     cent = emb.filter(
         (F.col("doc_id") < _EP13_IVF_K) & (F.col("chunk_idx") == 0)
     ).select(F.col("doc_id").alias("cid"), F.col("v").alias("cv"))
-    ccos = V.cosine(F.col("v"), F.col("cv"))
-    assign = (
-        emb.crossJoin(F.broadcast(cent))
-        .select("doc_id", "chunk_idx", "v", "cid", ccos.alias("ccos"))
-        .groupBy("doc_id", "chunk_idx")
-        .agg(
-            F.max(
-                F.struct(
-                    F.col("ccos"),
-                    (-F.col("cid")).alias("ncid"),
-                    F.col("v"),
-                )
-            ).alias("m")
-        )
-        .select(
-            "doc_id",
-            "chunk_idx",
-            F.col("m.v").alias("v"),
-            (-F.col("m.ncid")).alias("cid"),
-        )
-    )
-    w_probe = Window.partitionBy("a_doc").orderBy(
-        F.col("ccos").desc(), F.col("cid").asc()
-    )
-    probes = (
-        anchors.crossJoin(F.broadcast(cent))
-        .select(
-            "a_doc",
-            "va",
-            "cid",
-            V.cosine(F.col("va"), F.col("cv")).alias("ccos"),
-        )
-        .withColumn("rn", F.row_number().over(w_probe))
-        .filter(F.col("rn") <= _IVF_NPROBE)
-        .select("a_doc", "va", F.col("cid").alias("pcid"))
-    )
-    cand_cols = lambda: [  # noqa: E731
+    assign = _ivf_assign(emb, cent, ["doc_id", "chunk_idx"])
+    probes = _ivf_probes(anchors, cent, "a_doc", ("va",))
+    # columns are immutable expression trees — one list serves both
+    # candidate legs
+    cand_cols = [
         "a_doc",
         F.col("doc_id").alias("c_doc"),
         F.col("chunk_idx").alias("c_chunk"),
@@ -2301,31 +2314,20 @@ def ep13_contrastive_pairs_ann(
     same_doc = emb.join(
         F.broadcast(anchors),
         (F.col("doc_id") == F.col("a_doc")) & (F.col("chunk_idx") != 0),
-    ).select(*cand_cols())
+    ).select(*cand_cols)
     ivf_neg = assign.join(
         F.broadcast(probes),
         (F.col("cid") == F.col("pcid"))
         & (F.col("doc_id") != F.col("a_doc")),
-    ).select(*cand_cols())
+    ).select(*cand_cols)
     ann_kept = _ep13_mine(same_doc.unionByName(ivf_neg)).select(
         "a_doc", "is_neg", "c_doc", "c_chunk"
     )
-    hits = (
-        exact_kept.join(ann_kept, ["a_doc", "is_neg", "c_doc", "c_chunk"])
-        .groupBy("a_doc", "is_neg")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
-    )
-    tot = exact_kept.groupBy("a_doc", "is_neg").agg(
-        F.count(F.lit(1)).alias("n_true")
-    )
-    return tot.join(hits, ["a_doc", "is_neg"], "left").select(
-        F.col("a_doc").alias("anchor_doc"),
-        "is_neg",
-        F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
-        "n_true",
-        (
-            F.coalesce(F.col("n_hits"), F.lit(0)) * 1.0 / F.col("n_true")
-        ).alias("recall"),
+    return _recall_vs_exact(
+        exact_kept,
+        ann_kept,
+        ["a_doc", "is_neg"],
+        {"a_doc": "anchor_doc"},
     )
 
 
