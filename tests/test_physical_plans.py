@@ -809,6 +809,41 @@ def test_hard_negatives_ann_recall(spark, sf_dir):
     assert sorted(map(key, amortized)) == sorted(map(key, inline_kept))
 
 
+def test_ivf_assign_spreads_before_expansion(spark, sf_dir):
+    """_ivf_assign must repartition the corpus across cores BEFORE
+    the |codebook|x cosine expansion (its largest map stage): a
+    pinned or small-file upstream otherwise leaves the expansion at
+    1-2 splits (round-10 A/B at sf10: 12.6 s unspread vs 1.3 s
+    spread, warm). The exchange must sit between the corpus source
+    and the broadcast-argmax aggregate."""
+    from pyspark.sql import functions as F
+
+    from innercircle_etl_spark.functions import vectors as V
+    from innercircle_etl_spark.plans.registry import load
+    from innercircle_etl_spark.plans.similarity_queries import (
+        _ivf_assign,
+    )
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", V.as_double(F.col("embedding")).alias("v")
+    )
+    cent = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    df = _ivf_assign(e, cent, ["vec_id"])
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in plan, plan
+    # the REPARTITION_BY_NUM exchange is the spread (explicit
+    # numPartitions + keys); it must execute upstream of (deeper
+    # than) the BroadcastNestedLoopJoin expansion
+    join_at = plan.find("BroadcastNestedLoopJoin")
+    spread_at = plan.find("REPARTITION_BY_NUM")
+    assert join_at != -1 and spread_at != -1, plan
+    assert spread_at > join_at, plan  # deeper in the tree = later in toString
+
+
 def test_ep13_ann_recall(spark, sf_dir):
     """ep13_contrastive_pairs_ann: per-(anchor, leg) recall of the
     union candidate set (same-doc positives + IVF-cell negatives)
