@@ -1733,9 +1733,7 @@ def _hn_ivf_assign(e: DataFrame, cent: DataFrame) -> DataFrame:
     """(vec_id, label, v, cid): the mining family's inverted file —
     _ivf_assign keyed by vec_id with ``label`` riding along for the
     is_neg flag downstream."""
-    return _ivf_assign(e, cent, ["vec_id"], ("label",)).select(
-        "vec_id", "label", "v", "cid"
-    )
+    return _ivf_assign(e, cent, ["vec_id"], ("label",))
 
 
 def _ivf_probes(
@@ -1774,10 +1772,20 @@ def _recall_vs_exact(
 ) -> DataFrame:
     """Per-group hits / truth / recall: diff two kept frames on ALL
     of exact_kept's columns (both sides must carry exactly the
-    identifying columns), grouped by ``group_cols``. The shared tail
-    of every *_ann recall query — one place for the coalesce /
-    divide discipline."""
+    identifying columns — asserted, so an unnarrowed kept frame
+    carrying rank/cos fails loudly here instead of silently keying
+    the hits join on a score column and reporting recall=0), grouped
+    by ``group_cols``. The shared tail of every *_ann recall query —
+    one place for the coalesce / divide discipline."""
     key_cols = exact_kept.columns
+    assert sorted(key_cols) == sorted(ann_kept.columns), (
+        f"kept frames must carry identical identifying columns; "
+        f"exact={exact_kept.columns} ann={ann_kept.columns}"
+    )
+    extra = set(key_cols) & {"rank", "rnk", "cos"}
+    assert not extra, (
+        f"kept frame not narrowed to identifying columns: {extra}"
+    )
     hits = (
         exact_kept.join(ann_kept, key_cols)
         .groupBy(*group_cols)
