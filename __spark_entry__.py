@@ -60,99 +60,30 @@ def entry(spark: SparkSession) -> DataFrame:
 # not listed (or not yet registered) keep registration order at the
 # end — the list is advisory, never a filter.
 _PRIORITY = [
-    # ================= ROUND-10 WINDOW: the full-registry freshness
-    # proof (round-9 verdict item 1). 185 registered queries (182 at
-    # round-9 close + this round's three at positions 42-44) rotate
-    # through a 50-slot driver window (~3.7-round period); this round
-    # every row whose newest driver green is r6, plus the 3 rows that
-    # have never run under the driver, fits in one window: positions
-    # 1-3 = the never-proven trio, 4-41 = all 38 r6-stale rows
-    # (oldest displacement first, per the NOTES round-9 handoff),
-    # 42-43 = this round's two new registrations, 44-50 = the seven
-    # stalest r7 rows. After this round no registry row's newest
-    # green is older than r7.
-    # ---- 1-3: registered past round-9's full window — first driver
-    # proof: exact bit-identical EWMA fold, degree-oriented triangle
-    # count, FK referential-integrity audit ----
-    "w13_ewma",
-    "graph_triangles",
-    "q5_referential_integrity",
-    # ---- 4-41: the 38 rows whose newest driver green is r6
-    # (verified against CORRECTNESS_r01..r09 at round-10 start;
-    # VERDICT r9 "What's missing" #1 lists the same set) ----
-    "s12_corrupt_records",
-    "s13_compaction",
-    "s14_orc_roundtrip",
-    "s15_partitioned_db_pull",
-    "ep1_daily_pipeline",
-    "dedup_ngram_jaccard_w5",
-    "dedup_incremental_minhash",
-    "graph_pagerank3",
-    "mm_av_frame_sample_udtf",
-    "p12_null_safe_eq",
-    "f7_array_hof",
-    "t4_pivot",
-    "t5_unpivot",
-    "ann_sq_adc",
-    "seq_event_assembly",
-    "samp_stratified_hash",
-    "samp_epoch_shuffle",
-    "samp_weighted_resample",
-    "a12_rollup",
-    "a13_grouped_pandas_stats",
-    "a14_grouped_agg_udf",
-    "text_pii_scrub",
-    "text_pack_shards",
-    "text_train_eval_split",
-    "text_tfidf_terms",
-    "text_mix_weights",
-    "text_decontaminate",
-    "text_oov_quality",
-    "text_boilerplate_scrub",
-    "text_chunk_windows",
-    "w6_gap_fill_ffill",
-    "w7_rolling_7day",
-    "w8_day_over_day",
-    "w9_ntile_deciles",
-    "w10_twap",
-    "w11_cohort_retention",
-    "q2_column_profile",
-    "q4_key_skew_report",
-    # ---- 42-43: NEW this round (first driver proof): the
-    # DOULION-style edge-sampled triangle estimator (the 100TB
-    # relief valve for the registry's heaviest exact operator, under
-    # an oracle-checked accuracy contract) and the IVF-candidate
-    # hard-negative mining variant (recall-vs-exact oracle — the
-    # ep10_rag_retrieval_ann pattern applied to mining) ----
-    "graph_triangles_sampled",
-    "ann_hard_negatives_ann",
-    # ---- 44: NEW (third round-10 registration): ep13's production
-    # candidate path — same-doc equi-join positives ∪ IVF-cell hard
-    # negatives, per-(anchor,leg) recall-vs-exact oracle (measured
-    # 1.0 / 1.0 at sf0.01) ----
-    "ep13_contrastive_pairs_ann",
-    # ---- 45-50: the six stalest r7 rows (the a* block; a8, a8b and
-    # a11 lead the round-11 pool) ----
-    "a1_count_distinct",
-    "a1b_approx_distinct",
-    "a3_sum_min_max_avg",
-    "a4_scalar_subquery",
-    "a6_having",
-    "a7_conditional_agg",
-    # ---- rotation pool (advisory order; past the 50-slot window).
-    # Round-11 leads here: the three r7 rows that missed 45-50, then
-    # the rest of the r7 block oldest-first, then r8, then r9 ----
+    # ================= ROUND-11 WINDOW: standing freshness rotation
+    # (round-10 verdict item 1). 186 registered queries (185 at
+    # round-10 close + this round's ann_hard_negatives_amortized)
+    # rotate through a 50-slot driver window; after round 10 the
+    # newest-green histogram is r7x37 / r8x48 / r9x50 / r10x50
+    # (recomputed from CORRECTNESS_r01..r10 at round-11 start —
+    # matches the NOTES round-10 handoff). This window: positions
+    # 1-37 = ALL 37 r7-stale rows (handoff order), position 38 =
+    # this round's new registration, 39-50 = the first 12 rows of
+    # the r8 block. After this round no registry row's newest green
+    # is older than r8; the 36 remaining r8 rows lead round 12.
+    # ---- 1-37: the r7 block (oldest first per the handoff: the
+    # a* trio displaced from round-10's window lead) ----
     "a8_percentile_disc",
     "a8b_approx_percentile",
     "a11_two_phase_agg",
     "a15_cms_heavy_hitters",
     "a16_hll_mergeable_rollup",
     "a17_sketch_set_intersection",
+    "ann_cosine_topk",
+    "ann_lsh_bucketed",
     "dedup_exact",
     "dedup_simhash",
     "dedup_edit_distance",
-    "ann_cosine_topk",
-    "ann_lsh_bucketed",
     "ep3_roi_cascade",
     "ep4_circles",
     "ep5_shadow_trade",
@@ -166,20 +97,28 @@ _PRIORITY = [
     "j7b_asof_backward",
     "j9_join_to_latest",
     "j11_pairs_jaccard",
+    "mm_av_frame_sample",
+    "mm_dedup_phash",
+    "mm_image_features",
+    "mm_image_resize",
     "o1_global_topk",
     "q1_quality_report",
+    "text_repetition_quality",
     "u1_insert_if_absent",
     "u7_merge_into",
     "w1_latest_per_key",
     "w4b_global_rank_scalable",
     "x11_salted_skew_join",
     "x_bucketed_colocated_join",
-    "mm_dedup_phash",
-    "mm_image_features",
-    "mm_av_frame_sample",
-    "mm_image_resize",
-    "text_repetition_quality",
-    # ---- r8 block ----
+    # ---- 38: NEW this round (first driver proof): the AMORTIZED
+    # hard-negative mining shape — ONE pinned IVF inverted file,
+    # two distinct anchor batches mined against it, per
+    # (batch, anchor, leg) recall-vs-exact oracle (the production
+    # 100 TB form; round-10 verdict item 3) ----
+    "ann_hard_negatives_amortized",
+    # ---- 39-50: the first 12 rows of the r8 block (all 48 r8 rows
+    # are equally stale; alphabetical block order, continued at the
+    # head of the round-12 pool below) ----
     "a9_dedup_groupby",
     "ann_ivf_lloyd",
     "ann_ivf_probe",
@@ -192,6 +131,8 @@ _PRIORITY = [
     "d2_decode_calldata_token",
     "dedup_embedding_cosine",
     "dedup_minhash_lsh",
+    # ---- rotation pool (advisory order; past the 50-slot window).
+    # Round-12 leads here: the 36 remaining r8 rows ----
     "dedup_minhash_recall",
     "dedup_ngram_jaccard",
     "dedup_shingle_containment",

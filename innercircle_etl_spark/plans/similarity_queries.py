@@ -1640,6 +1640,20 @@ FROM neg n JOIN pos p ON n.anchor_id = p.anchor_id
 """
 
 
+def _hn_anchor_batch(e: DataFrame, lo: int, hi: int) -> DataFrame:
+    """(anchor_id, anchor_label, va): one FIXED-size anchor batch —
+    the ``vec_id`` slice [lo, hi). Batch size is a constant, never
+    corpus-proportional (the sf1-timeout lesson); the amortized
+    mining shape streams a sequence of these against ONE index."""
+    return e.filter(
+        (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+    ).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("v").alias("va"),
+    )
+
+
 def _hn_frames(spark: SparkSession, sf_dir: str):
     """(corpus, anchors) for the hard-negative mining family: the
     embeddings corpus as (vec_id, label, v double[]) and the FIXED
@@ -1649,12 +1663,7 @@ def _hn_frames(spark: SparkSession, sf_dir: str):
     e = emb.select(
         "vec_id", "label", V.as_double(F.col("embedding")).alias("v")
     )
-    anchors = e.filter(F.col("vec_id") < _HN_ANCHORS).select(
-        F.col("vec_id").alias("anchor_id"),
-        F.col("label").alias("anchor_label"),
-        F.col("v").alias("va"),
-    )
-    return e, anchors
+    return e, _hn_anchor_batch(e, 0, _HN_ANCHORS)
 
 
 def _hn_mine(scored: DataFrame) -> DataFrame:
@@ -1669,10 +1678,12 @@ def _hn_mine(scored: DataFrame) -> DataFrame:
     )
 
 
-def _hn_kept_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The exact full-corpus-scored kept set (recall baseline)."""
-    e, anchors = _hn_frames(spark, sf_dir)
-    scored = e.join(
+def _hn_score_exact(e: DataFrame, anchors: DataFrame) -> DataFrame:
+    """(anchor_id, cand_id, is_neg, cos): the FULL corpus scored
+    against one broadcast anchor batch — a corpus pass PER BATCH,
+    which is exactly the cost the IVF candidate path amortizes
+    away."""
+    return e.join(
         F.broadcast(anchors), F.col("vec_id") != F.col("anchor_id")
     ).select(
         "anchor_id",
@@ -1680,7 +1691,12 @@ def _hn_kept_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("label") != F.col("anchor_label")).alias("is_neg"),
         V.cosine(F.col("va"), F.col("v")).alias("cos"),
     )
-    return _hn_mine(scored)
+
+
+def _hn_kept_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact full-corpus-scored kept set (recall baseline)."""
+    e, anchors = _hn_frames(spark, sf_dir)
+    return _hn_mine(_hn_score_exact(e, anchors))
 
 
 def _ivf_assign(
@@ -1867,17 +1883,34 @@ def _hn_kept_ann(
     build. Production mines a stream of batches against the same
     index; the exact scorer pays its full corpus pass PER BATCH."""
     e, anchors = _hn_frames(spark, sf_dir)
-    cent = e.filter(F.col("vec_id") < _FIXED_K).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
-    )
+    cent = _hn_centroids(e)
     if assign is None:
         assign = _hn_ivf_assign(e, cent)
     # The anchor frame is _hn_frames' — the SAME definition the
     # exact recall baseline mines, by construction.
+    return _hn_mine(_hn_score_ann(assign, cent, anchors))
+
+
+def _hn_centroids(e: DataFrame) -> DataFrame:
+    """(cid, cv): the fixed-k=32 codebook — ann_ivf_fixed_k's
+    deterministic first-_FIXED_K-vectors convention."""
+    return e.filter(F.col("vec_id") < _FIXED_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+
+
+def _hn_score_ann(
+    assign: DataFrame, cent: DataFrame, anchors: DataFrame
+) -> DataFrame:
+    """(anchor_id, cand_id, is_neg, cos): the IVF candidate scoring
+    leg — each anchor's nprobe nearest cells equi-joined against the
+    inverted file ``assign``, so only ~nprobe/k of the corpus is
+    scored per batch. This is the PER-BATCH cost of the amortized
+    production shape; ``assign`` is the once-built index."""
     probes = _ivf_probes(
         anchors, cent, "anchor_id", ("anchor_label", "va")
     )
-    scored = assign.join(
+    return assign.join(
         F.broadcast(probes),
         (F.col("cid") == F.col("pcid"))
         & (F.col("vec_id") != F.col("anchor_id")),
@@ -1887,7 +1920,6 @@ def _hn_kept_ann(
         (F.col("label") != F.col("anchor_label")).alias("is_neg"),
         V.cosine(F.col("va"), F.col("v")).alias("cos"),
     )
-    return _hn_mine(scored)
 
 
 @register("ann_hard_negatives", oracle=_HN_ORACLE)
@@ -2045,6 +2077,189 @@ def ann_hard_negatives_ann(
         "anchor_id", "is_neg", "cand_id"
     )
     return _recall_vs_exact(exact_kept, ann_kept, ["anchor_id", "is_neg"])
+
+
+# --------------- hard-negative mining, AMORTIZED-index production shape
+
+_HN_AMORT_BATCHES = 2  # distinct anchor batches mined against ONE index
+
+
+def _hn_amort_oracle() -> str:
+    """DuckDB replay of the amortized shape: ONE assign CTE (the
+    index), then per-batch exact/IVF kept sets and their recall
+    diff, UNION ALL'd with a batch_id tag."""
+    ctes = [
+        f"""e AS (
+    SELECT vec_id, label,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+cent AS (
+    SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {_FIXED_K}
+),
+assign AS (
+    SELECT vec_id, label, v, cid FROM (
+        SELECT e.vec_id, e.label, e.v, c.cid,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_COS_SQL.format(a="e.v", b="c.cv")} DESC,
+                            c.cid ASC
+               ) AS rn
+        FROM e CROSS JOIN cent c
+    ) WHERE rn = 1
+)"""
+    ]
+    finals = []
+    for b in range(_HN_AMORT_BATCHES):
+        lo, hi = b * _HN_ANCHORS, (b + 1) * _HN_ANCHORS
+        ctes.append(
+            f"""a{b} AS (
+    SELECT vec_id AS anchor_id, label AS anchor_label, v AS va
+    FROM e WHERE vec_id >= {lo} AND vec_id < {hi}
+),
+scored_x{b} AS (
+    SELECT a.anchor_id, e.vec_id AS cand_id,
+           (e.label != a.anchor_label) AS is_neg,
+           {_COS_SQL.format(a="a.va", b="e.v")} AS cos
+    FROM a{b} a JOIN e ON e.vec_id != a.anchor_id
+),
+ranked_x{b} AS (
+    SELECT *, CAST(row_number() OVER (
+               PARTITION BY anchor_id, is_neg
+               ORDER BY cos DESC, cand_id ASC) AS INTEGER) AS rank
+    FROM scored_x{b}
+),
+keep_x{b} AS (
+    SELECT anchor_id, is_neg, cand_id FROM ranked_x{b}
+    WHERE (NOT is_neg AND rank = 1) OR (is_neg AND rank <= {_HN_NEGS})
+),
+probes{b} AS (
+    SELECT anchor_id, anchor_label, va, cid AS pcid FROM (
+        SELECT a.anchor_id, a.anchor_label, a.va, c.cid,
+               row_number() OVER (
+                   PARTITION BY a.anchor_id
+                   ORDER BY {_COS_SQL.format(a="a.va", b="c.cv")} DESC,
+                            c.cid ASC
+               ) AS rn
+        FROM a{b} a CROSS JOIN cent c
+    ) WHERE rn <= {_IVF_NPROBE}
+),
+scored_a{b} AS (
+    SELECT p.anchor_id, s.vec_id AS cand_id,
+           (s.label != p.anchor_label) AS is_neg,
+           {_COS_SQL.format(a="p.va", b="s.v")} AS cos
+    FROM probes{b} p JOIN assign s
+      ON p.pcid = s.cid AND s.vec_id != p.anchor_id
+),
+ranked_a{b} AS (
+    SELECT *, CAST(row_number() OVER (
+               PARTITION BY anchor_id, is_neg
+               ORDER BY cos DESC, cand_id ASC) AS INTEGER) AS rank
+    FROM scored_a{b}
+),
+keep_a{b} AS (
+    SELECT anchor_id, is_neg, cand_id FROM ranked_a{b}
+    WHERE (NOT is_neg AND rank = 1) OR (is_neg AND rank <= {_HN_NEGS})
+),
+hits{b} AS (
+    SELECT k.anchor_id, k.is_neg, COUNT(*) AS n_hits
+    FROM keep_x{b} k JOIN keep_a{b} a2
+      ON k.anchor_id = a2.anchor_id AND k.is_neg = a2.is_neg
+         AND k.cand_id = a2.cand_id
+    GROUP BY k.anchor_id, k.is_neg
+),
+tot{b} AS (
+    SELECT anchor_id, is_neg, COUNT(*) AS n_true
+    FROM keep_x{b} GROUP BY anchor_id, is_neg
+)"""
+        )
+        finals.append(
+            f"""SELECT {b} AS batch_id, t.anchor_id, t.is_neg,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(t.n_true AS BIGINT) AS n_true,
+       coalesce(h.n_hits, 0) * 1.0 / t.n_true AS recall
+FROM tot{b} t LEFT JOIN hits{b} h
+  ON t.anchor_id = h.anchor_id AND t.is_neg = h.is_neg"""
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(finals)
+
+
+@register("ann_hard_negatives_amortized", oracle=_hn_amort_oracle())
+def ann_hard_negatives_amortized(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The PRODUCTION 100 TB mining shape, registered (round-10
+    verdict item 3): the IVF inverted file is built ONCE and pinned
+    (``localCheckpoint`` — the same executor-side materialization
+    ep9_vector_index_pipeline's maintained index gives a real
+    deployment), then a SEQUENCE of fixed-size anchor batches is
+    mined against that one index. ann_hard_negatives_ann proves the
+    candidate path's recall but rebuilds the index inline per run —
+    a 32-centroid corpus pass that roughly cancels the pruning win
+    for a single batch. Here the per-batch cost is probes (40 x 32,
+    dimension-sized) + probed-cell scoring (~nprobe/k ≈ 6% of a
+    corpus pass) + the salted rank; the index build is paid once
+    across all batches (measured at sf10: 3.9 s/batch amortized vs
+    40.1 s/batch exact — SCALE.md).
+
+    Output: per (batch_id, anchor, leg) recall of the amortized
+    candidate path against the exact full-corpus scorer — the SAME
+    recall-vs-exact oracle as the inline form, now also proving the
+    kept sets are IDENTICAL whether the index is rebuilt per run or
+    reused across batches (index reuse must not change results, only
+    cost — test_amortized_batch0_equals_inline pins batch 0's kept
+    set against _hn_kept_ann's). Both batches mine through the
+    identical _hn_mine skeleton; batch 0 is ann_hard_negatives_ann's
+    anchor slice, batch 1 the next _HN_ANCHORS vec_ids — distinct
+    batches, one index.
+
+    Honest recall note: the factory embeddings are ISOTROPIC
+    (same-label mean cosine 0.0016 ≈ cross-label 0.0003 at sf0.01),
+    so exact nearest neighbors are near-arbitrary directions and any
+    cell-pruned method sits near its scan fraction; batch 0 reads
+    higher (pos 60% / neg 79%) partly because its anchor slice
+    overlaps the first-_FIXED_K codebook (self-cell effect), batch 1
+    (disjoint from the codebook) reads the floor (pos 15% / neg 25%
+    at sf0.01). On clustered production embeddings the cells track
+    cosine structure and both batches ride it; the per-batch oracle
+    exists precisely so a deployment measures this on ITS corpus
+    instead of trusting a fixture number.
+
+    Scale: everything per-batch is bounded by batch size x nprobe/k;
+    the only corpus-scale work is the once-per-index assign (map-side
+    broadcast-argmax, plan-asserted for the inline twin) and the
+    exact recall baseline, which production drops.
+
+    Reference parity: beyond-reference (north-star extension)."""
+    e, _ = _hn_frames(spark, sf_dir)
+    cent = _hn_centroids(e)
+    # The index: built once, pinned eagerly so every batch's plan
+    # consumes the materialized frame instead of re-deriving the
+    # corpus-scale assignment (the racing-consumers pin discipline).
+    assign = _hn_ivf_assign(e, cent).localCheckpoint(eager=True)
+    out = None
+    for b in range(_HN_AMORT_BATCHES):
+        anchors = _hn_anchor_batch(
+            e, b * _HN_ANCHORS, (b + 1) * _HN_ANCHORS
+        )
+        exact_kept = _hn_mine(_hn_score_exact(e, anchors)).select(
+            "anchor_id", "is_neg", "cand_id"
+        )
+        ann_kept = _hn_mine(
+            _hn_score_ann(assign, cent, anchors)
+        ).select("anchor_id", "is_neg", "cand_id")
+        rec = _recall_vs_exact(
+            exact_kept, ann_kept, ["anchor_id", "is_neg"]
+        ).select(
+            F.lit(b).alias("batch_id"),
+            "anchor_id",
+            "is_neg",
+            "n_hits",
+            "n_true",
+            "recall",
+        )
+        out = rec if out is None else out.unionByName(rec)
+    return out
 
 
 # --------------------------- ep13: contrastive pair construction

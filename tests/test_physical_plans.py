@@ -809,6 +809,43 @@ def test_hard_negatives_ann_recall(spark, sf_dir):
     assert sorted(map(key, amortized)) == sorted(map(key, inline_kept))
 
 
+def test_amortized_batch0_equals_inline(spark, sf_dir):
+    """ann_hard_negatives_amortized: the registered production shape
+    — ONE pinned inverted file, a sequence of anchor batches. Batch
+    0 is ann_hard_negatives_ann's anchor slice, so its recall rows
+    must MATCH the inline-index query exactly (index reuse changes
+    cost, never results); batch 1's anchors are the next
+    _HN_ANCHORS vec_ids (disjoint from batch 0). The plan must
+    consume the pinned index (Scan ExistingRDD) and never go
+    cartesian; per-row recall invariants as in the inline test."""
+    from innercircle_etl_spark.plans.similarity_queries import (
+        _HN_ANCHORS,
+        _HN_NEGS,
+    )
+
+    df = QUERIES["ann_hard_negatives_amortized"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
+    rows = df.collect()
+    assert {r.batch_id for r in rows} == {0, 1}
+    for r in rows:
+        lo = r.batch_id * _HN_ANCHORS
+        assert lo <= r.anchor_id < lo + _HN_ANCHORS, r
+        truth_cap = _HN_NEGS if r.is_neg else 1
+        assert 1 <= r.n_true <= truth_cap, r
+        assert 0 <= r.n_hits <= r.n_true, r
+        assert r.recall == r.n_hits / r.n_true, r
+    inline = QUERIES["ann_hard_negatives_ann"](spark, sf_dir).collect()
+
+    def key(r):
+        return (r.anchor_id, bool(r.is_neg), r.n_hits, r.n_true)
+
+    assert sorted(key(r) for r in rows if r.batch_id == 0) == sorted(
+        map(key, inline)
+    )
+
+
 def test_ivf_assign_spreads_before_expansion(spark, sf_dir):
     """_ivf_assign must repartition the corpus across cores BEFORE
     the |codebook|x cosine expansion (its largest map stage): a
