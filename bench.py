@@ -85,6 +85,67 @@ LLM_HEADLINE = [
 _REF_PROBE = {"cpu": 0.24, "io": 0.16}
 
 
+def normalize_timings(
+    timings: dict[str, float],
+    probe_samples: dict[str, list[float]],
+    ref_cpu: float = _REF_PROBE["cpu"],
+    deviation: float = 0.2,
+    cap: int = 6,
+) -> tuple[dict[str, float], dict[str, float], float | None]:
+    """Per-query drift normalization (round-10 verdict item 2): a
+    single run-level probe ratio cannot adjudicate a load burst
+    confined to ONE query's measurement window (round 10: ep5 read
+    +229% raw while run-median drift was 1.542x; the probe sitting
+    NEXT to ep5's reps read 2.35x, and clearing the query took three
+    independent out-of-artifact measurements). Each query is instead
+    normalized by the median of its OWN adjacent probes — the
+    pre-rep calibration sample plus any noise-attribution probes
+    taken between its extra reps.
+
+    Returns (normalized, movers, run_ratio):
+    - normalized: every query's wall divided by its own probe ratio
+      (queries with no adjacent probe fall back to the run-median
+      ratio — their entry is still present, so a fully-probed run
+      and a budget-degraded one are distinguishable via the caller's
+      ``skipped``/probe bookkeeping, not by silent absence);
+    - movers: the <= ``cap`` queries whose own ratio deviates from
+      the run-median ratio by more than ``deviation`` (relative) —
+      the rows where aggregate normalization actively misleads and
+      the compact line must carry the per-query verdict;
+    - run_ratio: the run-median probe ratio (None when no query had
+      a probe — the caller must mark that explicitly rather than
+      report drift 1.0 off the reference fallback).
+
+    CPU-probe coverage only: the probes time a fixed shuffle+agg
+    job, so this normalization adjudicates co-tenant CPU bursts; the
+    page-cache-reclaim noise mode moves only the io probe and is
+    reported separately (drift.io), not divided out — an io-drifted
+    host's normalized walls still read high on scan-heavy queries.
+    """
+    ratios: dict[str, float] = {}
+    for name in timings:
+        ps = sorted(probe_samples.get(name) or [])
+        if ps:
+            ratios[name] = ps[len(ps) // 2] / ref_cpu
+    rs = sorted(ratios.values())
+    run_ratio = rs[len(rs) // 2] if rs else None
+    normalized = {
+        name: round(wall / ratios.get(name, run_ratio or 1.0), 3)
+        for name, wall in timings.items()
+    }
+    movers = {}
+    if run_ratio:
+        deviants = sorted(
+            (
+                (abs(r / run_ratio - 1.0), name)
+                for name, r in ratios.items()
+                if abs(r / run_ratio - 1.0) > deviation
+            ),
+            reverse=True,
+        )
+        movers = {name: normalized[name] for _, name in deviants[:cap]}
+    return normalized, movers, run_ratio
+
 
 def emit_artifacts(
     compact: dict, full: dict, out_path: str, stdout=None
@@ -217,6 +278,16 @@ def main() -> None:
     # box's throughput next to every measurement, so a polluted
     # window is readable straight off the artifact.
     cal_probe: dict[str, float] = {}
+    # Every probe sample adjacent to a query's reps (the pre-rep
+    # calibration sample + any noise-attribution probes) — the input
+    # to per-query drift normalization.
+    probe_samples: dict[str, list[float]] = {}
+    # Partial-run self-identification (round-10 advice): a query the
+    # 95%-budget gate dropped shrinks `value` — the round-over-round
+    # headline — so the compact artifact must say so itself instead
+    # of leaving a reader to diff the queries dict across rounds.
+    skipped: list[str] = []
+    ramp_exposed: list[str] = []
 
     def measure(name: str, timings: dict[str, float]) -> None:
         # Hard artifact-preservation gates (the 0.6/0.85 gates below
@@ -228,6 +299,7 @@ def main() -> None:
         # a single timed rep (recorded in spread as n=1 — readable).
         if time.time() - bench_t0 > 0.95 * budget_s:
             print(f"# {name}: SKIPPED (budget)", file=sys.stderr)
+            skipped.append(name)
             return
         reps_here = (
             reps if time.time() - bench_t0 < 0.75 * budget_s else 1
@@ -252,6 +324,7 @@ def main() -> None:
             _drop_caches(spark)
         else:
             print(f"# {name}: warm rep skipped (budget)", file=sys.stderr)
+            ramp_exposed.append(name)
         samples, n = [], 0
         for _ in range(reps_here):
             t0 = time.time()
@@ -304,6 +377,9 @@ def main() -> None:
         }
         if noise_probes:
             spread[name]["noise_probes"] = noise_probes
+        probe_samples[name] = [cal_probe[name]] + [
+            p["cpu"] for p in noise_probes
+        ]
         print(
             f"# {name}: {timings[name]:.3f}s (n={n},"
             f" median {spread[name]['median']:.3f},"
@@ -326,15 +402,41 @@ def main() -> None:
     # the pinned healthy profile. cpu = median of the per-query
     # probes (they timestamp the whole run); io = mean of the
     # start/end scan probes. A ratio well above 1.0 says the box was
-    # slow, not the code — and the normalized total is what the same
-    # run would have read on the reference-profile box.
+    # slow, not the code — and the normalized totals are what the
+    # same run would have read on the reference-profile box.
+    # Normalization is PER-QUERY (round-10 verdict item 2): each
+    # wall divided by the median of its own adjacent probes, so a
+    # burst confined to one query's window is adjudicated in the
+    # artifact (r10's ep5 +229% needed three out-of-artifact
+    # measurements to clear). `queries_normalized` carries the
+    # deviant rows (own ratio >20% off the run median — where the
+    # aggregate ratio misleads); the full payload carries every
+    # query's normalized wall. CPU-noise coverage only: the io probe
+    # moves alone under page-cache reclaim and is reported as
+    # drift.io, not divided out.
+    all_timings = dict(timings)
+    all_timings.update(llm_timings)
+    normalized_full, movers, run_ratio = normalize_timings(
+        all_timings, probe_samples
+    )
     probes = sorted(cal_probe.values())
-    cpu_now = probes[len(probes) // 2] if probes else _REF_PROBE["cpu"]
     io_now = (cal_start["io"] + cal_end["io"]) / 2
-    drift = {
-        "cpu": round(cpu_now / _REF_PROBE["cpu"], 3),
+    drift: dict[str, object] = {
+        # None = no per-query probes survived the budget gates: cpu
+        # drift is UNKNOWN, not 1.0 (the old silent ref fallback)
+        "cpu": round(run_ratio, 3) if run_ratio else None,
         "io": round(io_now / _REF_PROBE["io"], 3),
     }
+    norm_total = (
+        round(sum(normalized_full[n] for n in timings), 3)
+        if run_ratio
+        else None
+    )
+    llm_norm_total = (
+        round(sum(normalized_full[n] for n in llm_timings), 3)
+        if run_ratio
+        else None
+    )
     compact = {
         "metric": "headline_total_wall_clock",
         "value": total,
@@ -343,16 +445,28 @@ def main() -> None:
         "llm_total": llm_total,
         "llm_queries": llm_timings,
         "drift": drift,
-        "drift_normalized_total": round(total / drift["cpu"], 3),
+        "drift_normalized_total": norm_total,
+        "llm_normalized_total": llm_norm_total,
+        "queries_normalized": movers,
+        "skipped": skipped,
+        "ramp_exposed": ramp_exposed,
         "sf": float(sf) if sf else sf_dir,
     }
     full = dict(
         compact,
+        queries_normalized_full=normalized_full,
         spread=spread,
         calibration={
             "start": cal_start,
             "per_query": cal_probe,
             "end": cal_end,
+            "note": (
+                "normalization divides by ADJACENT cpu-probe ratios"
+                " (per query; run-median fallback for probe-less"
+                " rows) — it adjudicates co-tenant CPU bursts only;"
+                " page-cache reclaim moves drift.io alone and is"
+                " reported, not divided out"
+            ),
         },
     )
     out_path = os.environ.get(

@@ -402,7 +402,7 @@ SELECT CAST({_TRI_P_INV} AS BIGINT) AS p_inv,
        ABS(n_sampled_triangles * {_TRI_P_INV ** 3}
            - (SELECT n_triangles FROM tri_x)) * 100
          <= {_TRI_BOUND_PCT} * (SELECT n_triangles FROM tri_x)
-         AS within_bound
+         AS claimed_within_bound
 FROM est
 """
 
@@ -433,6 +433,19 @@ def graph_triangles_sampled(
     SFs: 3.5% / 1.2% / 0.3% (largest at the smallest graph, T=126k —
     binomial rel-sd ~2%), so the {bound}% bound carries >= 7x margin.
 
+    The flag column is named CLAIMED_within_bound deliberately
+    (round-10 advice): the Spark side asserts the contract as a
+    literal, and the assertion is ADJUDICATED only where an oracle
+    replays the input (the factory SFs the driver sweeps). On an
+    unswept input the column is a claim, not a measurement — on a
+    toy 3-edge graph the sample can keep 0 edges and estimate 0
+    against an exact 1. Consumers at unswept scales should judge
+    the estimate from the emitted confidence inputs instead:
+    n_sampled_triangles and p_inv give the DOULION binomial
+    rel-sd ~= sqrt((p_inv^3 - 1) / (n_sampled_triangles * p_inv^3)),
+    which the {bound}% bound must clear with margin to trust the
+    flag (>= ~170 sampled triangles for 2 sd at p_inv={pinv}).
+
     Reference parity: beyond-reference (north-star extension)."""
     edges = _part_cooccur_edges(spark, sf_dir, keep_mod=_TRI_P_INV)
     _, tri = _oriented_triangles(edges)
@@ -447,7 +460,7 @@ def graph_triangles_sampled(
         (F.col("n_triangles") * _TRI_P_INV**3)
         .cast("long")
         .alias("est_triangles"),
-        F.lit(True).alias("within_bound"),
+        F.lit(True).alias("claimed_within_bound"),
     )
 
 

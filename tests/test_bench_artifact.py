@@ -14,14 +14,25 @@ from __future__ import annotations
 import io
 import json
 
-from bench import HEADLINE, LLM_HEADLINE, emit_artifacts
+from bench import (
+    HEADLINE,
+    LLM_HEADLINE,
+    _REF_PROBE,
+    emit_artifacts,
+    normalize_timings,
+)
 
 
 def _fixture():
     # shaped exactly like bench.main()'s dicts, at headline size,
-    # with worst-case-width values (xx.xxx) in every slot
+    # with worst-case-width values (xx.xxx) in every slot; the
+    # round-11 fields at plausible-worst width (6 movers — the cap —
+    # plus a degraded run's skip lists; self-consistent: a skipped
+    # query has NO timings entry, that's what skipping means)
     timings = {name: 12.345 for name in HEADLINE}
-    llm_timings = {name: 12.345 for name in LLM_HEADLINE}
+    llm_timings = {
+        name: 12.345 for name in LLM_HEADLINE if name not in LLM_HEADLINE[-3:]
+    }
     compact = {
         "metric": "headline_total_wall_clock",
         "value": round(sum(timings.values()), 3),
@@ -31,6 +42,12 @@ def _fixture():
         "llm_queries": llm_timings,
         "drift": {"cpu": 1.254, "io": 1.188},
         "drift_normalized_total": 196.89,
+        "llm_normalized_total": 98.445,
+        "queries_normalized": {
+            name: 12.345 for name in (HEADLINE + LLM_HEADLINE)[:6]
+        },
+        "skipped": LLM_HEADLINE[-3:],
+        "ramp_exposed": LLM_HEADLINE[-6:],
         "sf": 0.1,
     }
     spread = {
@@ -72,10 +89,69 @@ def test_compact_line_fits_capture_window(tmp_path):
     parsed = json.loads(line)
     assert parsed["metric"] == "headline_total_wall_clock"
     assert set(parsed["queries"]) == set(HEADLINE)
-    assert set(parsed["llm_queries"]) == set(LLM_HEADLINE)
+    # skipped queries have no timing entry — the lists partition
+    assert set(parsed["llm_queries"]) | set(parsed["skipped"]) == set(
+        LLM_HEADLINE
+    )
     assert parsed["drift"].keys() == {"cpu", "io"}
     assert "drift_normalized_total" in parsed
+    assert "queries_normalized" in parsed and "skipped" in parsed
     assert "spread" not in parsed and "calibration" not in parsed
+
+
+def test_per_query_burst_adjudication():
+    """Round-10 verdict item 2, the synthetic-burst pin: a load
+    burst confined to ONE query's measurement window (its adjacent
+    probe reads 2.35x the healthy profile while every other probe is
+    clean) must be adjudicated IN the artifact — the bursty query's
+    normalized wall reads its clean-box value and it is flagged as a
+    mover, while clean queries normalize by the (clean) run-median
+    ratio and are not flagged. Round 10's real instance: ep5 read
+    6.692s raw (+229%) with run drift 1.542x; clearing it took three
+    out-of-artifact measurements."""
+    ref = _REF_PROBE["cpu"]
+    timings = {"ep5_shadow_trade": 6.692, "j1_multiway_join": 0.641,
+               "w1_latest_per_key": 0.828, "o1_global_topk": 0.5,
+               "u1_insert_if_absent": 0.4}
+    probe_samples = {
+        "ep5_shadow_trade": [2.35 * ref, 2.4 * ref, 2.3 * ref],
+        "j1_multiway_join": [1.0 * ref],
+        "w1_latest_per_key": [1.02 * ref],
+        "o1_global_topk": [0.98 * ref],
+        "u1_insert_if_absent": [1.0 * ref],
+    }
+    normalized, movers, run_ratio = normalize_timings(
+        timings, probe_samples
+    )
+    assert run_ratio == 1.0
+    # the burst is divided out of the bursty query...
+    assert abs(normalized["ep5_shadow_trade"] - 6.692 / 2.35) < 0.01
+    # ...and only that query is flagged for the compact line
+    assert set(movers) == {"ep5_shadow_trade"}
+    assert movers["ep5_shadow_trade"] == normalized["ep5_shadow_trade"]
+    assert normalized["j1_multiway_join"] == 0.641
+
+
+def test_normalization_probe_less_and_empty_runs():
+    """Degraded-run contracts (round-10 advice item 3): a query with
+    no adjacent probe (budget-skipped extras) normalizes by the
+    run-median ratio — present in the output, never silently
+    dropped; a run where NO query got a probe returns run_ratio None
+    (drift UNKNOWN — the caller emits null, not a 1.0 read off the
+    reference fallback) and walls pass through raw. A fast box
+    (ratio < 1) normalizes UP — adjudication is symmetric."""
+    ref = _REF_PROBE["cpu"]
+    normalized, movers, run_ratio = normalize_timings(
+        {"a": 2.0, "b": 4.0}, {"a": [0.5 * ref]}
+    )
+    assert run_ratio == 0.5
+    assert normalized == {"a": 4.0, "b": 8.0}
+    assert movers == {}
+    normalized, movers, run_ratio = normalize_timings(
+        {"a": 2.0, "b": 4.0}, {}
+    )
+    assert run_ratio is None
+    assert normalized == {"a": 2.0, "b": 4.0} and movers == {}
 
 
 def test_full_payload_written_and_supersets_compact(tmp_path):

@@ -1137,7 +1137,7 @@ def test_triangles_sampled_estimator(spark, sf_dir, duck):
     assert r.p_inv == _TRI_P_INV
     assert r.est_edges == r.n_sampled_edges * _TRI_P_INV
     assert r.est_triangles == r.n_sampled_triangles * _TRI_P_INV**3
-    assert r.within_bound is True
+    assert r.claimed_within_bound is True
     exact = QUERIES["graph_triangles"](spark, sf_dir).collect()[0]
     assert (
         abs(r.est_triangles - exact.n_triangles) * 100
