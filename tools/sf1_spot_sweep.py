@@ -37,6 +37,23 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # state lifecycle). Nothing is skipped by default.
 SKIP_PREFIXES: tuple[str, ...] = ()
 
+# Exact-form demotion at sf10 (round-10 verdict stretch item,
+# policy in SCALE.md "Round 11"): a query here has an oracle-checked
+# approximate relief valve that carries its sf10 trend, so the exact
+# form runs at sf10 ONLY as a regression canary — when its
+# implementing module changed that round, or when named explicitly
+# on the command line. It still runs in every sf0.01 driver sweep
+# and at sf1 (cheap there); default sf10 sweeps record a
+# "demoted" marker instead of paying the wall.
+DEMOTED_AT_SF10 = {
+    "graph_triangles": (
+        "exact form costs ~1,470 s at sf10; graph_triangles_sampled "
+        "(DOULION p=1/4, 25% oracle-checked bound, <=3.5% observed "
+        "error) carries the sf10 trend — run exact only when "
+        "graph_queries.py changed or when named explicitly"
+    ),
+}
+
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scratch/sf1"
@@ -47,6 +64,7 @@ def main() -> None:
     from innercircle_etl_spark.plans import QUERIES
     from innercircle_etl_spark.session import drop_query_caches, get_spark
 
+    demoted: dict[str, str] = {}
     if not names:
         names = [
             n
@@ -54,6 +72,9 @@ def main() -> None:
             if n not in HEADLINE
             and not any(n.startswith(p) for p in SKIP_PREFIXES)
         ]
+        if os.path.basename(sf_dir.rstrip("/")) == "sf10":
+            demoted = {n: r for n, r in DEMOTED_AT_SF10.items() if n in names}
+            names = [n for n in names if n not in demoted]
 
     spark = get_spark(app_name="sf1_spot_sweep")
     spark.sparkContext.setLogLevel("ERROR")
@@ -91,6 +112,9 @@ def main() -> None:
             except Exception:
                 pass
         print(f"# {name}: {out[name]}", file=sys.stderr)
+    for name, reason in demoted.items():
+        out[name] = {"demoted": reason}
+        print(f"# {name}: demoted (see SCALE.md)", file=sys.stderr)
     print(json.dumps({"sf_dir": sf_dir, "budget_s": budget, "results": out}))
     spark.stop()
 
