@@ -61,16 +61,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # end — the list is advisory, never a filter.
 _PRIORITY = [
     # ================= ROUND-11 WINDOW: standing freshness rotation
-    # (round-10 verdict item 1). 186 registered queries (185 at
-    # round-10 close + this round's ann_hard_negatives_amortized)
-    # rotate through a 50-slot driver window; after round 10 the
-    # newest-green histogram is r7x37 / r8x48 / r9x50 / r10x50
-    # (recomputed from CORRECTNESS_r01..r10 at round-11 start —
-    # matches the NOTES round-10 handoff). This window: positions
-    # 1-37 = ALL 37 r7-stale rows (handoff order), position 38 =
-    # this round's new registration, 39-50 = the first 12 rows of
-    # the r8 block. After this round no registry row's newest green
-    # is older than r8; the 36 remaining r8 rows lead round 12.
+    # (round-10 verdict item 1). 187 registered queries (185 at
+    # round-10 close + this round's two amortized-index mining
+    # registrations) rotate through a 50-slot driver window; after
+    # round 10 the newest-green histogram is r7x37 / r8x48 / r9x50 /
+    # r10x50 (recomputed from CORRECTNESS_r01..r10 at round-11 start
+    # — matches the NOTES round-10 handoff). This window: positions
+    # 1-37 = ALL 37 r7-stale rows (handoff order), 38-39 = this
+    # round's new registrations, 40-50 = the first 11 rows of the
+    # r8 block. After this round no registry row's newest green is
+    # older than r8; the 37 remaining r8 rows lead round 12.
     # ---- 1-37: the r7 block (oldest first per the handoff: the
     # a* trio displaced from round-10's window lead) ----
     "a8_percentile_disc",
@@ -110,13 +110,15 @@ _PRIORITY = [
     "w4b_global_rank_scalable",
     "x11_salted_skew_join",
     "x_bucketed_colocated_join",
-    # ---- 38: NEW this round (first driver proof): the AMORTIZED
-    # hard-negative mining shape — ONE pinned IVF inverted file,
+    # ---- 38-39: NEW this round (first driver proof): the two
+    # AMORTIZED-index mining shapes — ONE pinned IVF inverted file,
     # two distinct anchor batches mined against it, per
     # (batch, anchor, leg) recall-vs-exact oracle (the production
-    # 100 TB form; round-10 verdict item 3) ----
+    # 100 TB form; round-10 verdict item 3 + "What's missing" #1,
+    # which named ep13's amortized path too) ----
     "ann_hard_negatives_amortized",
-    # ---- 39-50: the first 12 rows of the r8 block (all 48 r8 rows
+    "ep13_contrastive_pairs_amortized",
+    # ---- 40-50: the first 11 rows of the r8 block (all 48 r8 rows
     # are equally stale; alphabetical block order, continued at the
     # head of the round-12 pool below) ----
     "a9_dedup_groupby",
@@ -130,9 +132,9 @@ _PRIORITY = [
     "d1_decode_log_price",
     "d2_decode_calldata_token",
     "dedup_embedding_cosine",
-    "dedup_minhash_lsh",
     # ---- rotation pool (advisory order; past the 50-slot window).
-    # Round-12 leads here: the 36 remaining r8 rows ----
+    # Round-12 leads here: the 37 remaining r8 rows ----
+    "dedup_minhash_lsh",
     "dedup_minhash_recall",
     "dedup_ngram_jaccard",
     "dedup_shingle_containment",

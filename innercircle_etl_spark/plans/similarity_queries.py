@@ -2268,12 +2268,21 @@ _EP13_ANCHORS = 20  # fixed anchor-doc batch (the hard-negatives lesson)
 _EP13_NEGS = 2  # cross-document hard negatives per anchor
 
 
+def _ep13_anchor_batch(emb: DataFrame, lo: int, hi: int) -> DataFrame:
+    """(a_doc, va): one FIXED-size anchor batch — the first chunk of
+    docs [lo, hi). Batch size is a constant, never
+    corpus-proportional; the amortized shape streams these."""
+    return emb.filter(
+        (F.col("doc_id") >= lo)
+        & (F.col("doc_id") < hi)
+        & (F.col("chunk_idx") == 0)
+    ).select(F.col("doc_id").alias("a_doc"), F.col("v").alias("va"))
+
+
 def _ep13_anchors(emb: DataFrame) -> DataFrame:
     """(a_doc, va): the FIXED anchor batch — the first chunk of the
     first _EP13_ANCHORS docs (never corpus-proportional)."""
-    return emb.filter(
-        (F.col("doc_id") < _EP13_ANCHORS) & (F.col("chunk_idx") == 0)
-    ).select(F.col("doc_id").alias("a_doc"), F.col("v").alias("va"))
+    return _ep13_anchor_batch(emb, 0, _EP13_ANCHORS)
 
 
 def _ep13_scored_exact(emb: DataFrame, anchors: DataFrame) -> DataFrame:
@@ -2517,13 +2526,46 @@ def ep13_contrastive_pairs_ann(
         # would run five times (racing-consumer lesson)
     )
     anchors = _ep13_anchors(emb)
-    exact_kept = _ep13_mine(_ep13_scored_exact(emb, anchors)).select(
-        "a_doc", "is_neg", "c_doc", "c_chunk"
+    exact_kept = _ep13_kept_exact(emb, anchors)
+    cent = _ep13_centroids(emb)
+    assign = _ivf_assign(emb, cent, ["doc_id", "chunk_idx"])
+    ann_kept = _ep13_kept_ann(emb, assign, cent, anchors)
+    return _recall_vs_exact(
+        exact_kept,
+        ann_kept,
+        ["a_doc", "is_neg"],
+        {"a_doc": "anchor_doc"},
     )
-    cent = emb.filter(
+
+
+def _ep13_centroids(emb: DataFrame) -> DataFrame:
+    """(cid, cv): ep13's fixed-k chunk-space codebook — the first
+    chunk of docs 0.._EP13_IVF_K-1."""
+    return emb.filter(
         (F.col("doc_id") < _EP13_IVF_K) & (F.col("chunk_idx") == 0)
     ).select(F.col("doc_id").alias("cid"), F.col("v").alias("cv"))
-    assign = _ivf_assign(emb, cent, ["doc_id", "chunk_idx"])
+
+
+def _ep13_kept_exact(emb: DataFrame, anchors: DataFrame) -> DataFrame:
+    """The exact full-chunk-corpus-scored kept set for one anchor
+    batch, narrowed to identifying columns — a corpus pass PER
+    BATCH (the cost the candidate path amortizes away)."""
+    return _ep13_mine(_ep13_scored_exact(emb, anchors)).select(
+        "a_doc", "is_neg", "c_doc", "c_chunk"
+    )
+
+
+def _ep13_kept_ann(
+    emb: DataFrame,
+    assign: DataFrame,
+    cent: DataFrame,
+    anchors: DataFrame,
+) -> DataFrame:
+    """The production candidate-path kept set for one anchor batch:
+    same-doc equi-join positives ∪ IVF-cell hard negatives, through
+    the identical _ep13_mine ranking. ``assign`` is the once-built
+    inverted file — the per-batch cost is the equi-joins + ~nprobe/k
+    of a corpus pass."""
     probes = _ivf_probes(anchors, cent, "a_doc", ("va",))
     # columns are immutable expression trees — one list serves both
     # candidate legs
@@ -2543,15 +2585,194 @@ def ep13_contrastive_pairs_ann(
         (F.col("cid") == F.col("pcid"))
         & (F.col("doc_id") != F.col("a_doc")),
     ).select(*cand_cols)
-    ann_kept = _ep13_mine(same_doc.unionByName(ivf_neg)).select(
+    return _ep13_mine(same_doc.unionByName(ivf_neg)).select(
         "a_doc", "is_neg", "c_doc", "c_chunk"
     )
-    return _recall_vs_exact(
-        exact_kept,
-        ann_kept,
-        ["a_doc", "is_neg"],
-        {"a_doc": "anchor_doc"},
+
+
+def _ep13_amort_oracle() -> str:
+    """DuckDB replay of ep13's amortized shape: chunk/emb/cent/
+    assign CTEs ONCE (the index), then per-batch exact and
+    candidate-path kept sets and their recall diff, UNION ALL'd
+    with a batch_id tag."""
+    from innercircle_etl_spark.plans.text_queries import CHUNK_CTES_SQL
+
+    cos_assign = _COS_SQL.format(a="e2.v", b="c.cv")
+    cos_probe = _COS_SQL.format(a="a.va", b="c.cv")
+    ctes = [
+        f"""{CHUNK_CTES_SQL},
+{_RAG_EMB_CTE},
+cent AS (
+    SELECT doc_id AS cid, v AS cv FROM emb
+    WHERE doc_id < {_EP13_IVF_K} AND chunk_idx = 0
+),
+assign AS (
+    SELECT doc_id, chunk_idx, v, cid FROM (
+        SELECT e2.doc_id, e2.chunk_idx, e2.v, c.cid,
+               row_number() OVER (
+                   PARTITION BY e2.doc_id, e2.chunk_idx
+                   ORDER BY {cos_assign} DESC, c.cid ASC
+               ) AS rn
+        FROM emb e2 CROSS JOIN cent c
+    ) WHERE rn = 1
+)"""
+    ]
+    finals = []
+    for b in range(_HN_AMORT_BATCHES):
+        lo, hi = b * _EP13_ANCHORS, (b + 1) * _EP13_ANCHORS
+        ctes.append(
+            f"""a{b} AS (
+    SELECT doc_id AS a_doc, v AS va FROM emb
+    WHERE doc_id >= {lo} AND doc_id < {hi} AND chunk_idx = 0
+),
+scored_x{b} AS (
+    SELECT a.a_doc, c.doc_id AS c_doc, c.chunk_idx AS c_chunk,
+           (c.doc_id = a.a_doc) AS is_pos,
+           {_COS_SQL.format(a="a.va", b="c.v")} AS cos
+    FROM a{b} a JOIN emb c
+      ON NOT (c.doc_id = a.a_doc AND c.chunk_idx = 0)
+),
+ranked_x{b} AS (
+    SELECT *, CAST(row_number() OVER (
+        PARTITION BY a_doc, is_pos
+        ORDER BY cos DESC, c_doc ASC, c_chunk ASC) AS INTEGER) AS rnk
+    FROM scored_x{b}
+),
+keep_x{b} AS (
+    SELECT a_doc, NOT is_pos AS is_neg, c_doc, c_chunk FROM ranked_x{b}
+    WHERE (is_pos AND rnk = 1) OR (NOT is_pos AND rnk <= {_EP13_NEGS})
+),
+probes{b} AS (
+    SELECT a_doc, va, cid AS pcid FROM (
+        SELECT a.a_doc, a.va, c.cid,
+               row_number() OVER (
+                   PARTITION BY a.a_doc
+                   ORDER BY {cos_probe} DESC, c.cid ASC
+               ) AS rn
+        FROM a{b} a CROSS JOIN cent c
+    ) WHERE rn <= {_IVF_NPROBE}
+),
+cand{b} AS (
+    SELECT a.a_doc, e2.doc_id AS c_doc, e2.chunk_idx AS c_chunk,
+           a.va, e2.v
+    FROM a{b} a JOIN emb e2
+      ON e2.doc_id = a.a_doc AND e2.chunk_idx != 0
+    UNION ALL
+    SELECT p.a_doc, s.doc_id, s.chunk_idx, p.va, s.v
+    FROM probes{b} p JOIN assign s
+      ON s.cid = p.pcid AND s.doc_id != p.a_doc
+),
+scored_a{b} AS (
+    SELECT a_doc, c_doc, c_chunk, (c_doc != a_doc) AS is_neg,
+           {_COS_SQL.format(a="va", b="v")} AS cos
+    FROM cand{b}
+),
+ranked_a{b} AS (
+    SELECT *, CAST(row_number() OVER (
+        PARTITION BY a_doc, is_neg
+        ORDER BY cos DESC, c_doc ASC, c_chunk ASC) AS INTEGER) AS rnk
+    FROM scored_a{b}
+),
+keep_a{b} AS (
+    SELECT a_doc, is_neg, c_doc, c_chunk FROM ranked_a{b}
+    WHERE (NOT is_neg AND rnk = 1) OR (is_neg AND rnk <= {_EP13_NEGS})
+),
+hits{b} AS (
+    SELECT k.a_doc, k.is_neg, COUNT(*) AS n_hits
+    FROM keep_x{b} k JOIN keep_a{b} a2
+      ON k.a_doc = a2.a_doc AND k.is_neg = a2.is_neg
+         AND k.c_doc = a2.c_doc AND k.c_chunk = a2.c_chunk
+    GROUP BY k.a_doc, k.is_neg
+),
+tot{b} AS (
+    SELECT a_doc, is_neg, COUNT(*) AS n_true
+    FROM keep_x{b} GROUP BY a_doc, is_neg
+)"""
+        )
+        finals.append(
+            f"""SELECT {b} AS batch_id, t.a_doc AS anchor_doc, t.is_neg,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(t.n_true AS BIGINT) AS n_true,
+       coalesce(h.n_hits, 0) * 1.0 / t.n_true AS recall
+FROM tot{b} t LEFT JOIN hits{b} h
+  ON t.a_doc = h.a_doc AND t.is_neg = h.is_neg"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(finals)
     )
+
+
+@register("ep13_contrastive_pairs_amortized", oracle=_ep13_amort_oracle())
+def ep13_contrastive_pairs_amortized(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ep13's PRODUCTION shape: the chunk embeddings and the
+    fixed-k={ivfk} IVF inverted file are built ONCE and pinned, then
+    a SEQUENCE of fixed-{nanch}-doc anchor batches builds pairs
+    against them — the form a 100 TB training-data pipeline runs
+    (the index is ep9's maintained artifact; batches arrive as the
+    corpus grows). ep13_contrastive_pairs_ann proves the union
+    candidate path's recall but rebuilds the index inline per run;
+    here the per-batch cost is the same-doc equi-join + probes +
+    ~{nprobe}/{ivfk} of a corpus pass + the salted rank, and the
+    corpus-scale work (chunking, embedding, assignment) is paid once
+    across all batches (sf10 measured: 3.9 s/batch amortized vs
+    40.1 s/batch exact — SCALE.md round 10, the measurement this
+    registration promotes to an oracle-checked query).
+
+    Output: per (batch_id, anchor, leg) recall of the amortized
+    candidate path against the exact full-corpus scorer — proving
+    index reuse changes cost, never results (batch 0 reproduces
+    ep13_contrastive_pairs_ann's rows exactly; batch 1 is the next
+    {nanch} docs, disjoint anchors against the SAME pinned index).
+    Measured at sf0.01: batch 0 pos 1.0 / neg 1.0, batch 1 pos 1.0 /
+    neg 0.775. The positive leg is an equi-join — exact by
+    construction in EVERY batch; the negative leg dips for anchors
+    disjoint from the codebook (batch 0's anchor docs are a subset
+    of the {ivfk}-doc codebook, so their probes enjoy the self-cell
+    effect) — far above the isotropic hard-negative family's floor
+    because chunk-space cells do track the md5-hash cosine geometry,
+    but the per-batch oracle exists exactly so a deployment reads
+    this number on its own corpus instead of a fixture's.
+
+    Reference parity: beyond-reference (north-star extension)."""
+    emb = _rag_chunk_embeddings(spark, sf_dir).localCheckpoint(
+        eager=True  # built once; anchors, exact legs, cent,
+        # assignment and same-doc legs of every batch read it
+    )
+    cent = _ep13_centroids(emb)
+    # the index: built once, pinned — every batch's plan consumes
+    # the materialized inverted file (racing-consumer discipline)
+    assign = _ivf_assign(
+        emb, cent, ["doc_id", "chunk_idx"]
+    ).localCheckpoint(eager=True)
+    out = None
+    for b in range(_HN_AMORT_BATCHES):
+        anchors = _ep13_anchor_batch(
+            emb, b * _EP13_ANCHORS, (b + 1) * _EP13_ANCHORS
+        )
+        rec = _recall_vs_exact(
+            _ep13_kept_exact(emb, anchors),
+            _ep13_kept_ann(emb, assign, cent, anchors),
+            ["a_doc", "is_neg"],
+            {"a_doc": "anchor_doc"},
+        ).select(
+            F.lit(b).alias("batch_id"),
+            "anchor_doc",
+            "is_neg",
+            "n_hits",
+            "n_true",
+            "recall",
+        )
+        out = rec if out is None else out.unionByName(rec)
+    return out
+
+
+ep13_contrastive_pairs_amortized.__doc__ = (
+    ep13_contrastive_pairs_amortized.__doc__.format(
+        ivfk=_EP13_IVF_K, nprobe=_IVF_NPROBE, nanch=_EP13_ANCHORS
+    )
+)
 
 
 ep13_contrastive_pairs_ann.__doc__ = (

@@ -846,6 +846,45 @@ def test_amortized_batch0_equals_inline(spark, sf_dir):
     )
 
 
+def test_ep13_amortized_batch0_equals_inline(spark, sf_dir):
+    """ep13_contrastive_pairs_amortized: one pinned chunk-embedding
+    frame + one pinned inverted file, a sequence of anchor-doc
+    batches. Batch 0 is ep13_contrastive_pairs_ann's anchor slice,
+    so its recall rows must MATCH the inline-index query exactly;
+    batch 1's anchors are the next _EP13_ANCHORS docs. The positive
+    leg (same-doc equi-join) must be EXACT in every batch — recall
+    1.0 wherever truth exists — since it never touches the index;
+    plan never cartesian, pinned frames consumed (Scan ExistingRDD)."""
+    from innercircle_etl_spark.plans.similarity_queries import (
+        _EP13_ANCHORS,
+        _EP13_NEGS,
+    )
+
+    df = QUERIES["ep13_contrastive_pairs_amortized"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
+    rows = df.collect()
+    assert {r.batch_id for r in rows} == {0, 1}
+    for r in rows:
+        lo = r.batch_id * _EP13_ANCHORS
+        assert lo <= r.anchor_doc < lo + _EP13_ANCHORS, r
+        truth_cap = _EP13_NEGS if r.is_neg else 1
+        assert 1 <= r.n_true <= truth_cap, r
+        assert 0 <= r.n_hits <= r.n_true, r
+        assert r.recall == r.n_hits / r.n_true, r
+        if not r.is_neg:  # equi-join positives are exact everywhere
+            assert r.recall == 1.0, r
+    inline = QUERIES["ep13_contrastive_pairs_ann"](spark, sf_dir).collect()
+
+    def key(r):
+        return (r.anchor_doc, bool(r.is_neg), r.n_hits, r.n_true)
+
+    assert sorted(key(r) for r in rows if r.batch_id == 0) == sorted(
+        map(key, inline)
+    )
+
+
 def test_ivf_assign_spreads_before_expansion(spark, sf_dir):
     """_ivf_assign must repartition the corpus across cores BEFORE
     the |codebook|x cosine expansion (its largest map stage): a
