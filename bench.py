@@ -399,9 +399,9 @@ def main() -> None:
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     cal_end = calibrate()
     # Host-drift self-adjudication: this run's probes as ratios to
-    # the pinned healthy profile. cpu = median of the per-query
-    # probes (they timestamp the whole run); io = mean of the
-    # start/end scan probes. A ratio well above 1.0 says the box was
+    # the pinned healthy profile. cpu = the run-median of the
+    # per-query probe ratios (they timestamp the whole run); io =
+    # mean of the start/end scan probes. A ratio well above 1.0 says the box was
     # slow, not the code — and the normalized totals are what the
     # same run would have read on the reference-profile box.
     # Normalization is PER-QUERY (round-10 verdict item 2): each
@@ -419,7 +419,6 @@ def main() -> None:
     normalized_full, movers, run_ratio = normalize_timings(
         all_timings, probe_samples
     )
-    probes = sorted(cal_probe.values())
     io_now = (cal_start["io"] + cal_end["io"]) / 2
     drift: dict[str, object] = {
         # None = no per-query probes survived the budget gates: cpu
