@@ -1821,6 +1821,49 @@ def _recall_vs_exact(
     )
 
 
+def _recall_ctes(
+    key_cols: list[str], group_cols: list[str], suffix: str = ""
+) -> str:
+    """hits/tot CTE pair over prior CTEs ``keep_x{suffix}`` (exact)
+    and ``keep_a{suffix}`` (candidate-path), keyed on ``key_cols``.
+    The suffix lets the amortized oracles instantiate one pair per
+    anchor batch inside a single WITH chain."""
+    on_all = " AND ".join(f"k.{c} = a2.{c}" for c in key_cols)
+    gb = ", ".join(group_cols)
+    kg = ", ".join(f"k.{c}" for c in group_cols)
+    return f"""hits{suffix} AS (
+    SELECT {kg}, COUNT(*) AS n_hits
+    FROM keep_x{suffix} k JOIN keep_a{suffix} a2 ON {on_all}
+    GROUP BY {kg}
+),
+tot{suffix} AS (
+    SELECT {gb}, COUNT(*) AS n_true
+    FROM keep_x{suffix} GROUP BY {gb}
+)"""
+
+
+def _recall_select(
+    group_cols: list[str],
+    out_aliases: dict[str, str] | None = None,
+    suffix: str = "",
+    select_prefix: str = "",
+) -> str:
+    """The final recall SELECT over _recall_ctes' hits/tot pair.
+    ``select_prefix`` prepends literal output columns (the amortized
+    oracles' batch_id tag)."""
+    aliases = out_aliases or {}
+    on_g = " AND ".join(f"t.{c} = h.{c}" for c in group_cols)
+    out = ", ".join(
+        f"t.{c} AS {aliases[c]}" if c in aliases else f"t.{c}"
+        for c in group_cols
+    )
+    return f"""SELECT {select_prefix}{out},
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(t.n_true AS BIGINT) AS n_true,
+       coalesce(h.n_hits, 0) * 1.0 / t.n_true AS recall
+FROM tot{suffix} t LEFT JOIN hits{suffix} h ON {on_g}"""
+
+
 def _recall_sql_tail(
     key_cols: list[str],
     group_cols: list[str],
@@ -1829,29 +1872,11 @@ def _recall_sql_tail(
     """The oracle-side twin of _recall_vs_exact: hits/tot CTEs and
     the final recall SELECT over prior CTEs ``keep_x`` (exact) and
     ``keep_a`` (candidate-path), keyed on ``key_cols``."""
-    aliases = out_aliases or {}
-    on_all = " AND ".join(f"k.{c} = a2.{c}" for c in key_cols)
-    gb = ", ".join(group_cols)
-    kg = ", ".join(f"k.{c}" for c in group_cols)
-    on_g = " AND ".join(f"t.{c} = h.{c}" for c in group_cols)
-    out = ", ".join(
-        f"t.{c} AS {aliases[c]}" if c in aliases else f"t.{c}"
-        for c in group_cols
+    return (
+        _recall_ctes(key_cols, group_cols)
+        + "\n"
+        + _recall_select(group_cols, out_aliases)
     )
-    return f"""hits AS (
-    SELECT {kg}, COUNT(*) AS n_hits
-    FROM keep_x k JOIN keep_a a2 ON {on_all}
-    GROUP BY {kg}
-),
-tot AS (
-    SELECT {gb}, COUNT(*) AS n_true
-    FROM keep_x GROUP BY {gb}
-)
-SELECT {out},
-       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
-       CAST(t.n_true AS BIGINT) AS n_true,
-       coalesce(h.n_hits, 0) * 1.0 / t.n_true AS recall
-FROM tot t LEFT JOIN hits h ON {on_g}"""
 
 
 def _hn_kept_ann(
@@ -2161,25 +2186,15 @@ keep_a{b} AS (
     SELECT anchor_id, is_neg, cand_id FROM ranked_a{b}
     WHERE (NOT is_neg AND rank = 1) OR (is_neg AND rank <= {_HN_NEGS})
 ),
-hits{b} AS (
-    SELECT k.anchor_id, k.is_neg, COUNT(*) AS n_hits
-    FROM keep_x{b} k JOIN keep_a{b} a2
-      ON k.anchor_id = a2.anchor_id AND k.is_neg = a2.is_neg
-         AND k.cand_id = a2.cand_id
-    GROUP BY k.anchor_id, k.is_neg
-),
-tot{b} AS (
-    SELECT anchor_id, is_neg, COUNT(*) AS n_true
-    FROM keep_x{b} GROUP BY anchor_id, is_neg
-)"""
+{_recall_ctes(["anchor_id", "is_neg", "cand_id"],
+              ["anchor_id", "is_neg"], suffix=str(b))}"""
         )
         finals.append(
-            f"""SELECT {b} AS batch_id, t.anchor_id, t.is_neg,
-       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
-       CAST(t.n_true AS BIGINT) AS n_true,
-       coalesce(h.n_hits, 0) * 1.0 / t.n_true AS recall
-FROM tot{b} t LEFT JOIN hits{b} h
-  ON t.anchor_id = h.anchor_id AND t.is_neg = h.is_neg"""
+            _recall_select(
+                ["anchor_id", "is_neg"],
+                suffix=str(b),
+                select_prefix=f"{b} AS batch_id, ",
+            )
         )
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(finals)
 
@@ -2677,25 +2692,16 @@ keep_a{b} AS (
     SELECT a_doc, is_neg, c_doc, c_chunk FROM ranked_a{b}
     WHERE (NOT is_neg AND rnk = 1) OR (is_neg AND rnk <= {_EP13_NEGS})
 ),
-hits{b} AS (
-    SELECT k.a_doc, k.is_neg, COUNT(*) AS n_hits
-    FROM keep_x{b} k JOIN keep_a{b} a2
-      ON k.a_doc = a2.a_doc AND k.is_neg = a2.is_neg
-         AND k.c_doc = a2.c_doc AND k.c_chunk = a2.c_chunk
-    GROUP BY k.a_doc, k.is_neg
-),
-tot{b} AS (
-    SELECT a_doc, is_neg, COUNT(*) AS n_true
-    FROM keep_x{b} GROUP BY a_doc, is_neg
-)"""
+{_recall_ctes(["a_doc", "is_neg", "c_doc", "c_chunk"],
+              ["a_doc", "is_neg"], suffix=str(b))}"""
         )
         finals.append(
-            f"""SELECT {b} AS batch_id, t.a_doc AS anchor_doc, t.is_neg,
-       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
-       CAST(t.n_true AS BIGINT) AS n_true,
-       coalesce(h.n_hits, 0) * 1.0 / t.n_true AS recall
-FROM tot{b} t LEFT JOIN hits{b} h
-  ON t.a_doc = h.a_doc AND t.is_neg = h.is_neg"""
+            _recall_select(
+                ["a_doc", "is_neg"],
+                {"a_doc": "anchor_doc"},
+                suffix=str(b),
+                select_prefix=f"{b} AS batch_id, ",
+            )
         )
     return (
         "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(finals)

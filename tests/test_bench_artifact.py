@@ -154,6 +154,26 @@ def test_normalization_probe_less_and_empty_runs():
     assert normalized == {"a": 2.0, "b": 4.0} and movers == {}
 
 
+def test_sf10_demotion_selection():
+    """tools/sf1_spot_sweep.default_names: at sf10 (and ONLY there)
+    the DEMOTED_AT_SF10 rows are pulled out of a default sweep and
+    returned with their reason so the artifact records a marker;
+    explicit naming bypasses the mechanism entirely (main() only
+    calls default_names when no names were given) — that is the
+    regression-canary path SCALE.md's policy requires."""
+    from tools.sf1_spot_sweep import DEMOTED_AT_SF10, default_names
+
+    queries = ["graph_triangles", "graph_triangles_sampled", "j1", "q1"]
+    names, demoted = default_names(queries, ["j1"], "/x/.scratch/sf10")
+    assert "graph_triangles" not in names
+    assert "graph_triangles_sampled" in names and "q1" in names
+    assert demoted == {
+        "graph_triangles": DEMOTED_AT_SF10["graph_triangles"]
+    }
+    names, demoted = default_names(queries, ["j1"], "/x/.scratch/sf1")
+    assert "graph_triangles" in names and demoted == {}
+
+
 def test_full_payload_written_and_supersets_compact(tmp_path):
     compact, full = _fixture()
     path = tmp_path / "BENCH_local.json"

@@ -55,6 +55,26 @@ DEMOTED_AT_SF10 = {
 }
 
 
+def default_names(
+    queries, headline, sf_dir: str
+) -> tuple[list[str], dict[str, str]]:
+    """(names to run, demoted name -> reason) for a no-explicit-names
+    sweep: every batch-registry query outside the headline set, minus
+    — at sf10 only — the DEMOTED_AT_SF10 rows (which are returned
+    separately so the sweep records a marker instead of silence)."""
+    names = [
+        n
+        for n in queries
+        if n not in headline
+        and not any(n.startswith(p) for p in SKIP_PREFIXES)
+    ]
+    demoted: dict[str, str] = {}
+    if os.path.basename(sf_dir.rstrip("/")) == "sf10":
+        demoted = {n: r for n, r in DEMOTED_AT_SF10.items() if n in names}
+        names = [n for n in names if n not in demoted]
+    return names, demoted
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scratch/sf1"
     budget = float(sys.argv[2]) if len(sys.argv) > 2 else 120.0
@@ -66,15 +86,7 @@ def main() -> None:
 
     demoted: dict[str, str] = {}
     if not names:
-        names = [
-            n
-            for n in QUERIES
-            if n not in HEADLINE
-            and not any(n.startswith(p) for p in SKIP_PREFIXES)
-        ]
-        if os.path.basename(sf_dir.rstrip("/")) == "sf10":
-            demoted = {n: r for n, r in DEMOTED_AT_SF10.items() if n in names}
-            names = [n for n in names if n not in demoted]
+        names, demoted = default_names(QUERIES, HEADLINE, sf_dir)
 
     spark = get_spark(app_name="sf1_spot_sweep")
     spark.sparkContext.setLogLevel("ERROR")
