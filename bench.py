@@ -108,6 +108,13 @@ def normalize_timings(
       ratio — their entry is still present, so a fully-probed run
       and a budget-degraded one are distinguishable via the caller's
       ``skipped``/probe bookkeeping, not by silent absence);
+      BIAS NOTE: the probe is a pure-CPU shuffle job, so dividing a
+      full wall by its ratio OVERCORRECTS for queries less
+      CPU-bound than the probe (scan/IO-lean walls shrink less than
+      the probe slows) — normalized values adjudicate WHETHER a
+      window was bursty and bound the clean wall from below; they
+      are not clean-box predictions. Raw walls stay in the artifact
+      alongside them for exactly this reason;
     - movers: the <= ``cap`` queries whose own ratio deviates from
       the run-median ratio by more than ``deviation`` (relative) —
       the rows where aggregate normalization actively misleads and
@@ -326,7 +333,23 @@ def main() -> None:
             print(f"# {name}: warm rep skipped (budget)", file=sys.stderr)
             ramp_exposed.append(name)
         samples, n = [], 0
-        for _ in range(reps_here):
+        rep_probes: list[float] = []
+        for r in range(reps_here):
+            if r > 0:
+                # probe IMMEDIATELY before each further timed rep:
+                # the pre-query probe above is separated from rep 1
+                # by the (multi-second) warm rep, so a transient
+                # spike caught by that single sample could be
+                # divided into a wall it never overlapped (first
+                # real r11 run: ep11's lone probe read 4.1x while
+                # its reps were tight — normalized 0.994s, below
+                # even the clean-box wall). The per-query ratio is
+                # the MEDIAN over these adjacent samples.
+                t0 = time.time()
+                spark.range(30_000_000).selectExpr(
+                    "id % 32 AS k", "id AS v"
+                ).groupBy("k").sum("v").count()
+                rep_probes.append(round(time.time() - t0, 3))
             t0 = time.time()
             n = fn(spark, sf_dir).count()
             samples.append(time.time() - t0)
@@ -377,9 +400,11 @@ def main() -> None:
         }
         if noise_probes:
             spread[name]["noise_probes"] = noise_probes
-        probe_samples[name] = [cal_probe[name]] + [
-            p["cpu"] for p in noise_probes
-        ]
+        probe_samples[name] = (
+            [cal_probe[name]]
+            + rep_probes
+            + [p["cpu"] for p in noise_probes]
+        )
         print(
             f"# {name}: {timings[name]:.3f}s (n={n},"
             f" median {spread[name]['median']:.3f},"
@@ -458,6 +483,7 @@ def main() -> None:
         calibration={
             "start": cal_start,
             "per_query": cal_probe,
+            "probe_samples": probe_samples,
             "end": cal_end,
             "note": (
                 "normalization divides by ADJACENT cpu-probe ratios"
