@@ -418,44 +418,66 @@ def ep12_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang")
         .localCheckpoint(eager=True)
     )
-    s3 = s2.join(down, "doc_id", "anti")
-
-    # -- stage 4: pack survivors into per-language token shards
-    ntok = s3.select(
-        "doc_id",
-        "lang",
-        TX.bpe_ish_token_count(F.col("text")).cast("long").alias("n_tok"),
-    )
+    # -- stage 4 + output assembly in ONE corpus pass (round 11; was
+    # a 4-leg union where the contaminated, off_target and packed
+    # legs each re-scanned the corpus — the gates were pinned, the
+    # legs were not). The three pinned gate sets left-join onto one
+    # pool scan (all keyed on doc_id, so consecutive joins reuse one
+    # partitioning; at test scale they AQE-broadcast), the verdict
+    # is a CASE over the gate flags (the gates are nested subsets —
+    # contam over pool, sel over s1, down over s2 — so precedence
+    # reproduces the leg semantics exactly), and the per-language
+    # pack window runs as a CONDITIONAL cumulative sum: non-packed
+    # rows contribute 0 tokens, so packed rows' shard boundaries are
+    # identical to a window over the survivors alone.
+    is_packed = F.col("verdict") == "packed"
     w_pack = (
         Window.partitionBy("lang")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    packed = ntok.select(
-        "doc_id",
-        "lang",
-        F.floor(
-            (F.sum("n_tok").over(w_pack) - F.col("n_tok")) / _PACK_BUDGET
-        ).alias("shard_id"),
-    )
-
-    null_shard = F.lit(None).cast("long").alias("shard_id")
+    packed_tok = F.when(is_packed, F.col("n_tok")).otherwise(F.lit(0))
     return (
-        pool.join(contam, "doc_id", "semi")
-        .select("doc_id", "lang", F.lit("contaminated").alias("verdict"), null_shard)
-        .unionByName(
-            s1.join(sel, "doc_id", "anti").select(
-                "doc_id", "lang", F.lit("off_target").alias("verdict"), null_shard
-            )
+        pool.join(
+            contam.select("doc_id", F.lit(True).alias("is_contam")),
+            "doc_id",
+            "left",
         )
-        .unionByName(
-            down.select(
-                "doc_id", "lang", F.lit("downsampled").alias("verdict"), null_shard
-            )
+        .join(
+            sel.select("doc_id", F.lit(True).alias("is_sel")),
+            "doc_id",
+            "left",
         )
-        .unionByName(
-            packed.select(
-                "doc_id", "lang", F.lit("packed").alias("verdict"), "shard_id"
+        .join(
+            down.select("doc_id", F.lit(True).alias("is_down")),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.when(F.col("is_contam"), F.lit("contaminated"))
+            .when(F.col("is_sel").isNull(), F.lit("off_target"))
+            .when(F.col("is_down"), F.lit("downsampled"))
+            .otherwise(F.lit("packed"))
+            .alias("verdict"),
+            TX.bpe_ish_token_count(F.col("text"))
+            .cast("long")
+            .alias("n_tok"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "verdict",
+            F.when(
+                is_packed,
+                F.floor(
+                    (F.sum(packed_tok).over(w_pack) - F.col("n_tok"))
+                    / _PACK_BUDGET
+                ),
             )
+            .otherwise(F.lit(None))
+            .cast("long")
+            .alias("shard_id"),
         )
     )

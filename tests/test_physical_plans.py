@@ -613,6 +613,14 @@ def test_training_mix_cascade_shape(spark, sf_dir):
     assert "Scan ExistingRDD" in plan, plan  # pinned stage outputs
     assert "BroadcastHashJoin" in plan, plan
     assert "rangepartitioning" not in plan, plan  # no global sort
+    # single-pass output assembly (round 11): the verdict CASE +
+    # conditional pack window read the corpus ONCE — the only two
+    # document scans left in the final DAG are pool's own union
+    # branches (corpus + planted eval copies), the structural floor.
+    # The old 4-leg union re-scanned the corpus per leg (6 scans).
+    assert plan.count("documents.parquet") <= 2, plan.count(
+        "documents.parquet"
+    )
     rows = df.collect()
     ids = [r.doc_id for r in rows]
     assert len(ids) == len(set(ids)), "a doc got two verdicts"
