@@ -299,15 +299,18 @@ def dsir_ratio_scores(docs: DataFrame) -> DataFrame:
             .alias("b"),
         )
     )
-    qmodel = feats.groupBy("b").agg(F.count(F.lit(1)).alias("cq"))
-    tmodel = (
-        feats.filter("is_target")
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("ct"))
+    # ONE aggregation builds BOTH hashed models (round 11; was two
+    # separate groupBys whose inputs each re-ran the corpus bigram
+    # explosion — the conditional count is the same map-side partial
+    # aggregate, one corpus tokenization pass cheaper): cq = all
+    # bigrams in the bucket, ct = the target-side subset.
+    models = feats.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cq"),
+        F.count(F.when(F.col("is_target"), F.lit(1))).alias("ct"),
     )
-    ratio = qmodel.join(tmodel, "b", "left").select(
+    ratio = models.select(
         "b",
-        F.expr("((coalesce(ct, 0) + 1) * 1000) div (cq + 1)").alias("r"),
+        F.expr("((ct + 1) * 1000) div (cq + 1)").alias("r"),
     )
     return (
         feats.join(F.broadcast(ratio), "b")
