@@ -543,6 +543,18 @@ def test_dsir_importance_plan_shape(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
     assert "partial_count" in plan, plan
     assert "partial_sum" in plan, plan
+    # single-aggregation model build (round 11): both hashed models
+    # come from ONE groupBy with a conditional count, so the final
+    # DAG reads the corpus exactly 4x — the two pool union branches
+    # times the two inherent passes (model build, scoring). The old
+    # two-groupBy form re-ran the bigram explosion a third time.
+    scans = sum(
+        1
+        for line in plan.splitlines()
+        if ("Scan parquet" in line or "FileScan" in line)
+        and "documents" in line
+    )
+    assert scans <= 4, (scans, plan)
 
 
 def test_semantic_decon_broadcast_probe(spark, sf_dir):
