@@ -85,6 +85,18 @@ LLM_HEADLINE = [
 _REF_PROBE = {"cpu": 0.24, "io": 0.16}
 
 
+def _median(xs: list[float]) -> float:
+    """True median: averages the two middle samples on even-length
+    input. ``sorted(xs)[len(xs)//2]`` is the UPPER median, which on
+    even-length probe lists (cal probe + one rep probe in 2-rep
+    degraded mode, or after noise probes) biased the ratio high and
+    overcorrected normalized walls downward — the same direction as
+    the ep11 4.1x single-probe incident (round-11 advice item 1)."""
+    s = sorted(xs)
+    mid = len(s) // 2
+    return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
+
+
 def normalize_timings(
     timings: dict[str, float],
     probe_samples: dict[str, list[float]],
@@ -131,11 +143,10 @@ def normalize_timings(
     """
     ratios: dict[str, float] = {}
     for name in timings:
-        ps = sorted(probe_samples.get(name) or [])
+        ps = probe_samples.get(name) or []
         if ps:
-            ratios[name] = ps[len(ps) // 2] / ref_cpu
-    rs = sorted(ratios.values())
-    run_ratio = rs[len(rs) // 2] if rs else None
+            ratios[name] = _median(ps) / ref_cpu
+    run_ratio = _median(list(ratios.values())) if ratios else None
     normalized = {
         name: round(wall / ratios.get(name, run_ratio or 1.0), 3)
         for name, wall in timings.items()
@@ -356,6 +367,19 @@ def main() -> None:
             # drop caches a query built for itself: reps are timed
             # data-cold and queries can't interfere with each other
             _drop_caches(spark)
+        if not rep_probes:
+            # single-rep mode (explicit reps=1, or the 0.75 budget
+            # gate): without this, the only sample is the pre-query
+            # calibration probe, which an un-skipped warm rep can
+            # separate from the timed rep by multiple seconds — the
+            # non-adjacency failure the per-rep probes exist to fix.
+            # One POST-rep probe keeps degraded runs adjacent-sampled
+            # (round-11 advice item 1).
+            t0 = time.time()
+            spark.range(30_000_000).selectExpr(
+                "id % 32 AS k", "id AS v"
+            ).groupBy("k").sum("v").count()
+            rep_probes.append(round(time.time() - t0, 3))
         # adaptive extra reps while the spread looks load-polluted.
         # Each trip also samples BOTH calibration probes at that
         # instant — the per-offender noise attribution: a bad rep is
@@ -478,7 +502,12 @@ def main() -> None:
     }
     full = dict(
         compact,
-        queries_normalized_full=normalized_full,
+        # None when no query got a probe: the fallback-normalized
+        # walls are just raw walls divided by 1.0, and a full-payload
+        # reader who misses drift.cpu=null would mistake them for
+        # drift-adjusted numbers (round-11 advice item 4) — mirror
+        # how norm_total/llm_norm_total are already nulled
+        queries_normalized_full=normalized_full if run_ratio else None,
         spread=spread,
         calibration={
             "start": cal_start,

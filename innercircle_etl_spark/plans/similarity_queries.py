@@ -2733,10 +2733,15 @@ def ep13_contrastive_pairs_amortized(
     {nanch} docs, disjoint anchors against the SAME pinned index).
     Measured at sf0.01: batch 0 pos 1.0 / neg 1.0, batch 1 pos 1.0 /
     neg 0.775. The positive leg is an equi-join — exact by
-    construction in EVERY batch; the negative leg dips for anchors
-    disjoint from the codebook (batch 0's anchor docs are a subset
-    of the {ivfk}-doc codebook, so their probes enjoy the self-cell
-    effect) — far above the isotropic hard-negative family's floor
+    construction in EVERY batch; the negative-leg dip is driven by
+    batch 1's PARTIAL codebook coverage: batch 0's {nanch} anchor
+    docs all sit inside the {ivfk}-doc codebook (docs 0..{ivfk1} —
+    their probes enjoy the self-cell effect), while batch 1 (docs
+    {nanch}..{nanch2m1}) is only partially covered — its 8 anchors
+    past doc {ivfk1} lose that effect and pay the cell-pruning floor
+    (contrast the hard-negatives family's 40/{hnk} split, where
+    batch 1 is TRULY codebook-disjoint) — far above the isotropic
+    hard-negative family's floor
     because chunk-space cells do track the md5-hash cosine geometry,
     but the per-batch oracle exists exactly so a deployment reads
     this number on its own corpus instead of a fixture's.
@@ -2776,7 +2781,12 @@ def ep13_contrastive_pairs_amortized(
 
 ep13_contrastive_pairs_amortized.__doc__ = (
     ep13_contrastive_pairs_amortized.__doc__.format(
-        ivfk=_EP13_IVF_K, nprobe=_IVF_NPROBE, nanch=_EP13_ANCHORS
+        ivfk=_EP13_IVF_K,
+        ivfk1=_EP13_IVF_K - 1,
+        nprobe=_IVF_NPROBE,
+        nanch=_EP13_ANCHORS,
+        nanch2m1=2 * _EP13_ANCHORS - 1,
+        hnk=32,  # the hard-negatives family's fixed codebook size
     )
 )
 

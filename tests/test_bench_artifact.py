@@ -154,6 +154,21 @@ def test_normalization_probe_less_and_empty_runs():
     assert normalized == {"a": 2.0, "b": 4.0} and movers == {}
 
 
+def test_normalization_uses_true_median():
+    """Round-11 advice item 1: on EVEN-length probe lists the old
+    ``sorted(ps)[len//2]`` picked the UPPER median, biasing the ratio
+    high and overcorrecting normalized walls downward (the ep11-
+    incident direction). Two samples [1x, 2x] must read 1.5x, not
+    2x — per query AND for the run-median over an even query count."""
+    ref = _REF_PROBE["cpu"]
+    normalized, movers, run_ratio = normalize_timings(
+        {"a": 3.0, "b": 3.0},
+        {"a": [1.0 * ref, 2.0 * ref], "b": [1.0 * ref, 2.0 * ref]},
+    )
+    assert run_ratio == 1.5
+    assert normalized == {"a": 2.0, "b": 2.0}
+
+
 def test_sf10_demotion_selection():
     """tools/sf1_spot_sweep.default_names: at sf10 (and ONLY there)
     the DEMOTED_AT_SF10 rows are pulled out of a default sweep and
@@ -172,6 +187,18 @@ def test_sf10_demotion_selection():
     }
     names, demoted = default_names(queries, ["j1"], "/x/.scratch/sf1")
     assert "graph_triangles" in names and demoted == {}
+    # round-11 advice item 2: the match is the sf<N> prefix of ANY
+    # path component, not basename == 'sf10' — renamed copies,
+    # nested data dirs, and factor>100 fixtures all still demote
+    for path in ("/x/sf10-v2", "/x/sf10_perm", "/x/sf10/data", "/x/sf100"):
+        names, demoted = default_names(queries, ["j1"], path)
+        assert "graph_triangles" not in names, path
+        assert "graph_triangles" in demoted, path
+    # no sf component at all: demotion NOT applied (and main's
+    # stderr note fires); sf1_perm parses as 1 and keeps exact forms
+    for path in ("/x/bigdata", "/x/sf1_perm"):
+        names, demoted = default_names(queries, ["j1"], path)
+        assert "graph_triangles" in names and demoted == {}, path
 
 
 def test_full_payload_written_and_supersets_compact(tmp_path):

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import threading
 import time
@@ -55,12 +56,27 @@ DEMOTED_AT_SF10 = {
 }
 
 
+def parse_sf(sf_dir: str) -> float | None:
+    """Best-effort scale factor from the path: the LAST component
+    carrying an ``sf<number>`` prefix (so 'sf10', 'sf10-v2',
+    'sf10_perm', a symlink named sf10, and nested 'sf10/data' all
+    read 10.0). None when no component matches — the caller must
+    then say demotion was NOT considered rather than silently pay
+    the exact-form wall (round-11 advice item 2: the old exact
+    basename == 'sf10' match skipped demotion on any rename)."""
+    for part in reversed(sf_dir.rstrip("/").split(os.sep)):
+        m = re.match(r"sf(\d+(?:\.\d+)?)", part)
+        if m:
+            return float(m.group(1))
+    return None
+
+
 def default_names(
     queries, headline, sf_dir: str
 ) -> tuple[list[str], dict[str, str]]:
     """(names to run, demoted name -> reason) for a no-explicit-names
     sweep: every batch-registry query outside the headline set, minus
-    — at sf10 only — the DEMOTED_AT_SF10 rows (which are returned
+    — at sf>=10 only — the DEMOTED_AT_SF10 rows (which are returned
     separately so the sweep records a marker instead of silence)."""
     names = [
         n
@@ -69,9 +85,18 @@ def default_names(
         and not any(n.startswith(p) for p in SKIP_PREFIXES)
     ]
     demoted: dict[str, str] = {}
-    if os.path.basename(sf_dir.rstrip("/")) == "sf10":
+    sf = parse_sf(sf_dir)
+    if sf is not None and sf >= 10:
         demoted = {n: r for n, r in DEMOTED_AT_SF10.items() if n in names}
         names = [n for n in names if n not in demoted]
+    elif sf is None and any(n in names for n in DEMOTED_AT_SF10):
+        print(
+            f"# sf10 demotion NOT applied: no sf<N> component in"
+            f" {sf_dir!r} — if this is a factor>=100 fixture the"
+            f" exact forms in DEMOTED_AT_SF10 will pay their full"
+            f" wall",
+            file=sys.stderr,
+        )
     return names, demoted
 
 
