@@ -60,80 +60,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # not listed (or not yet registered) keep registration order at the
 # end — the list is advisory, never a filter.
 _PRIORITY = [
-    # ================= ROUND-11 WINDOW: standing freshness rotation
-    # (round-10 verdict item 1). 187 registered queries (185 at
-    # round-10 close + this round's two amortized-index mining
+    # ================= ROUND-12 WINDOW: standing freshness rotation
+    # (round-10 verdict item 1). 189 registered queries (187 at
+    # round-11 close + this round's two PERSISTED-index mining
     # registrations) rotate through a 50-slot driver window; after
-    # round 10 the newest-green histogram is r7x37 / r8x48 / r9x50 /
-    # r10x50 (recomputed from CORRECTNESS_r01..r10 at round-11 start
-    # — matches the NOTES round-10 handoff). This window: positions
-    # 1-37 = ALL 37 r7-stale rows (handoff order), 38-39 = this
-    # round's new registrations, 40-50 = the first 11 rows of the
-    # r8 block. After this round no registry row's newest green is
-    # older than r8; the 37 remaining r8 rows lead round 12.
-    # ---- 1-37: the r7 block (oldest first per the handoff: the
-    # a* trio displaced from round-10's window lead) ----
-    "a8_percentile_disc",
-    "a8b_approx_percentile",
-    "a11_two_phase_agg",
-    "a15_cms_heavy_hitters",
-    "a16_hll_mergeable_rollup",
-    "a17_sketch_set_intersection",
-    "ann_cosine_topk",
-    "ann_lsh_bucketed",
-    "dedup_exact",
-    "dedup_simhash",
-    "dedup_edit_distance",
-    "ep3_roi_cascade",
-    "ep4_circles",
-    "ep5_shadow_trade",
-    "ep6_insight_feed",
-    "i10_stream_stream_join",
-    "i11_stream_outer_join",
-    "i12_stream_session_window",
-    "j1_multiway_join",
-    "j3_range_in_on",
-    "j7_asof_join",
-    "j7b_asof_backward",
-    "j9_join_to_latest",
-    "j11_pairs_jaccard",
-    "mm_av_frame_sample",
-    "mm_dedup_phash",
-    "mm_image_features",
-    "mm_image_resize",
-    "o1_global_topk",
-    "q1_quality_report",
-    "text_repetition_quality",
-    "u1_insert_if_absent",
-    "u7_merge_into",
-    "w1_latest_per_key",
-    "w4b_global_rank_scalable",
-    "x11_salted_skew_join",
-    "x_bucketed_colocated_join",
-    # ---- 38-39: NEW this round (first driver proof): the two
-    # AMORTIZED-index mining shapes — ONE pinned IVF inverted file,
-    # two distinct anchor batches mined against it, per
-    # (batch, anchor, leg) recall-vs-exact oracle (the production
-    # 100 TB form; round-10 verdict item 3 + "What's missing" #1,
-    # which named ep13's amortized path too) ----
-    "ann_hard_negatives_amortized",
-    "ep13_contrastive_pairs_amortized",
-    # ---- 40-50: the first 11 rows of the r8 block (all 48 r8 rows
-    # are equally stale; alphabetical block order, continued at the
-    # head of the round-12 pool below) ----
-    "a9_dedup_groupby",
-    "ann_ivf_lloyd",
-    "ann_ivf_probe",
-    "ann_lsh_multiprobe",
-    "ann_pq_adc",
-    "ann_recall_at_k",
-    "ann_recall_lloyd",
-    "d12_trade_decode_pipeline",
-    "d1_decode_log_price",
-    "d2_decode_calldata_token",
-    "dedup_embedding_cosine",
-    # ---- rotation pool (advisory order; past the 50-slot window).
-    # Round-12 leads here: the 37 remaining r8 rows ----
+    # round 11 the newest-green histogram is r8x37 / r9x50 / r10x50 /
+    # r11x50 (recomputed from CORRECTNESS_r01..r11 at round-12 start
+    # — matches the NOTES round-11 handoff). This window: positions
+    # 1-37 = ALL 37 r8-stale rows (alphabetical block order from the
+    # r11 pool), 38-39 = this round's new registrations, 40-50 = the
+    # first 11 rows of the r9 block. After this round no registry
+    # row's newest green is older than r9; the 39 remaining r9 rows
+    # lead round 13.
+    # ---- 1-37: the r8 block ----
     "dedup_minhash_lsh",
     "dedup_minhash_recall",
     "dedup_ngram_jaccard",
@@ -171,6 +110,69 @@ _PRIORITY = [
     "text_quality_score",
     "text_token_stats",
     "x12_salted_agg",
+    # ---- 38-39: NEW this round (first driver proof): the
+    # PERSISTED-index mining shapes — the amortized forms' IVF
+    # artifacts written to parquet via the crash-safe atomic swap
+    # and LOADED back for mining, proving the index outlives the
+    # session with identical kept sets (round-11 verdict item 2 /
+    # "What's missing" #1) ----
+    "ann_hard_negatives_persisted",
+    "ep13_contrastive_pairs_persisted",
+    # ---- 40-50: the first 11 rows of the r9 block (all 50 r9 rows
+    # are equally stale; alphabetical block order, continued at the
+    # head of the round-13 pool below) ----
+    "ann_hard_negatives",
+    "ann_ivf_fixed_k",
+    "decon_semantic_embeddings",
+    "dedup_bloom_incremental",
+    "dedup_cluster_canonical",
+    "dedup_embedding_multiprobe",
+    "dedup_semantic_clusters",
+    "dedup_semantic_fixed_k",
+    "ep10_rag_retrieval_ann",
+    "ep11_ingest_dedup",
+    "ep12_training_mix",
+    # ---- rotation pool (advisory order; past the 50-slot window).
+    # Round-13 leads here: the 39 remaining r9 rows ----
+    "ep13_contrastive_pairs",
+    "ep14_multimodal_pairs",
+    "f4_case_coalesce",
+    "i13_stream_cdc_apply",
+    "i1_highwatermark_increment",
+    "i3_streaming_snapshot",
+    "i3b_stateful_snapshot",
+    "i5_scd_flag_flip",
+    "i6_watermark_window",
+    "i7_stream_dedup",
+    "i8_session_window",
+    "i9_stream_static_join",
+    "p2_p3_time_range",
+    "q3_outlier_zscores",
+    "s10_watermark",
+    "s11_schema_evolution",
+    "samp_bottomk_fixed",
+    "samp_dsir_importance",
+    "samp_temperature_mix",
+    "samp_unimax",
+    "seq_funnel_states",
+    "text_lm_rarity_filter",
+    "tok_apply_vocab",
+    "tok_bpe_compression",
+    "tok_bpe_merges",
+    "tok_bpe_pair_stats",
+    "u10_incremental_agg",
+    "u11_dynamic_partition_overwrite",
+    "u12_cdc_apply",
+    "u2_merge_update",
+    "u3_partition_delete_reload",
+    "u4_truncate_rebuild",
+    "u5_conditional_flag",
+    "u6_date_gaps",
+    "u9_scd2_ranges",
+    "w12_sessionize",
+    "w2_first_per_key",
+    "w3_topn_per_group",
+    "w4_global_rank",
 ]
 
 

@@ -2277,6 +2277,102 @@ def ann_hard_negatives_amortized(
     return out
 
 
+def _persisted_index(
+    spark: SparkSession,
+    base: str,
+    artifacts: dict[str, DataFrame],
+) -> dict[str, DataFrame]:
+    """Write each ``name -> frame`` artifact to ``<base>/<name>`` via
+    the crash-safe atomic swap (the SAME four-step protocol every
+    table rewrite in this repo uses — operators/atomic_swap), then
+    read each back as a FRESH parquet scan. The returned frames have
+    no lineage to the build frames: they are what a LATER SESSION
+    sees when it loads the index (doubles round-trip parquet
+    bit-exactly, so downstream cosines — and therefore kept sets —
+    are unchanged; the persisted-equals-pinned tests pin that)."""
+    from innercircle_etl_spark.operators.atomic_swap import write_replace
+
+    for name, df in artifacts.items():
+        write_replace(df, f"{base}/{name}", "idx")
+    return {
+        name: spark.read.parquet(f"{base}/{name}") for name in artifacts
+    }
+
+
+@register("ann_hard_negatives_persisted", oracle=_hn_amort_oracle())
+def ann_hard_negatives_persisted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The amortized mining shape with the index PERSISTED, not
+    session-pinned — the last delta to the true 100 TB deployment
+    (round-11 verdict item 2): ann_hard_negatives_amortized pins its
+    inverted file via localCheckpoint, which is correct within one
+    run but dies with the session, while production writes the index
+    once (ep9_vector_index_pipeline's maintained-artifact story) and
+    loads it in every later mining session. Here the (vec_id, label,
+    v, cid) inverted file and the (cid, cv) codebook are written to
+    parquet through the crash-safe atomic swap and read back as
+    fresh scans with NO lineage to the build frames; both anchor
+    batches mine against the LOADED index. The oracle is the
+    amortized form's verbatim, and test_hn_persisted_equals_pinned
+    pins the full output row-for-row against
+    ann_hard_negatives_amortized — persistence changes WHERE the
+    index lives (and which sessions can reuse it), never the kept
+    sets (doubles round-trip parquet bit-exactly).
+
+    Scale: the write adds one index-sized parquet pass at build time,
+    paid once across every later session (the pinned form re-pays the
+    corpus-scale assignment per session). Each batch's cost is
+    unchanged (probes + ~nprobe/k of a corpus pass + the salted
+    rank); the cid equi-join now reads a FileScan, so at 100 TB a
+    cid-partitioned index layout would prune unprobed cells at the
+    scan — the structural advantage a file-backed index has over any
+    block-pinned one.
+
+    Reference parity: beyond-reference (north-star extension)."""
+    import os
+
+    scratch = os.environ.get("SPARK_GRAFT_SCRATCH", "/root/repo/.scratch")
+    base = f"{scratch}/hn_ivf_index_{os.path.basename(sf_dir.rstrip('/'))}"
+    e, _ = _hn_frames(spark, sf_dir)
+    cent_built = _hn_centroids(e)
+    idx = _persisted_index(
+        spark,
+        base,
+        {
+            "assign": _hn_ivf_assign(e, cent_built),
+            "centroids": cent_built,
+        },
+    )
+    assign, cent = idx["assign"], idx["centroids"]
+    out = None
+    for b in range(_HN_AMORT_BATCHES):
+        # anchors are the INCOMING batch (arrives with its vectors);
+        # the exact full-corpus leg is the recall baseline production
+        # drops — neither is part of the persisted index
+        anchors = _hn_anchor_batch(
+            e, b * _HN_ANCHORS, (b + 1) * _HN_ANCHORS
+        )
+        exact_kept = _hn_mine(_hn_score_exact(e, anchors)).select(
+            "anchor_id", "is_neg", "cand_id"
+        )
+        ann_kept = _hn_mine(
+            _hn_score_ann(assign, cent, anchors)
+        ).select("anchor_id", "is_neg", "cand_id")
+        rec = _recall_vs_exact(
+            exact_kept, ann_kept, ["anchor_id", "is_neg"]
+        ).select(
+            F.lit(b).alias("batch_id"),
+            "anchor_id",
+            "is_neg",
+            "n_hits",
+            "n_true",
+            "recall",
+        )
+        out = rec if out is None else out.unionByName(rec)
+    return out
+
+
 # --------------------------- ep13: contrastive pair construction
 
 _EP13_ANCHORS = 20  # fixed anchor-doc batch (the hard-negatives lesson)
@@ -2796,3 +2892,79 @@ ep13_contrastive_pairs_ann.__doc__ = (
         ivfk=_EP13_IVF_K, ivfk1=_EP13_IVF_K - 1, nprobe=_IVF_NPROBE
     )
 )
+
+
+@register("ep13_contrastive_pairs_persisted", oracle=_ep13_amort_oracle())
+def ep13_contrastive_pairs_persisted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ep13's amortized shape with ALL THREE corpus-scale artifacts
+    PERSISTED — chunk embeddings, codebook, inverted file — instead
+    of session-pinned (round-11 verdict item 2, the ep13 half): the
+    amortized form localCheckpoints the chunk-embedding frame and
+    the IVF assignment, which amortizes within one session only;
+    production chunks+embeds+indexes the corpus once, writes the
+    artifacts (ep9's maintained-index story), and every later
+    pair-construction session LOADS them. Here the chunk embeddings
+    are written first and read back, the codebook and inverted file
+    derive from the LOADED chunks (so the corpus chunk+hash pass
+    runs once), both are written and read back, and both anchor-doc
+    batches mine purely against loaded parquet — the mining DAG has
+    no lineage to the in-session corpus derivation at all. Oracle is
+    the amortized form's verbatim;
+    test_ep13_persisted_equals_pinned pins the output row-for-row
+    against ep13_contrastive_pairs_amortized (persistence must
+    change index lifetime, never kept sets — doubles round-trip
+    parquet bit-exactly, and the same-doc positive leg is an
+    equi-join on exact ids).
+
+    Scale: one chunk+embed corpus pass + one index-sized write at
+    build time, paid once across every later session; per-batch cost
+    unchanged (same-doc equi-join + probes + ~nprobe/k of a corpus
+    pass + the salted rank). Both candidate legs now read FileScans
+    of the persisted artifacts — at 100 TB the chunks table
+    bucket-partitioned by doc_id serves the positive equi-join and a
+    cid-partitioned inverted file prunes unprobed cells at the scan.
+
+    Reference parity: beyond-reference (north-star extension)."""
+    import os
+
+    scratch = os.environ.get("SPARK_GRAFT_SCRATCH", "/root/repo/.scratch")
+    base = f"{scratch}/ep13_ivf_index_{os.path.basename(sf_dir.rstrip('/'))}"
+    chunks = _persisted_index(
+        spark,
+        base,
+        {"chunks": _rag_chunk_embeddings(spark, sf_dir)},
+    )["chunks"]
+    cent_built = _ep13_centroids(chunks)
+    idx = _persisted_index(
+        spark,
+        base,
+        {
+            "assign": _ivf_assign(
+                chunks, cent_built, ["doc_id", "chunk_idx"]
+            ),
+            "centroids": cent_built,
+        },
+    )
+    assign, cent = idx["assign"], idx["centroids"]
+    out = None
+    for b in range(_HN_AMORT_BATCHES):
+        anchors = _ep13_anchor_batch(
+            chunks, b * _EP13_ANCHORS, (b + 1) * _EP13_ANCHORS
+        )
+        rec = _recall_vs_exact(
+            _ep13_kept_exact(chunks, anchors),
+            _ep13_kept_ann(chunks, assign, cent, anchors),
+            ["a_doc", "is_neg"],
+            {"a_doc": "anchor_doc"},
+        ).select(
+            F.lit(b).alias("batch_id"),
+            "anchor_doc",
+            "is_neg",
+            "n_hits",
+            "n_true",
+            "recall",
+        )
+        out = rec if out is None else out.unionByName(rec)
+    return out

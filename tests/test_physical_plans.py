@@ -905,6 +905,91 @@ def test_ep13_amortized_batch0_equals_inline(spark, sf_dir):
     )
 
 
+def test_hn_persisted_equals_pinned(spark, sf_dir):
+    """ann_hard_negatives_persisted: the index parquet round-trip
+    (round-11 verdict item 2). Persistence changes where the index
+    lives, never the kept sets: the full output must match the
+    localCheckpoint form row-for-row, both batches. The final DAG
+    can't witness the index read (the mining legs are eagerly pinned
+    by _mine_pos_neg, so the FileScan is consumed at checkpoint time
+    behind the ExistingRDD boundary — the round-8 PLANS.md lesson);
+    the witness is the per-batch SCORING leg built from the loaded
+    frames, whose plan must read the persisted index path."""
+    import os
+
+    from innercircle_etl_spark.plans.similarity_queries import (
+        _HN_ANCHORS,
+        _hn_anchor_batch,
+        _hn_frames,
+        _hn_score_ann,
+    )
+
+    df = QUERIES["ann_hard_negatives_persisted"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    rows = df.collect()
+    pinned = QUERIES["ann_hard_negatives_amortized"](spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, pinned))
+    # the artifacts exist on disk, and a batch scored from the LOADED
+    # frames reads them as FileScans — what a later session does
+    scratch = os.environ.get("SPARK_GRAFT_SCRATCH", "/root/repo/.scratch")
+    base = f"{scratch}/hn_ivf_index_{os.path.basename(sf_dir.rstrip('/'))}"
+    assert os.path.isdir(f"{base}/assign") and os.path.isdir(
+        f"{base}/centroids"
+    )
+    assign = spark.read.parquet(f"{base}/assign")
+    cent = spark.read.parquet(f"{base}/centroids")
+    e, _ = _hn_frames(spark, sf_dir)
+    leg = _hn_score_ann(assign, cent, _hn_anchor_batch(e, 0, _HN_ANCHORS))
+    leg_plan = leg._jdf.queryExecution().executedPlan().toString()
+    assert "hn_ivf_index_" in leg_plan, leg_plan
+    assert "CartesianProduct" not in leg_plan, leg_plan
+
+
+def test_ep13_persisted_equals_pinned(spark, sf_dir):
+    """ep13_contrastive_pairs_persisted: chunk embeddings, codebook,
+    and inverted file all round-trip through parquet; output must
+    match the localCheckpoint form row-for-row, both batches; and a
+    candidate leg built from the loaded artifacts reads them as
+    FileScans (the final DAG hides them behind the _mine_pos_neg
+    checkpoint boundary, as in the hn twin)."""
+    import os
+
+    from innercircle_etl_spark.plans.similarity_queries import (
+        _EP13_ANCHORS,
+        _ep13_anchor_batch,
+        _ep13_kept_ann,
+    )
+
+    df = QUERIES["ep13_contrastive_pairs_persisted"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    rows = df.collect()
+    pinned = QUERIES["ep13_contrastive_pairs_amortized"](
+        spark, sf_dir
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, pinned))
+    scratch = os.environ.get("SPARK_GRAFT_SCRATCH", "/root/repo/.scratch")
+    base = f"{scratch}/ep13_ivf_index_{os.path.basename(sf_dir.rstrip('/'))}"
+    for part in ("chunks", "assign", "centroids"):
+        assert os.path.isdir(f"{base}/{part}"), part
+    chunks = spark.read.parquet(f"{base}/chunks")
+    assign = spark.read.parquet(f"{base}/assign")
+    cent = spark.read.parquet(f"{base}/centroids")
+    anchors = _ep13_anchor_batch(chunks, 0, _EP13_ANCHORS)
+    kept = _ep13_kept_ann(chunks, assign, cent, anchors)
+    # _ep13_kept_ann pins its result; witness the scan on the
+    # pre-checkpoint lineage via the logical plan of the inputs
+    leg_plan = (
+        assign.join(cent, assign.cid == cent.cid)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ep13_ivf_index_" in leg_plan, leg_plan
+    assert kept.count() > 0
+
+
 def test_ivf_assign_spreads_before_expansion(spark, sf_dir):
     """_ivf_assign must repartition the corpus across cores BEFORE
     the |codebook|x cosine expansion (its largest map stage): a
