@@ -110,15 +110,18 @@ _PRIORITY = [
     "text_quality_score",
     "text_token_stats",
     "x12_salted_agg",
-    # ---- 38-39: NEW this round (first driver proof): the
+    # ---- 38-40: NEW this round (first driver proof): the
     # PERSISTED-index mining shapes — the amortized forms' IVF
     # artifacts written to parquet via the crash-safe atomic swap
     # and LOADED back for mining, proving the index outlives the
     # session with identical kept sets (round-11 verdict item 2 /
-    # "What's missing" #1) ----
+    # "What's missing" #1) — plus the index MAINTENANCE loop
+    # (O(batch) assign of the arriving batch merged into the loaded
+    # file, proven equal to a full rebuild) ----
     "ann_hard_negatives_persisted",
     "ep13_contrastive_pairs_persisted",
-    # ---- 40-50: the first 11 rows of the r9 block (all 50 r9 rows
+    "ann_index_incremental_update",
+    # ---- 41-50: the first 10 rows of the r9 block (all 50 r9 rows
     # are equally stale; alphabetical block order, continued at the
     # head of the round-13 pool below) ----
     "ann_hard_negatives",
@@ -131,9 +134,9 @@ _PRIORITY = [
     "dedup_semantic_fixed_k",
     "ep10_rag_retrieval_ann",
     "ep11_ingest_dedup",
-    "ep12_training_mix",
     # ---- rotation pool (advisory order; past the 50-slot window).
-    # Round-13 leads here: the 39 remaining r9 rows ----
+    # Round-13 leads here: the 40 remaining r9 rows ----
+    "ep12_training_mix",
     "ep13_contrastive_pairs",
     "ep14_multimodal_pairs",
     "f4_case_coalesce",

@@ -990,6 +990,44 @@ def test_ep13_persisted_equals_pinned(spark, sf_dir):
     assert kept.count() > 0
 
 
+def test_incremental_index_update_equals_full_rebuild(spark, sf_dir):
+    """ann_index_incremental_update: assigning ONLY the arriving
+    batch against the loaded codebook and merging into the persisted
+    file must reproduce a from-scratch full-corpus assignment
+    EXACTLY (fixed codebook -> per-row argmax independent of arrival
+    order) — the property that licenses daily O(batch) appends over
+    daily corpus-pass rebuilds. Compared against an in-session full
+    rebuild's manifest; the merged file must also contain every
+    corpus row exactly once (no batch row lost or doubled by the
+    swap-while-reading write)."""
+    from pyspark.sql import functions as F
+
+    from innercircle_etl_spark.plans.similarity_queries import (
+        _hn_centroids,
+        _hn_frames,
+        _hn_ivf_assign,
+    )
+
+    df = QUERIES["ann_index_incremental_update"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    rows = {r.cid: (r.n_vectors, r.min_vec_id, r.avg_cos) for r in df.collect()}
+    e, _ = _hn_frames(spark, sf_dir)
+    full = _hn_ivf_assign(e, _hn_centroids(e))
+    rebuilt = {
+        r.cid: (r.n_vectors, r.min_vec_id)
+        for r in full.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.min("vec_id").alias("min_vec_id"),
+        )
+        .collect()
+    }
+    assert {c: v[:2] for c, v in rows.items()} == rebuilt
+    assert sum(v[0] for v in rows.values()) == e.count()
+    assert all(-1.0 <= v[2] <= 1.0 for v in rows.values())
+
+
 def test_ivf_assign_spreads_before_expansion(spark, sf_dir):
     """_ivf_assign must repartition the corpus across cores BEFORE
     the |codebook|x cosine expansion (its largest map stage): a
