@@ -61,16 +61,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # end — the list is advisory, never a filter.
 _PRIORITY = [
     # ================= ROUND-12 WINDOW: standing freshness rotation
-    # (round-10 verdict item 1). 189 registered queries (187 at
-    # round-11 close + this round's two PERSISTED-index mining
-    # registrations) rotate through a 50-slot driver window; after
-    # round 11 the newest-green histogram is r8x37 / r9x50 / r10x50 /
-    # r11x50 (recomputed from CORRECTNESS_r01..r11 at round-12 start
-    # — matches the NOTES round-11 handoff). This window: positions
+    # (round-10 verdict item 1). 190 registered queries (187 at
+    # round-11 close + this round's THREE registrations: the two
+    # PERSISTED-index mining shapes and the incremental index
+    # update) rotate through a 50-slot driver window; after round 11
+    # the newest-green histogram is r8x37 / r9x50 / r10x50 / r11x50
+    # (recomputed from CORRECTNESS_r01..r11 at round-12 start —
+    # matches the NOTES round-11 handoff). This window: positions
     # 1-37 = ALL 37 r8-stale rows (alphabetical block order from the
-    # r11 pool), 38-39 = this round's new registrations, 40-50 = the
-    # first 11 rows of the r9 block. After this round no registry
-    # row's newest green is older than r9; the 39 remaining r9 rows
+    # r11 pool), 38-40 = this round's new registrations, 41-50 = the
+    # first 10 rows of the r9 block. After this round no registry
+    # row's newest green is older than r9; the 40 remaining r9 rows
     # lead round 13.
     # ---- 1-37: the r8 block ----
     "dedup_minhash_lsh",

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -198,6 +199,33 @@ def _drop_caches(spark) -> None:
     drop_query_caches(spark)
 
 
+def _cpu_probe(spark) -> float:
+    """The ONE fixed CPU-probe job (32-task shuffle + agg, no
+    parquet, no Python), timed. Every probe site — calibration,
+    pre-query, per-rep, post-rep, noise attribution — must run this
+    identical job or the ratios against the pinned _REF_PROBE
+    profile silently desynchronize (the job was pasted five times
+    before this helper; round-12 review)."""
+    t0 = time.time()
+    spark.range(30_000_000).selectExpr(
+        "id % 32 AS k", "id AS v"
+    ).groupBy("k").sum("v").count()
+    return round(time.time() - t0, 3)
+
+
+def _parse_sf(sf_dir: str) -> float | str:
+    """Scale factor for the compact line: the numeric part of the
+    basename's sf<N> prefix, falling back to the raw path when no
+    component parses. The old ``float(basename.replace('sf', ''))``
+    raised ValueError on renamed fixtures (sf10-v2, sf10_perm) AFTER
+    all measurement finished — losing the whole artifact to a label
+    (round-12 review; the failure mode the module docstring calls
+    worse than any noise)."""
+    base = os.path.basename(sf_dir.rstrip("/"))
+    m = re.match(r"sf(\d+(?:\.\d+)?)", base)
+    return float(m.group(1)) if m else sf_dir
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from innercircle_etl_spark.plans import QUERIES
@@ -246,13 +274,7 @@ def main() -> None:
         start and end makes the noise claim checkable from the
         artifact: if a probe spreads 2-3x, so does every query that
         leans on that resource."""
-        samples = []
-        for _ in range(3):
-            t0 = time.time()
-            spark.range(30_000_000).selectExpr(
-                "id % 32 AS k", "id AS v"
-            ).groupBy("k").sum("v").count()
-            samples.append(time.time() - t0)
+        samples = [_cpu_probe(spark) for _ in range(3)]
         samples.sort()
         t0 = time.time()
         # collect() the aggregate so the scan actually reads the
@@ -322,11 +344,7 @@ def main() -> None:
         reps_here = (
             reps if time.time() - bench_t0 < 0.75 * budget_s else 1
         )
-        t0 = time.time()
-        spark.range(30_000_000).selectExpr(
-            "id % 32 AS k", "id AS v"
-        ).groupBy("k").sum("v").count()
-        cal_probe[name] = round(time.time() - t0, 3)
+        cal_probe[name] = _cpu_probe(spark)
         fn = QUERIES[name]
         # One UNTIMED warm rep at the measured SF first: the sf0.001
         # warmup above compiles the generated classes but its tiny
@@ -356,11 +374,7 @@ def main() -> None:
                 # its reps were tight — normalized 0.994s, below
                 # even the clean-box wall). The per-query ratio is
                 # the MEDIAN over these adjacent samples.
-                t0 = time.time()
-                spark.range(30_000_000).selectExpr(
-                    "id % 32 AS k", "id AS v"
-                ).groupBy("k").sum("v").count()
-                rep_probes.append(round(time.time() - t0, 3))
+                rep_probes.append(_cpu_probe(spark))
             t0 = time.time()
             n = fn(spark, sf_dir).count()
             samples.append(time.time() - t0)
@@ -375,11 +389,7 @@ def main() -> None:
             # non-adjacency failure the per-rep probes exist to fix.
             # One POST-rep probe keeps degraded runs adjacent-sampled
             # (round-11 advice item 1).
-            t0 = time.time()
-            spark.range(30_000_000).selectExpr(
-                "id % 32 AS k", "id AS v"
-            ).groupBy("k").sum("v").count()
-            rep_probes.append(round(time.time() - t0, 3))
+            rep_probes.append(_cpu_probe(spark))
         # adaptive extra reps while the spread looks load-polluted.
         # Each trip also samples BOTH calibration probes at that
         # instant — the per-offender noise attribution: a bad rep is
@@ -394,11 +404,7 @@ def main() -> None:
             and max(samples) > 2 * min(samples)
             and time.time() - bench_t0 < 0.85 * budget_s
         ):
-            t0 = time.time()
-            spark.range(30_000_000).selectExpr(
-                "id % 32 AS k", "id AS v"
-            ).groupBy("k").sum("v").count()
-            cpu_s = time.time() - t0
+            cpu_s = _cpu_probe(spark)
             t0 = time.time()
             spark.read.parquet(f"{sf_dir}/lineitem.parquet").agg(
                 {"l_extendedprice": "sum"}
@@ -445,7 +451,7 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     llm_total = round(sum(llm_timings.values()), 3)
-    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    sf = _parse_sf(sf_dir)
     cal_end = calibrate()
     # Host-drift self-adjudication: this run's probes as ratios to
     # the pinned healthy profile. cpu = the run-median of the
@@ -498,7 +504,7 @@ def main() -> None:
         "queries_normalized": movers,
         "skipped": skipped,
         "ramp_exposed": ramp_exposed,
-        "sf": float(sf) if sf else sf_dir,
+        "sf": sf,
     }
     full = dict(
         compact,

@@ -169,6 +169,21 @@ def test_normalization_uses_true_median():
     assert normalized == {"a": 2.0, "b": 2.0}
 
 
+def test_bench_sf_label_never_crashes():
+    """Round-12 review: bench's compact-line sf label used
+    float(basename.replace('sf','')), which raised ValueError on
+    renamed fixture dirs (sf10-v2, sf10_perm) AFTER all measurement
+    finished — losing the artifact to a label. _parse_sf must parse
+    the numeric prefix and fall back to the raw path, never raise."""
+    from bench import _parse_sf
+
+    assert _parse_sf("/root/testdata/sf0.1") == 0.1
+    assert _parse_sf("/x/.scratch/sf10") == 10.0
+    assert _parse_sf("/x/sf10-v2") == 10.0
+    assert _parse_sf("/x/sf10_perm") == 10.0
+    assert _parse_sf("/data/custom_fixture") == "/data/custom_fixture"
+
+
 def test_sf10_demotion_selection():
     """tools/sf1_spot_sweep.default_names: at sf10 (and ONLY there)
     the DEMOTED_AT_SF10 rows are pulled out of a default sweep and
@@ -195,8 +210,10 @@ def test_sf10_demotion_selection():
         assert "graph_triangles" not in names, path
         assert "graph_triangles" in demoted, path
     # no sf component at all: demotion NOT applied (and main's
-    # stderr note fires); sf1_perm parses as 1 and keeps exact forms
-    for path in ("/x/bigdata", "/x/sf1_perm"):
+    # stderr note fires); sf1_perm parses as 1 and keeps exact forms;
+    # an sf-prefixed ancestor DEEPER than the parent must not hijack
+    # the label (round-12 review: /data/sf2020-era/nested/fixture)
+    for path in ("/x/bigdata", "/x/sf1_perm", "/data/sf2020-era/nested/fixture"):
         names, demoted = default_names(queries, ["j1"], path)
         assert "graph_triangles" in names and demoted == {}, path
 

@@ -57,14 +57,20 @@ DEMOTED_AT_SF10 = {
 
 
 def parse_sf(sf_dir: str) -> float | None:
-    """Best-effort scale factor from the path: the LAST component
-    carrying an ``sf<number>`` prefix (so 'sf10', 'sf10-v2',
-    'sf10_perm', a symlink named sf10, and nested 'sf10/data' all
-    read 10.0). None when no component matches — the caller must
-    then say demotion was NOT considered rather than silently pay
-    the exact-form wall (round-11 advice item 2: the old exact
-    basename == 'sf10' match skipped demotion on any rename)."""
-    for part in reversed(sf_dir.rstrip("/").split(os.sep)):
+    """Best-effort scale factor from the path: the basename's
+    ``sf<number>`` prefix, or — one level up only — the parent's (so
+    'sf10', 'sf10-v2', 'sf10_perm', a symlink named sf10, and nested
+    'sf10/data' all read 10.0). None when neither matches — the
+    caller must then say demotion was NOT considered rather than
+    silently pay the exact-form wall (round-11 advice item 2: the
+    old exact basename == 'sf10' match skipped demotion on any
+    rename). The walk stops at the parent on purpose: a deeper
+    ancestor that happens to start with sf+digits (/data/sf2020-era/
+    nested/fixture) must not hijack the label (round-12 review);
+    default_names logs the matched value whenever demotion fires so
+    a surprising parse is visible in the sweep's stderr trail."""
+    parts = sf_dir.rstrip("/").split(os.sep)
+    for part in reversed(parts[-2:]):
         m = re.match(r"sf(\d+(?:\.\d+)?)", part)
         if m:
             return float(m.group(1))
@@ -89,6 +95,13 @@ def default_names(
     if sf is not None and sf >= 10:
         demoted = {n: r for n, r in DEMOTED_AT_SF10.items() if n in names}
         names = [n for n in names if n not in demoted]
+        if demoted:
+            print(
+                f"# sf10 demotion applied (parsed sf={sf} from"
+                f" {sf_dir!r}): {sorted(demoted)} — name them"
+                f" explicitly to re-arm the exact canaries",
+                file=sys.stderr,
+            )
     elif sf is None and any(n in names for n in DEMOTED_AT_SF10):
         print(
             f"# sf10 demotion NOT applied: no sf<N> component in"
