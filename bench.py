@@ -23,7 +23,6 @@ from __future__ import annotations
 
 import json
 import os
-import re
 import sys
 import time
 
@@ -214,16 +213,19 @@ def _cpu_probe(spark) -> float:
 
 
 def _parse_sf(sf_dir: str) -> float | str:
-    """Scale factor for the compact line: the numeric part of the
-    basename's sf<N> prefix, falling back to the raw path when no
-    component parses. The old ``float(basename.replace('sf', ''))``
-    raised ValueError on renamed fixtures (sf10-v2, sf10_perm) AFTER
-    all measurement finished — losing the whole artifact to a label
-    (round-12 review; the failure mode the module docstring calls
-    worse than any noise)."""
-    base = os.path.basename(sf_dir.rstrip("/"))
-    m = re.match(r"sf(\d+(?:\.\d+)?)", base)
-    return float(m.group(1)) if m else sf_dir
+    """Scale factor for the compact line, falling back to the raw
+    path when no component parses (never raise: the old
+    ``float(basename.replace('sf', ''))`` raised ValueError on
+    renamed fixtures AFTER all measurement finished — losing the
+    whole artifact to a label; round-12 review). The parse itself is
+    the SHARED helper the sf10-demotion sweep uses, so the bench
+    label and the demotion decision agree on every path shape
+    (round-13 advice item 1: nested 'sf10/data' used to label as the
+    raw string here while the sweep parsed 10 and demoted)."""
+    from innercircle_etl_spark.sfparse import parse_sf
+
+    sf = parse_sf(sf_dir)
+    return sf if sf is not None else sf_dir
 
 
 def main() -> None:

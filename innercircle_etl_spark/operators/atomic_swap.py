@@ -53,7 +53,21 @@ def recover_table(path: str) -> None:
 
 def swap_into_place(path: str, tmp: str) -> None:
     """Steps 2-4 of the protocol: move the complete table at ``tmp``
-    into ``path``. Caller guarantees ``tmp`` is fully written."""
+    into ``path``. Caller guarantees ``tmp`` is fully written.
+
+    Concurrent-reader contract (round-13 advice item 3): the swap is
+    crash-SAFE, not reader-ATOMIC — between rename(path -> old) and
+    rename(tmp -> path) there is a window where no live dir exists
+    at ``path``, so a DIFFERENT session that lists the path mid-swap
+    can hit FileNotFound. A complete copy always exists on disk
+    (that's the crash-safety claim), so readers racing a writer must
+    call ``recover_table`` + retry on miss — or the table must use
+    the partition-grain variant below, whose hidden .old/.staging
+    dirs never leave the table dir unlistable. Single-session
+    pipelines (every registered query: build then read in one
+    driver) never race themselves; the contract matters only for the
+    persisted-index story where a later session loads what an
+    earlier one maintains."""
     old = f"{path}_old"
     shutil.rmtree(old, ignore_errors=True)  # stale copy from a crash
     # after a previous swap completed — safe to drop

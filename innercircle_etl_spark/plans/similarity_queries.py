@@ -2463,7 +2463,11 @@ def ann_index_incremental_update(
     )
     # day 1: assign ONLY the batch against the LOADED codebook
     # (O(batch)), merge into the file — write_replace stages to a
-    # tmp dir while the live index is still readable, then swaps
+    # tmp dir, then swaps. Crash-safe, not reader-atomic: a
+    # CONCURRENT session listing the path mid-swap can hit a
+    # FileNotFound window and must recover_table+retry (the
+    # swap_into_place contract); this single-session query never
+    # races itself.
     batch_assign = _hn_ivf_assign(e.filter(is_batch), idx["centroids"])
     write_replace(
         idx["assign"].unionByName(batch_assign), f"{base}/assign", "merged"

@@ -252,3 +252,47 @@ def test_cluster_canonical_releases_intra_query_pins(spark, sf_dir):
     # before` is order-dependent-flaky — reproduced when the ngram
     # wide-vocab tests run first in the same session.)
     assert keep.count() == 10
+
+
+def test_priority_window_names_all_resolve():
+    """Every _PRIORITY name resolves in the registry (round-13
+    advice item 4): _ordered silently drops unknown names ('if n in
+    src' — correct, the list is advisory), so a typo in the 50-slot
+    freshness window would quietly leave that row stale with no
+    driver proof and no signal. Fail loudly here instead."""
+    import __spark_entry__ as entry
+    from innercircle_etl_spark.plans import QUERIES
+
+    missing = [n for n in entry._PRIORITY if n not in QUERIES]
+    assert not missing, f"_PRIORITY names not in registry: {missing}"
+    dupes = [
+        n for n in set(entry._PRIORITY) if entry._PRIORITY.count(n) > 1
+    ]
+    assert not dupes, f"_PRIORITY has duplicate names: {dupes}"
+
+
+def test_sf_label_shared_between_bench_and_sweep():
+    """bench's artifact sf label and the sweep's demotion decision
+    use the SAME parser (round-13 advice items 1-2): nested
+    'sf10/data' must parse 10.0 in both, renamed fixtures keep their
+    prefix factor, and an unrelated ancestor like sf2020-era must
+    parse None (no silent demotion) rather than 2020."""
+    import bench
+    from innercircle_etl_spark.sfparse import parse_sf
+
+    assert parse_sf("/x/sf10/data") == 10.0
+    assert bench._parse_sf("/x/sf10/data") == 10.0
+    assert parse_sf("/x/sf10_perm") == 10.0
+    assert parse_sf("/x/sf0.1") == 0.1
+    assert parse_sf("/data/sf2020-era/fixture") is None
+    # bench labels with the raw path when nothing parses — it must
+    # never raise after measurement (the round-12 lost-artifact bug)
+    assert bench._parse_sf("/plain/fixture") == "/plain/fixture"
+    import sys as _sys
+
+    _sys.path.insert(
+        0, "/root/repo/tools"
+    ) if "/root/repo/tools" not in _sys.path else None
+    import sf1_spot_sweep as sweep
+
+    assert sweep.parse_sf is parse_sf

@@ -24,7 +24,6 @@ from __future__ import annotations
 
 import json
 import os
-import re
 import sys
 import threading
 import time
@@ -56,25 +55,14 @@ DEMOTED_AT_SF10 = {
 }
 
 
-def parse_sf(sf_dir: str) -> float | None:
-    """Best-effort scale factor from the path: the basename's
-    ``sf<number>`` prefix, or — one level up only — the parent's (so
-    'sf10', 'sf10-v2', 'sf10_perm', a symlink named sf10, and nested
-    'sf10/data' all read 10.0). None when neither matches — the
-    caller must then say demotion was NOT considered rather than
-    silently pay the exact-form wall (round-11 advice item 2: the
-    old exact basename == 'sf10' match skipped demotion on any
-    rename). The walk stops at the parent on purpose: a deeper
-    ancestor that happens to start with sf+digits (/data/sf2020-era/
-    nested/fixture) must not hijack the label (round-12 review);
-    default_names logs the matched value whenever demotion fires so
-    a surprising parse is visible in the sweep's stderr trail."""
-    parts = sf_dir.rstrip("/").split(os.sep)
-    for part in reversed(parts[-2:]):
-        m = re.match(r"sf(\d+(?:\.\d+)?)", part)
-        if m:
-            return float(m.group(1))
-    return None
+# The ONE sf parser, shared with bench.py so the demotion decision
+# and the bench artifact's sf label can never disagree (round-13
+# advice items 1-2; rules and rationale in the helper's module doc —
+# basename takes an sf<number> PREFIX, the parent fallback requires
+# an EXACT sf<number> component, so /data/sf2020-era/fixture no
+# longer hijacks the label). default_names still logs the matched
+# value whenever demotion fires.
+from innercircle_etl_spark.sfparse import parse_sf  # noqa: E402
 
 
 def default_names(
