@@ -60,83 +60,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # not listed (or not yet registered) keep registration order at the
 # end — the list is advisory, never a filter.
 _PRIORITY = [
-    # ================= ROUND-12 WINDOW: standing freshness rotation
-    # (round-10 verdict item 1). 190 registered queries (187 at
-    # round-11 close + this round's THREE registrations: the two
-    # PERSISTED-index mining shapes and the incremental index
-    # update) rotate through a 50-slot driver window; after round 11
-    # the newest-green histogram is r8x37 / r9x50 / r10x50 / r11x50
-    # (recomputed from CORRECTNESS_r01..r11 at round-12 start —
-    # matches the NOTES round-11 handoff). This window: positions
-    # 1-37 = ALL 37 r8-stale rows (alphabetical block order from the
-    # r11 pool), 38-40 = this round's new registrations, 41-50 = the
-    # first 10 rows of the r9 block. After this round no registry
-    # row's newest green is older than r9; the 40 remaining r9 rows
-    # lead round 13.
-    # ---- 1-37: the r8 block ----
-    "dedup_minhash_lsh",
-    "dedup_minhash_recall",
-    "dedup_ngram_jaccard",
-    "dedup_shingle_containment",
-    "dedup_substring_spans",
-    "ep10_rag_retrieval",
-    "ep7_posts",
-    "ep8_corpus_pipeline",
-    "ep9_vector_index_pipeline",
-    "f1_string_funcs",
-    "f2_datetime_funcs",
-    "f3_math_decay",
-    "f5_array_access",
-    "f6_json_extract",
-    "i4_file_stream_exactly_once",
-    "j12_interval_bucket_join",
-    "j2_left_enrich",
-    "j4_left_anti",
-    "j5_left_semi",
-    "j6_double_anti",
-    "p1_project_arithmetic",
-    "p4_p5_inlist_like",
-    "p6_p7_membership",
-    "p8_p9_p10_null_blacklist",
-    "s2_s3_csv_roundtrip",
-    "s6_json_source",
-    "s8_rest_source",
-    "s9_rest_sink",
-    "t1_union_all_legs",
-    "t2_except",
-    "t3_intersect",
-    "text_bm25_search",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_quality_score",
-    "text_token_stats",
-    "x12_salted_agg",
-    # ---- 38-40: NEW this round (first driver proof): the
-    # PERSISTED-index mining shapes — the amortized forms' IVF
-    # artifacts written to parquet via the crash-safe atomic swap
-    # and LOADED back for mining, proving the index outlives the
-    # session with identical kept sets (round-11 verdict item 2 /
-    # "What's missing" #1) — plus the index MAINTENANCE loop
-    # (O(batch) assign of the arriving batch merged into the loaded
-    # file, proven equal to a full rebuild) ----
-    "ann_hard_negatives_persisted",
-    "ep13_contrastive_pairs_persisted",
-    "ann_index_incremental_update",
-    # ---- 41-50: the first 10 rows of the r9 block (all 50 r9 rows
-    # are equally stale; alphabetical block order, continued at the
-    # head of the round-13 pool below) ----
-    "ann_hard_negatives",
-    "ann_ivf_fixed_k",
-    "decon_semantic_embeddings",
-    "dedup_bloom_incremental",
-    "dedup_cluster_canonical",
-    "dedup_embedding_multiprobe",
-    "dedup_semantic_clusters",
-    "dedup_semantic_fixed_k",
-    "ep10_rag_retrieval_ann",
-    "ep11_ingest_dedup",
-    # ---- rotation pool (advisory order; past the 50-slot window).
-    # Round-13 leads here: the 40 remaining r9 rows ----
+    # ================= ROUND-13 WINDOW: standing freshness rotation
+    # (round-10 verdict item 1). 192 registered queries (190 at
+    # round-12 close + this round's TWO registrations: the
+    # cid-partitioned persisted index and the checkpointed-stream
+    # index maintenance) rotate through a 50-slot driver window;
+    # after round 12 the newest-green histogram is r9x40 / r10x50 /
+    # r11x50 / r12x50 (recomputed from CORRECTNESS_r01..r12 at
+    # round-13 start — matches the NOTES round-12 handoff). This
+    # window: positions 1-40 = ALL 40 r9-stale rows (alphabetical
+    # block order from the r12 pool), 41-42 = this round's new
+    # registrations, 43-50 = the first 8 rows of the r10 block.
+    # After this round no registry row's newest green is older than
+    # r10; the 42 remaining r10 rows lead round 14.
+    # ---- 1-40: the r9 block ----
     "ep12_training_mix",
     "ep13_contrastive_pairs",
     "ep14_multimodal_pairs",
@@ -177,6 +114,71 @@ _PRIORITY = [
     "w2_first_per_key",
     "w3_topn_per_group",
     "w4_global_rank",
+    # ---- 41-42: NEW this round (first driver proof): the
+    # CELL-PARTITIONED persisted index — the inverted file written
+    # partitionBy(cid) and mined with the probed cid set pushed as a
+    # PARTITION filter, so a batch reads O(probed cells) of the
+    # index instead of all of it (round-12 verdict item 2) — and the
+    # CHECKPOINTED-STREAM index maintenance (foreachBatch O(batch)
+    # assign + idempotent insert-if-absent merge, proven equal to a
+    # full rebuild; round-12 stretch item 8) ----
+    "ann_hard_negatives_cellpart",
+    "ann_index_stream_update",
+    # ---- 43-50: the first 8 rows of the r10 block (all 50 r10 rows
+    # are equally stale; alphabetical block order, continued at the
+    # head of the round-14 pool below) ----
+    "a12_rollup",
+    "a13_grouped_pandas_stats",
+    "a14_grouped_agg_udf",
+    "a1_count_distinct",
+    "a1b_approx_distinct",
+    "a3_sum_min_max_avg",
+    "a4_scalar_subquery",
+    "a6_having",
+    # ---- rotation pool (advisory order; past the 50-slot window).
+    # Round-14 leads here: the 42 remaining r10 rows ----
+    "a7_conditional_agg",
+    "ann_hard_negatives_ann",
+    "ann_sq_adc",
+    "dedup_incremental_minhash",
+    "dedup_ngram_jaccard_w5",
+    "ep13_contrastive_pairs_ann",
+    "ep1_daily_pipeline",
+    "f7_array_hof",
+    "graph_pagerank3",
+    "graph_triangles",
+    "graph_triangles_sampled",
+    "mm_av_frame_sample_udtf",
+    "p12_null_safe_eq",
+    "q2_column_profile",
+    "q4_key_skew_report",
+    "q5_referential_integrity",
+    "s12_corrupt_records",
+    "s13_compaction",
+    "s14_orc_roundtrip",
+    "s15_partitioned_db_pull",
+    "samp_epoch_shuffle",
+    "samp_stratified_hash",
+    "samp_weighted_resample",
+    "seq_event_assembly",
+    "t4_pivot",
+    "t5_unpivot",
+    "text_boilerplate_scrub",
+    "text_chunk_windows",
+    "text_decontaminate",
+    "text_mix_weights",
+    "text_oov_quality",
+    "text_pack_shards",
+    "text_pii_scrub",
+    "text_tfidf_terms",
+    "text_train_eval_split",
+    "w10_twap",
+    "w11_cohort_retention",
+    "w13_ewma",
+    "w6_gap_fill_ffill",
+    "w7_rolling_7day",
+    "w8_day_over_day",
+    "w9_ntile_deciles",
 ]
 
 

@@ -77,14 +77,27 @@ def swap_into_place(path: str, tmp: str) -> None:
     shutil.rmtree(old, ignore_errors=True)
 
 
-def write_replace(df: DataFrame, path: str, tag: object) -> None:
+def write_replace(
+    df: DataFrame,
+    path: str,
+    tag: object,
+    partition_by: str | None = None,
+) -> None:
     """Crash-safe full-table overwrite: write ``df`` to
     ``<path>_tmp_<tag>`` then swap it into place. A failed write
-    cleans its tmp dir and leaves the live table untouched."""
+    cleans its tmp dir and leaves the live table untouched.
+    ``partition_by`` writes the table hive-partitioned on that
+    column (the persisted-IVF cell layout) — the swap discipline is
+    unchanged: the whole partitioned tree stages and swaps as one
+    unit (contrast ``overwrite_partitions_atomic``, which swaps
+    partition dirs individually and touches only those present)."""
     recover_table(path)
     tmp = f"{path}_tmp_{tag}"
     try:
-        df.write.mode("overwrite").parquet(tmp)
+        w = df.write.mode("overwrite")
+        if partition_by is not None:
+            w = w.partitionBy(partition_by)
+        w.parquet(tmp)
     except BaseException:
         shutil.rmtree(tmp, ignore_errors=True)
         raise

@@ -1147,3 +1147,97 @@ def i13_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bal").alias("acctbal"),
         (F.col("v_eid") >= 0).alias("touched"),
     )
+
+
+# ------------- streaming maintenance of the persisted ANN index
+
+# final manifest must equal a full single-pass rebuild — the SAME
+# oracle as the batch maintenance form (the i13/u12 pattern applied
+# to the index lifecycle)
+from innercircle_etl_spark.plans.similarity_queries import (  # noqa: E402
+    _INC_UPDATE_ORACLE,
+    _hn_centroids,
+    _hn_frames,
+    _hn_ivf_assign,
+    _index_manifest,
+    _persisted_index,
+)
+
+
+@register("ann_index_stream_update", oracle=_INC_UPDATE_ORACLE)
+def ann_index_stream_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ann_index_incremental_update's CHECKPOINTED-STREAM analog
+    (round-12 verdict stretch item 8) — the i-series unified with
+    the index lifecycle the way i13 unified it with CDC: day-0's
+    inverted file + codebook are built WITHOUT the arriving rows and
+    persisted; the arrivals then land as parquet files in a watched
+    dir across TWO waves, and a Trigger.AvailableNow foreachBatch
+    drains each wave, assigns ONLY the micro-batch against the
+    LOADED codebook (batch x k broadcast argmax — O(batch), never a
+    corpus pass), and merges into the live index file via the
+    crash-safe atomic swap. The merge is INSERT-IF-ABSENT on vec_id
+    (U1's discipline), so a checkpoint-replayed file re-applies as a
+    no-op — exactly-once state from at-least-once delivery, i4's
+    guarantee extended to index maintenance. Output is the post-drain
+    per-cell manifest from the LOADED merged file; the oracle is the
+    batch form's verbatim: a full single-pass assignment of the
+    whole corpus. Fixed codebook -> per-row argmax independent of
+    arrival order AND batching — stream merge == incremental merge
+    == full rebuild, hash-exactly.
+
+    The arriving rows are the batch form's residue class (vec_id %
+    10 == 7, deliberately containing codebook ids), split into waves
+    by vec_id % 20 (7 vs 17) so each drain carries a nonempty,
+    disjoint slice.
+
+    Scale: the watched dir is the landing zone a 100 TB embedding
+    pipeline already has; each micro-batch costs O(batch) assignment
+    + one index rewrite (cid-partitioned layout -> per-cell appends
+    via overwrite_partitions_atomic; whole-file swap here is the
+    fixture-scale analog, same as the batch form). The insert-if-
+    absent anti-join reads only the index's vec_id column.
+
+    Reference parity: beyond-reference (north-star extension);
+    stream harness parity with load_metadata_json_daemon.py:13-37
+    (the reference's poll loop, here with checkpointed exactly-once
+    instead of its best-effort dedup)."""
+    base = _fresh(f"{SCRATCH}/stream_annidx_{os.path.basename(sf_dir)}")
+    src, ckpt, idx_base = f"{base}/in", f"{base}/ckpt", f"{base}/idx"
+    os.makedirs(src, exist_ok=True)
+
+    e, _ = _hn_frames(spark, sf_dir)
+    cent_built = _hn_centroids(e)
+    is_batch = F.col("vec_id") % 10 == 7
+    idx = _persisted_index(
+        spark,
+        idx_base,
+        {
+            "assign": _hn_ivf_assign(e.filter(~is_batch), cent_built),
+            "centroids": cent_built,
+        },
+    )
+    cent = idx["centroids"]
+    apath = f"{idx_base}/assign"
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        recover_table(apath)
+        live = batch_df.sparkSession.read.parquet(apath)
+        fresh = _hn_ivf_assign(batch_df, cent).join(
+            live.select("vec_id"), "vec_id", "left_anti"
+        )
+        write_replace(
+            live.unionByName(fresh.select(*live.columns)),
+            apath,
+            f"b{batch_id}",
+        )
+
+    for wave_rem in (7, 17):
+        e.filter(F.col("vec_id") % 20 == wave_rem).write.mode(
+            "append"
+        ).parquet(src)
+        stream = spark.readStream.schema(e.schema).parquet(src)
+        run_available_now(stream, ckpt, foreach_batch=apply_batch)
+
+    recover_table(apath)
+    merged = spark.read.parquet(apath)
+    return _index_manifest(merged, spark.read.parquet(f"{idx_base}/centroids"))

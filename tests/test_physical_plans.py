@@ -1028,6 +1028,74 @@ def test_incremental_index_update_equals_full_rebuild(spark, sf_dir):
     assert all(-1.0 <= v[2] <= 1.0 for v in rows.values())
 
 
+def test_hn_cellpart_prunes_partitions(spark, sf_dir):
+    """ann_hard_negatives_cellpart (round-12 verdict item 2): the
+    inverted file written partitionBy("cid") and mined with the
+    probed cid set pushed as a PARTITION filter. Two claims: (1) the
+    layout never changes results — full output row-identical to the
+    flat persisted form (and hence to the pinned amortized form its
+    test pins); (2) the pruning is REAL — a batch's scoring leg
+    built from the loaded artifacts shows PartitionFilters [cid IN
+    (...)] on the FileScan (the cellpart analog of the loaded-index
+    FileScan witness in test_hn_persisted_equals_pinned; the final
+    DAG hides the scan behind the _mine_pos_neg checkpoint), and the
+    partition column is dir-encoded, not in ReadSchema."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from innercircle_etl_spark.plans.similarity_queries import (
+        _HN_ANCHORS,
+        _hn_anchor_batch,
+        _hn_frames,
+        _ivf_probes,
+    )
+
+    df = QUERIES["ann_hard_negatives_cellpart"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    rows = df.collect()
+    flat = QUERIES["ann_hard_negatives_persisted"](spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, flat))
+    # the artifact is hive-partitioned by cell on disk
+    scratch = os.environ.get("SPARK_GRAFT_SCRATCH", "/root/repo/.scratch")
+    base = f"{scratch}/hn_ivf_cellpart_{os.path.basename(sf_dir.rstrip('/'))}"
+    cells = [
+        d for d in os.listdir(f"{base}/assign") if d.startswith("cid=")
+    ]
+    assert len(cells) > 1, cells
+    # what a later session does: load, probe, push the cid set
+    assign = spark.read.parquet(f"{base}/assign")
+    cent = spark.read.parquet(f"{base}/centroids")
+    e, _ = _hn_frames(spark, sf_dir)
+    # a 4-anchor probe batch for the witness: at fixture scale a full
+    # _HN_ANCHORS x nprobe batch can touch every one of the 32 cells
+    # (pruning fraction is batch*nprobe/k — real k is thousands); the
+    # witness only needs a cid set strictly smaller than the cell
+    # count so the PartitionFilters assert proves selective pruning
+    assert _HN_ANCHORS >= 4
+    probes = _ivf_probes(
+        _hn_anchor_batch(e, 0, 4),
+        cent,
+        "anchor_id",
+        ("anchor_label", "va"),
+    )
+    cids = sorted(r.pcid for r in probes.select("pcid").distinct().collect())
+    assert 0 < len(cids) < len(cells)  # probes really prune
+    leg = assign.filter(F.col("cid").isin(cids))
+    leg_plan = leg._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", leg_plan)
+    assert m and "cid" in m.group(1) and "IN" in m.group(1), leg_plan
+    rs = re.search(r"ReadSchema: (\S+)", leg_plan)
+    assert rs and "cid" not in rs.group(1), leg_plan
+    # the pruned read returns exactly the probed cells' rows (each
+    # cell dir read directly, bypassing the partition filter)
+    per_cell = sum(
+        spark.read.parquet(f"{base}/assign/cid={c}").count() for c in cids
+    )
+    assert leg.count() == per_cell > 0
+
+
 def test_ivf_assign_spreads_before_expansion(spark, sf_dir):
     """_ivf_assign must repartition the corpus across cores BEFORE
     the |codebook|x cosine expansion (its largest map stage): a

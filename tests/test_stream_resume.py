@@ -60,3 +60,52 @@ def test_three_wave_resume_no_reprocessing(spark):
     # wave 3: nothing new arrived -> nothing reprocessed
     drain()
     assert len(sink_rows()) == 150
+
+
+def test_ann_index_stream_update_replay_is_noop(spark, sf_dir):
+    """ann_index_stream_update: the merge must be IDEMPOTENT (insert-
+    if-absent on vec_id), because a crashed drain replays its files —
+    re-applying an already-applied wave through the same merge logic
+    must leave the index file row-identical; and an extra drain with
+    no new arrivals must leave the manifest unchanged (checkpoint
+    exactly-once, i4's property on the index lifecycle)."""
+    from pyspark.sql import functions as F
+
+    from innercircle_etl_spark.operators.atomic_swap import write_replace
+    from innercircle_etl_spark.plans import QUERIES
+    from innercircle_etl_spark.plans.similarity_queries import (
+        _hn_frames,
+        _hn_ivf_assign,
+        _index_manifest,
+    )
+    from innercircle_etl_spark.plans.streaming_queries import SCRATCH
+
+    manifest = {
+        r.cid: (r.n_vectors, r.min_vec_id, r.avg_cos)
+        for r in QUERIES["ann_index_stream_update"](spark, sf_dir).collect()
+    }
+    base = f"{SCRATCH}/stream_annidx_{os.path.basename(sf_dir)}"
+    apath = f"{base}/idx/assign"
+    cent = spark.read.parquet(f"{base}/idx/centroids")
+    before = spark.read.parquet(apath).count()
+
+    # replay: re-merge wave 0 (already applied) with the query's own
+    # insert-if-absent discipline -> row count unchanged
+    e, _ = _hn_frames(spark, sf_dir)
+    wave0 = e.filter(F.col("vec_id") % 20 == 7)
+    live = spark.read.parquet(apath)
+    fresh = _hn_ivf_assign(wave0, cent).join(
+        live.select("vec_id"), "vec_id", "left_anti"
+    )
+    write_replace(
+        live.unionByName(fresh.select(*live.columns)), apath, "replay"
+    )
+    after = spark.read.parquet(apath)
+    assert after.count() == before
+    re_manifest = {
+        r.cid: (r.n_vectors, r.min_vec_id, r.avg_cos)
+        for r in _index_manifest(after, cent).collect()
+    }
+    assert re_manifest == manifest
+    # every corpus row present exactly once
+    assert after.select("vec_id").distinct().count() == before == e.count()
