@@ -55,6 +55,20 @@ DEMOTED_AT_SF10 = {
 }
 
 
+# Per-query watchdog-budget overrides (round-12 verdict stretch 7):
+# a query here is ADJUDICATED healthy at a wall the default budget
+# sits just under, so routine sweeps apply the recorded budget
+# instead of re-timing-out and forcing a fresh adjudication every
+# round. ep4_circles: sf1 single-shot completes in ~93 s vs the
+# 120 s default — sub-linear (6x wall for 10x data), and exactly its
+# plan shape (two date-sliced ROI-cascade SCD generations ≈ 2x the
+# ep3 single-generation control's 40.3 s + glue; NOTES.md round-12
+# sf1 sweep note). The override leaves headroom for same-session
+# GC/heap churn after heavy predecessors (the 5-10x overstatement
+# class documented in the verify skill).
+BUDGET_OVERRIDES: dict[str, float] = {"ep4_circles": 240.0}
+
+
 # The ONE sf parser, shared with bench.py so the demotion decision
 # and the bench artifact's sf label can never disagree (round-13
 # advice items 1-2; rules and rationale in the helper's module doc —
@@ -122,9 +136,16 @@ def main() -> None:
         group = f"spot_{name}"
         sc.setJobGroup(group, name, interruptOnCancel=True)
         timed_out = threading.Event()
+        q_budget = max(budget, BUDGET_OVERRIDES.get(name, 0.0))
+        if q_budget > budget:
+            print(
+                f"# {name}: budget override {q_budget}s (adjudicated"
+                f" healthy at this wall — see BUDGET_OVERRIDES)",
+                file=sys.stderr,
+            )
 
         def watchdog() -> None:
-            if not done.wait(budget):
+            if not done.wait(q_budget):
                 timed_out.set()
                 sc.cancelJobGroup(group)
 
@@ -153,7 +174,15 @@ def main() -> None:
     for name, reason in demoted.items():
         out[name] = {"demoted": reason}
         print(f"# {name}: demoted (see SCALE.md)", file=sys.stderr)
-    print(json.dumps({"sf_dir": sf_dir, "budget_s": budget, "results": out}))
+    applied = {
+        n: b
+        for n, b in BUDGET_OVERRIDES.items()
+        if n in out and b > budget
+    }
+    payload = {"sf_dir": sf_dir, "budget_s": budget, "results": out}
+    if applied:
+        payload["budget_overrides"] = applied
+    print(json.dumps(payload))
     spark.stop()
 
 
