@@ -1096,6 +1096,108 @@ def test_hn_cellpart_prunes_partitions(spark, sf_dir):
     assert leg.count() == per_cell > 0
 
 
+def test_cellpart_update_touches_only_batch_cells(spark, sf_dir):
+    """ann_index_cellpart_update: partition-grain maintenance must
+    be O(touched cells) PHYSICALLY — after the merge, every cell dir
+    the batch did not land in holds byte-identical files (same
+    names, inodes, mtimes, sizes: never rewritten, never renamed),
+    the touched set is a strict subset of the cells, the live
+    touched-cell read is partition-pruned, and the merged table's
+    manifest equals an in-session full rebuild's."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from innercircle_etl_spark.operators.atomic_swap import (
+        overwrite_partitions_atomic,
+    )
+    from innercircle_etl_spark.plans.similarity_queries import (
+        _CELLINC_MOD,
+        _CELLINC_REM,
+        _hn_centroids,
+        _hn_frames,
+        _hn_ivf_assign,
+        _index_manifest,
+        _persisted_index,
+    )
+
+    base = "/root/repo/.scratch/test_cellinc_witness"
+    e, _ = _hn_frames(spark, sf_dir)
+    cent_built = _hn_centroids(e)
+    is_batch = F.col("vec_id") % _CELLINC_MOD == _CELLINC_REM
+    idx = _persisted_index(
+        spark,
+        base,
+        {
+            "assign": _hn_ivf_assign(e.filter(~is_batch), cent_built),
+            "centroids": cent_built,
+        },
+        partition_by={"assign": "cid"},
+    )
+    apath = f"{base}/assign"
+
+    def snapshot(cell: str):
+        d = os.path.join(apath, cell)
+        return sorted(
+            (f, os.stat(os.path.join(d, f)).st_ino,
+             os.stat(os.path.join(d, f)).st_mtime_ns,
+             os.stat(os.path.join(d, f)).st_size)
+            for f in os.listdir(d)
+        )
+
+    cells = sorted(
+        d for d in os.listdir(apath) if d.startswith("cid=")
+    )
+    before = {c: snapshot(c) for c in cells}
+
+    batch_assign = (
+        _hn_ivf_assign(e.filter(is_batch), idx["centroids"])
+        .select(
+            "vec_id", "label", "v", F.col("cid").cast("long").alias("cid")
+        )
+        .localCheckpoint(eager=True)
+    )
+    touched = sorted(
+        r.cid for r in batch_assign.select("cid").distinct().collect()
+    )
+    assert 0 < len(touched) < len(cells), (touched, len(cells))
+    live_touched = idx["assign"].filter(F.col("cid").isin(touched)).select(
+        "vec_id", "label", "v", F.col("cid").cast("long").alias("cid")
+    )
+    # the maintenance read is pruned like the serving read
+    lp = live_touched._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", lp)
+    assert m and "cid" in m.group(1), lp
+    overwrite_partitions_atomic(
+        live_touched.unionByName(batch_assign), apath, "cid", "witness"
+    )
+
+    touched_dirs = {f"cid={c}" for c in touched}
+    for c in cells:
+        if c in touched_dirs:
+            assert snapshot(c) != before[c], f"{c} should have changed"
+        else:
+            assert snapshot(c) == before[c], f"{c} was rewritten"
+    # no hidden staging/old residue, and the merge equals a rebuild
+    assert not [
+        d for d in os.listdir(apath) if d.startswith((".staging", ".old"))
+    ]
+    merged = spark.read.parquet(apath)
+    got = {
+        r.cid: (r.n_vectors, r.min_vec_id)
+        for r in _index_manifest(
+            merged, spark.read.parquet(f"{base}/centroids")
+        ).collect()
+    }
+    full = {
+        r.cid: (r.n_vectors, r.min_vec_id)
+        for r in _index_manifest(
+            _hn_ivf_assign(e, cent_built), cent_built
+        ).collect()
+    }
+    assert got == full
+
+
 def test_ivf_assign_spreads_before_expansion(spark, sf_dir):
     """_ivf_assign must repartition the corpus across cores BEFORE
     the |codebook|x cosine expansion (its largest map stage): a
