@@ -2685,6 +2685,69 @@ def ann_index_cellpart_update(
     return _index_manifest(merged, spark.read.parquet(f"{base}/centroids"))
 
 
+@register("ann_index_versioned_update", oracle=_INC_UPDATE_ORACLE)
+def ann_index_versioned_update(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The maintenance loop on a READER-ATOMIC versioned table
+    (operators/versioned_table — the manifest-pointer discipline):
+    write_replace's directory swap is crash-safe but leaves a window
+    where a CONCURRENT session listing the path hits FileNotFound
+    (the documented swap_into_place contract), and the persisted
+    index is exactly the multi-session artifact where that matters.
+    Here day-0's inverted file is PUBLISHED as version v_day0
+    (immutable dir + atomic os.replace pointer flip), the arriving
+    batch (the incremental form's residue class) is assigned O(batch)
+    against the codebook and the merged file published as v_day1 —
+    and because the previous version is RETAINED one publish, a
+    reader that resolved v_day0 before the flip still reads a
+    complete, immutable dir after it (snapshot isolation at depth 1;
+    pinned by test together with the full crash matrix at every
+    publish step). Output: the post-publish manifest via
+    read_current; oracle: the full single-pass rebuild, verbatim
+    from the batch form — pointer-swap merge == dir-swap merge ==
+    full rebuild, hash-exactly.
+
+    Scale: the pointer is the POSIX core of what Delta/Iceberg put
+    on object stores — flip cost is one tiny same-dir rename
+    regardless of index size, version dirs are immutable so
+    retention is pure metadata, and on S3 the same scheme is a
+    CURRENT-object PUT over immutable prefixes (atomic_swap's module
+    docstring names this; now it is implemented and oracle-checked).
+
+    Reference parity: Postgres transactional DDL's atomicity
+    (etl_utls.py:303-313) re-expressed for a filesystem/object
+    store, with explicit reader semantics the reference never needed
+    single-database."""
+    import os
+
+    from innercircle_etl_spark.operators.versioned_table import (
+        publish_version,
+        read_current,
+    )
+
+    scratch = os.environ.get("SPARK_GRAFT_SCRATCH", "/root/repo/.scratch")
+    base = (
+        f"{scratch}/hn_ivf_versioned_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)  # deterministic re-run
+    e, _ = _hn_frames(spark, sf_dir)
+    cent_built = _hn_centroids(e)
+    is_batch = F.col("vec_id") % _INC_BATCH_MOD == _INC_BATCH_REM
+    idx = _persisted_index(spark, f"{base}/aux", {"centroids": cent_built})
+    cent = idx["centroids"]
+    table = f"{base}/assign"
+    publish_version(
+        _hn_ivf_assign(e.filter(~is_batch), cent), table, "day0"
+    )
+    day0 = read_current(spark, table)
+    batch_assign = _hn_ivf_assign(e.filter(is_batch), cent)
+    publish_version(day0.unionByName(batch_assign), table, "day1")
+    return _index_manifest(read_current(spark, table), cent)
+
+
 # --------------------------- ep13: contrastive pair construction
 
 _EP13_ANCHORS = 20  # fixed anchor-doc batch (the hard-negatives lesson)

@@ -265,3 +265,96 @@ def test_run_daily_heals_crashed_prior_run(spark, tmp_path):
         (str(r["d"]), r["v"]) for r in spark.read.parquet(path).collect()
     )
     assert ("2024-01-02", 2) in vs and len(vs) == 5
+
+
+# ---------------- versioned table (reader-atomic pointer discipline)
+
+
+def test_versioned_publish_crash_at_every_step(spark, tmp_path, monkeypatch):
+    """publish_version's crash matrix: a failed stage write, a crash
+    before the pointer flip, and a crash after the flip but before
+    the sweep must each leave CURRENT pointing at a COMPLETE version
+    — readers never see a missing or half-written table, and the
+    next successful publish sweeps any residue."""
+    from innercircle_etl_spark.operators.versioned_table import (
+        current_version,
+        publish_version,
+        read_current,
+    )
+
+    table = str(tmp_path / "vt")
+    df1 = spark.range(5).selectExpr("id", "id * 2 AS v")
+    publish_version(df1, table, "day0")
+    assert read_current(spark, table).count() == 5
+
+    # (a) stage-write failure: live pointer untouched
+    class Boom(RuntimeError):
+        pass
+
+    def bad_parquet(path):
+        raise Boom("injected write failure")
+
+    df2 = spark.range(7).selectExpr("id", "id * 3 AS v")
+    w = df2.write.mode("overwrite")
+    monkeypatch.setattr(type(w), "parquet", lambda self, p: bad_parquet(p))
+    with pytest.raises(Boom):
+        publish_version(df2, table, "day1")
+    monkeypatch.undo()
+    assert current_version(table) == "v_day0"
+    assert read_current(spark, table).count() == 5
+
+    # (b) crash between stage write and pointer flip: orphan v dir,
+    # pointer still old; the re-published same tag replaces it
+    real_replace = os.replace
+
+    def no_flip(src, dst):
+        raise Boom("injected before flip")
+
+    monkeypatch.setattr(os, "replace", no_flip)
+    with pytest.raises(Boom):
+        publish_version(df2, table, "day1")
+    monkeypatch.undo()
+    assert current_version(table) == "v_day0"
+    assert read_current(spark, table).count() == 5
+    assert os.path.isdir(os.path.join(table, "v_day1"))  # orphan
+
+    # recovery: a clean publish of the same tag succeeds and flips
+    publish_version(df2, table, "day1")
+    assert current_version(table) == "v_day1"
+    assert read_current(spark, table).count() == 7
+    # day0 retained for in-flight readers; nothing else
+    vs = sorted(d for d in os.listdir(table) if d.startswith("v_"))
+    assert vs == ["v_day0", "v_day1"]
+
+    # (c) one more publish sweeps the oldest
+    publish_version(df1, table, "day2")
+    vs = sorted(d for d in os.listdir(table) if d.startswith("v_"))
+    assert vs == ["v_day1", "v_day2"]
+    assert real_replace is os.replace  # monkeypatch fully unwound
+
+
+def test_versioned_reader_survives_concurrent_publish(spark, tmp_path):
+    """The reader-atomicity claim swap_into_place cannot make: a
+    reader that resolved the pointer BEFORE a publish still reads a
+    complete, immutable dir AFTER it (previous version retained one
+    publish) — no FileNotFound window exists at any point."""
+    from innercircle_etl_spark.operators.versioned_table import (
+        current_path,
+        publish_version,
+        read_current,
+    )
+
+    table = str(tmp_path / "vt")
+    publish_version(
+        spark.range(10).selectExpr("id", "id AS v"), table, "day0"
+    )
+    # the in-flight reader: resolves the pointer and builds its plan
+    old_path = current_path(table)
+    in_flight = spark.read.parquet(old_path)
+    # writer publishes a new version mid-read
+    publish_version(
+        spark.range(20).selectExpr("id", "id AS v"), table, "day1"
+    )
+    # the old dir is still there and still complete
+    assert in_flight.count() == 10
+    assert read_current(spark, table).count() == 20
