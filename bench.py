@@ -212,6 +212,22 @@ def _cpu_probe(spark) -> float:
     return round(time.time() - t0, 3)
 
 
+def _io_probe(spark, sf_dir: str) -> float:
+    """The ONE fixed IO-probe job (full lineitem parquet scan +
+    collected sum — collect(), not count(), so Catalyst can't prune
+    the scan to metadata; round-6 self-review), timed. Same rule as
+    _cpu_probe: every io-probe site — calibration, noise
+    attribution, the ep12 adjudication tool — must run this
+    identical job or ratios against _REF_PROBE["io"] silently
+    desynchronize (it was pasted three times before this helper;
+    round-13 review)."""
+    t0 = time.time()
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").agg(
+        {"l_extendedprice": "sum"}
+    ).collect()
+    return round(time.time() - t0, 3)
+
+
 def _parse_sf(sf_dir: str) -> float | str:
     """Scale factor for the compact line, falling back to the raw
     path when no component parses (never raise: the old
@@ -278,15 +294,7 @@ def main() -> None:
         leans on that resource."""
         samples = [_cpu_probe(spark) for _ in range(3)]
         samples.sort()
-        t0 = time.time()
-        # collect() the aggregate so the scan actually reads the
-        # column: .count() on top lets Catalyst prune the sum and
-        # the probe would time a metadata-only read (caught in the
-        # round-6 self-review by inspecting the executed plan)
-        spark.read.parquet(f"{sf_dir}/lineitem.parquet").agg(
-            {"l_extendedprice": "sum"}
-        ).collect()
-        io_s = time.time() - t0
+        io_s = _io_probe(spark, sf_dir)
         _drop_caches(spark)
         return {
             "min": round(samples[0], 3),
@@ -407,11 +415,7 @@ def main() -> None:
             and time.time() - bench_t0 < 0.85 * budget_s
         ):
             cpu_s = _cpu_probe(spark)
-            t0 = time.time()
-            spark.read.parquet(f"{sf_dir}/lineitem.parquet").agg(
-                {"l_extendedprice": "sum"}
-            ).collect()
-            io_s = time.time() - t0
+            io_s = _io_probe(spark, sf_dir)
             _drop_caches(spark)
             noise_probes.append(
                 {"cpu": round(cpu_s, 3), "io": round(io_s, 3)}

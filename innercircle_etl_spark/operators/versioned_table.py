@@ -33,7 +33,20 @@ Crash matrix (every step, proven in tests/test_crash_recovery.py):
     the pointer.
   - during flip: os.replace is atomic; no intermediate state exists.
   - after flip, before sweep: extra old versions linger, readers
-    correct; swept next publish.
+    correct; swept next publish. A RETRY of the same tag after this
+    crash point finds CURRENT already at its version and returns as
+    an idempotent success — it must NOT restage (the prior attempt's
+    flip made the dir live; rewriting it would reopen the very
+    window this module removes).
+
+Concurrency contract: readers are unlimited and never coordinate;
+WRITERS are single-at-a-time per table (the daily-maintenance shape
+every registered user of this module has). The pointer gives
+reader-atomicity, not writer serialization — two concurrent
+publishers race last-writer-wins at the flip and the loser's sweep
+can reap the winner's staged dir, exactly the multi-writer problem
+the real table formats solve with optimistic CAS on the manifest.
+Serialize writers externally (one scheduler slot per table).
 
 At 100 TB this is the manifest discipline the atomic_swap module
 docstring points at for object stores: on S3/GCS the "rename" is a
@@ -91,12 +104,22 @@ def publish_version(
     immediately-previous version for in-flight readers; sweeps
     everything older, plus any orphaned version dirs a crashed
     publish left un-pointered (identified as: not current, not
-    previous — safe because a version only becomes visible at the
-    pointer flip, so an un-pointered dir has no readers)."""
+    previous — safe under the single-writer contract because a
+    version only becomes visible at the pointer flip, so an
+    un-pointered dir has no readers).
+
+    Idempotent retry: if CURRENT already names ``v_<tag>``, a prior
+    attempt crashed AFTER its flip — the publish succeeded; return
+    without touching the LIVE dir (restaging it would delete the
+    directory readers are on, the exact window this module removes).
+    Tags therefore name versions: publishing different data under a
+    live tag is a caller bug, not an update."""
     os.makedirs(table, exist_ok=True)
     prev = current_version(table)
     vname = f"v_{tag}"
     vdir = os.path.join(table, vname)
+    if vname == prev:
+        return vname  # retried publish; flip already happened
     if os.path.exists(vdir):  # orphan from a crashed publish re-using
         shutil.rmtree(vdir)  # the tag — never pointered, no readers
     try:

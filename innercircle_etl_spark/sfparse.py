@@ -14,11 +14,16 @@ Rules (tightened per the round-12 advice's second finding):
   (``sf10-v2``, ``sf10_perm``, a symlink named ``sf10``) keep their
   factor; the suffix is a human tag, never part of the number.
 * parent (one level up, only when the basename has no sf prefix):
-  the component must be EXACTLY ``sf<number>`` — nested layouts like
-  ``sf10/data`` parse, but an unrelated ancestor such as
-  ``/data/sf2020-era/fixture`` no longer hijacks the label (the old
-  prefix match at the parent level silently triggered sf10 demotion
-  there).
+  the same prefix rule, BUT the number must end at a non-alphanumeric
+  boundary AND parse to a plausible scale factor (<= _MAX_SF=1000) —
+  so nested renamed fixtures (``sf10-v2/data``, ``sf10_perm/data``)
+  keep both the rename tolerance (round-11 advice) and the demotion
+  arm, while an unrelated ancestor such as
+  ``/data/sf2020-era/fixture`` no longer hijacks the label (2020
+  fails the bound; the old unbounded prefix match silently armed
+  sf10 demotion there). The bound lives at the parent level only:
+  the basename is an explicit operator choice, the parent is an
+  inference.
 * anything else -> None; callers must state that no factor parsed
   (the sweep says demotion was NOT considered; the bench labels with
   the raw path) rather than guessing.
@@ -29,6 +34,11 @@ from __future__ import annotations
 import os
 import re
 
+_MAX_SF = 1000.0  # largest plausible fixture factor for the
+# parent-level inference; testdata tops out at sf10 today and a
+# factor-100 fixture is the documented design ceiling — 1000 leaves
+# headroom without admitting year-like numbers (2020)
+
 
 def parse_sf(sf_dir: str) -> float | None:
     parts = sf_dir.rstrip("/").split(os.sep)
@@ -38,7 +48,7 @@ def parse_sf(sf_dir: str) -> float | None:
     if m:
         return float(m.group(1))
     if len(parts) >= 2:
-        m = re.fullmatch(r"sf(\d+(?:\.\d+)?)", parts[-2])
-        if m:
+        m = re.match(r"sf(\d+(?:\.\d+)?)(?:$|[^0-9A-Za-z])", parts[-2])
+        if m and float(m.group(1)) <= _MAX_SF:
             return float(m.group(1))
     return None

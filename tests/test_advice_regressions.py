@@ -284,7 +284,13 @@ def test_sf_label_shared_between_bench_and_sweep():
     assert bench._parse_sf("/x/sf10/data") == 10.0
     assert parse_sf("/x/sf10_perm") == 10.0
     assert parse_sf("/x/sf0.1") == 0.1
+    # renamed NESTED fixtures keep rename tolerance AND demotion
+    # (round-13 review: the first fullmatch tightening lost these)
+    assert parse_sf("/x/sf10-v2/data") == 10.0
+    assert parse_sf("/x/sf10_perm/data") == 10.0
+    # year-like ancestors fail the parent-level plausibility bound
     assert parse_sf("/data/sf2020-era/fixture") is None
+    assert parse_sf("/data/sf2020/fixture") is None
     # bench labels with the raw path when nothing parses — it must
     # never raise after measurement (the round-12 lost-artifact bug)
     assert bench._parse_sf("/plain/fixture") == "/plain/fixture"

@@ -332,6 +332,25 @@ def test_versioned_publish_crash_at_every_step(spark, tmp_path, monkeypatch):
     assert vs == ["v_day1", "v_day2"]
     assert real_replace is os.replace  # monkeypatch fully unwound
 
+    # (d) idempotent retry of the LIVE tag (round-13 review finding
+    # 1): a publish that crashed after its flip gets retried with
+    # the same tag — it must return success WITHOUT restaging (the
+    # dir is live; deleting it would reopen the reader window). The
+    # live data must be byte-untouched even if the retry carries
+    # different data (tags NAME versions; a changed payload under a
+    # live tag is a caller bug, not an update).
+    live = os.path.join(table, "v_day2")
+    stat_before = sorted(
+        (f, os.stat(os.path.join(live, f)).st_mtime_ns)
+        for f in os.listdir(live)
+    )
+    assert publish_version(df2, table, "day2") == "v_day2"
+    assert read_current(spark, table).count() == 5  # still df1's data
+    assert stat_before == sorted(
+        (f, os.stat(os.path.join(live, f)).st_mtime_ns)
+        for f in os.listdir(live)
+    )
+
 
 def test_versioned_reader_survives_concurrent_publish(spark, tmp_path):
     """The reader-atomicity claim swap_into_place cannot make: a

@@ -18,7 +18,7 @@ import time
 
 sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__))))
 
-from bench import _REF_PROBE, _cpu_probe, _drop_caches  # noqa: E402
+from bench import _REF_PROBE, _cpu_probe, _drop_caches, _io_probe  # noqa: E402
 from innercircle_etl_spark.plans import QUERIES  # noqa: E402
 from innercircle_etl_spark.session import get_spark  # noqa: E402
 
@@ -31,11 +31,8 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     def io_probe() -> float:
-        t0 = time.time()
-        spark.read.parquet(f"{SF}/lineitem.parquet").agg(
-            {"l_extendedprice": "sum"}
-        ).collect()
-        return round(time.time() - t0, 3)
+        # bench's ONE io-probe job — never paste it (its docstring)
+        return _io_probe(spark, SF)
 
     QUERIES["ep12_training_mix"](spark, "/root/testdata/sf0.001").count()
     _drop_caches(spark)
