@@ -61,19 +61,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # end — the list is advisory, never a filter.
 _PRIORITY = [
     # ================= ROUND-13 WINDOW: standing freshness rotation
-    # (round-10 verdict item 1). 194 registered queries (190 at
-    # round-12 close + this round's FOUR registrations: the
+    # (round-10 verdict item 1). 195 registered queries (190 at
+    # round-12 close + this round's FIVE registrations: the
     # cid-partitioned persisted index, the checkpointed-stream
-    # index maintenance, the partition-grain cellpart update, and
-    # the reader-atomic versioned-pointer update) rotate through a 50-slot driver window;
+    # index maintenance, the partition-grain cellpart update, the
+    # reader-atomic versioned-pointer update, and per-cell
+    # compaction) rotate through a 50-slot driver window;
     # after round 12 the newest-green histogram is r9x40 / r10x50 /
     # r11x50 / r12x50 (recomputed from CORRECTNESS_r01..r12 at
     # round-13 start — matches the NOTES round-12 handoff). This
     # window: positions 1-40 = ALL 40 r9-stale rows (alphabetical
-    # block order from the r12 pool), 41-44 = this round's new
-    # registrations, 45-50 = the first 6 rows of the r10 block.
+    # block order from the r12 pool), 41-45 = this round's new
+    # registrations, 46-50 = the first 5 rows of the r10 block.
     # After this round no registry row's newest green is older than
-    # r10; the 44 remaining r10 rows lead round 14.
+    # r10; the 45 remaining r10 rows lead round 14.
     # ---- 1-40: the r9 block ----
     "ep12_training_mix",
     "ep13_contrastive_pairs",
@@ -130,7 +131,8 @@ _PRIORITY = [
     "ann_index_stream_update",
     "ann_index_cellpart_update",
     "ann_index_versioned_update",
-    # ---- 45-50: the first 6 rows of the r10 block (all 50 r10 rows
+    "ann_index_cellpart_compact",
+    # ---- 46-50: the first 5 rows of the r10 block (all 50 r10 rows
     # are equally stale; alphabetical block order, continued at the
     # head of the round-14 pool below) ----
     "a12_rollup",
@@ -138,9 +140,9 @@ _PRIORITY = [
     "a14_grouped_agg_udf",
     "a1_count_distinct",
     "a1b_approx_distinct",
-    "a3_sum_min_max_avg",
     # ---- rotation pool (advisory order; past the 50-slot window).
-    # Round-14 leads here: the 44 remaining r10 rows ----
+    # Round-14 leads here: the 45 remaining r10 rows ----
+    "a3_sum_min_max_avg",
     "a4_scalar_subquery",
     "a6_having",
     "a7_conditional_agg",

@@ -2748,6 +2748,114 @@ def ann_index_versioned_update(
     return _index_manifest(read_current(spark, table), cent)
 
 
+@register("ann_index_cellpart_compact", oracle=_INC_UPDATE_ORACLE)
+def ann_index_cellpart_compact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CELL COMPACTION — the maintenance op every incrementally-
+    appended partitioned table eventually needs: each partition-grain
+    append (ann_index_cellpart_update) rewrites its touched cells
+    with however many files the writing tasks produced, so over many
+    days a hot cell accumulates small files and its probe-time read
+    degrades from one columnar scan to many file opens (the classic
+    small-files problem; every lakehouse ships OPTIMIZE/compaction
+    for exactly this — s13_compaction is this repo's table-grain
+    form, this is the partition-grain one). The loop here: day-0
+    partitioned index built WITHOUT the arriving residue class, the
+    batch appended partition-grain (fragmenting its touched cells),
+    then cells holding more than one parquet file are rewritten
+    1-file-per-cell — ``repartition(n, "cid")`` puts each cid in one
+    task, so partitionBy emits exactly one file per cell dir — and
+    swapped back via overwrite_partitions_atomic. UNfragmented cells
+    are never listed in the rewrite frame, so their files are never
+    renamed (the cellpart-update witness discipline, pinned by
+    test). Output: the post-compaction manifest from the LOADED
+    table; oracle: the full single-pass rebuild — compaction changes
+    FILE LAYOUT, never content, and the hash match proves it.
+
+    The fragmentation census is a driver-side directory listing —
+    O(cells) filesystem metadata, the same class as the maintenance
+    planner every compactor runs (and at real scale the census reads
+    the table format's file manifest instead of listdir).
+
+    Scale: compaction cost is proportional to the FRAGMENTED cells'
+    bytes only; a daily append touching f cells costs one f-cell
+    rewrite amortized over the compaction interval, and serving
+    reads between compactions stay pruned (they just open more files
+    in hot cells — the degradation this op bounds).
+
+    Reference parity: beyond-reference (north-star extension);
+    table-grain twin: plans/sources_queries.py s13_compaction."""
+    import glob as _glob
+    import os
+
+    from innercircle_etl_spark.operators.atomic_swap import (
+        overwrite_partitions_atomic,
+    )
+
+    scratch = os.environ.get("SPARK_GRAFT_SCRATCH", "/root/repo/.scratch")
+    base = (
+        f"{scratch}/hn_ivf_cellcomp_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    e, _ = _hn_frames(spark, sf_dir)
+    cent_built = _hn_centroids(e)
+    is_batch = F.col("vec_id") % _CELLINC_MOD == _CELLINC_REM
+    # day-0 BUILD writes the compact layout: one file per cell
+    # (repartition by cid -> each cid in exactly one task ->
+    # partitionBy emits one file per cell dir). Without this the
+    # build's parallel tasks fragment every cell on day 0 and
+    # compaction has nothing meaningful to preserve; with it, only
+    # the APPENDS fragment — the shape a long-lived index has.
+    idx = _persisted_index(
+        spark,
+        base,
+        {
+            "assign": _hn_ivf_assign(e.filter(~is_batch), cent_built)
+            .repartition(_FIXED_K, "cid"),
+            "centroids": cent_built,
+        },
+        partition_by={"assign": "cid"},
+    )
+    apath = f"{base}/assign"
+    batch_assign = (
+        _hn_ivf_assign(e.filter(is_batch), idx["centroids"])
+        .select(
+            "vec_id", "label", "v", F.col("cid").cast("long").alias("cid")
+        )
+        .localCheckpoint(eager=True)
+    )
+    touched = sorted(
+        r.cid for r in batch_assign.select("cid").distinct().collect()
+    )
+    live_touched = idx["assign"].filter(F.col("cid").isin(touched)).select(
+        "vec_id", "label", "v", F.col("cid").cast("long").alias("cid")
+    )
+    overwrite_partitions_atomic(
+        live_touched.unionByName(batch_assign), apath, "cid", "append"
+    )
+    # the compaction planner: a driver-side fragmentation census
+    frag = sorted(
+        int(os.path.basename(d).split("=", 1)[1])
+        for d in _glob.glob(f"{apath}/cid=*")
+        if len(_glob.glob(f"{d}/*.parquet")) > 1
+    )
+    if frag:
+        merged = spark.read.parquet(apath)
+        compact = (
+            merged.filter(F.col("cid").isin(frag))
+            .select(
+                "vec_id",
+                "label",
+                "v",
+                F.col("cid").cast("long").alias("cid"),
+            )
+            .repartition(len(frag), "cid")
+        )
+        overwrite_partitions_atomic(compact, apath, "cid", "compact")
+    final = spark.read.parquet(apath)
+    return _index_manifest(final, spark.read.parquet(f"{base}/centroids"))
+
+
 # --------------------------- ep13: contrastive pair construction
 
 _EP13_ANCHORS = 20  # fixed anchor-doc batch (the hard-negatives lesson)

@@ -1198,6 +1198,107 @@ def test_cellpart_update_touches_only_batch_cells(spark, sf_dir):
     assert got == full
 
 
+def test_cellpart_compact_defragments_only_fragmented_cells(
+    spark, sf_dir
+):
+    """ann_index_cellpart_compact: the partition-grain append must
+    actually fragment its touched cells (multiple parquet files —
+    otherwise the compaction op witnesses nothing), the compaction
+    must rewrite EVERY fragmented cell to exactly one file while
+    leaving unfragmented cells' files byte-identical, and the
+    manifest must be unchanged by compaction (layout, never
+    content)."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from innercircle_etl_spark.operators.atomic_swap import (
+        overwrite_partitions_atomic,
+    )
+    from innercircle_etl_spark.plans.similarity_queries import (
+        _CELLINC_MOD,
+        _CELLINC_REM,
+        _hn_centroids,
+        _hn_frames,
+        _hn_ivf_assign,
+        _index_manifest,
+        _persisted_index,
+    )
+
+    from innercircle_etl_spark.plans.similarity_queries import _FIXED_K
+
+    base = "/root/repo/.scratch/test_cellcomp_witness"
+    e, _ = _hn_frames(spark, sf_dir)
+    cent_built = _hn_centroids(e)
+    is_batch = F.col("vec_id") % _CELLINC_MOD == _CELLINC_REM
+    idx = _persisted_index(
+        spark,
+        base,
+        {
+            "assign": _hn_ivf_assign(e.filter(~is_batch), cent_built)
+            .repartition(_FIXED_K, "cid"),
+            "centroids": cent_built,
+        },
+        partition_by={"assign": "cid"},
+    )
+    apath = f"{base}/assign"
+    cast_cols = [
+        "vec_id", "label", "v", F.col("cid").cast("long").alias("cid")
+    ]
+    batch_assign = (
+        _hn_ivf_assign(e.filter(is_batch), idx["centroids"])
+        .select(*cast_cols)
+        .localCheckpoint(eager=True)
+    )
+    touched = sorted(
+        r.cid for r in batch_assign.select("cid").distinct().collect()
+    )
+    live_touched = idx["assign"].filter(
+        F.col("cid").isin(touched)
+    ).select(*cast_cols)
+    overwrite_partitions_atomic(
+        live_touched.unionByName(batch_assign), apath, "cid", "append"
+    )
+
+    def files(cell_dir):
+        return sorted(glob.glob(f"{cell_dir}/*.parquet"))
+
+    cells = sorted(glob.glob(f"{apath}/cid=*"))
+    frag = [d for d in cells if len(files(d)) > 1]
+    intact = [d for d in cells if len(files(d)) == 1]
+    assert frag, "append did not fragment any cell — witness is dead"
+    assert intact, "every cell fragmented — untouched witness is dead"
+    intact_stats = {
+        d: [(f, os.stat(f).st_ino, os.stat(f).st_mtime_ns) for f in files(d)]
+        for d in intact
+    }
+    cent = spark.read.parquet(f"{base}/centroids")
+    manifest_before = sorted(
+        map(tuple, _index_manifest(spark.read.parquet(apath), cent).collect())
+    )
+
+    frag_cids = [int(os.path.basename(d).split("=", 1)[1]) for d in frag]
+    compact = (
+        spark.read.parquet(apath)
+        .filter(F.col("cid").isin(frag_cids))
+        .select(*cast_cols)
+        .repartition(len(frag_cids), "cid")
+    )
+    overwrite_partitions_atomic(compact, apath, "cid", "compact")
+
+    for d in frag:
+        assert len(files(d)) == 1, (d, files(d))
+    for d in intact:
+        assert intact_stats[d] == [
+            (f, os.stat(f).st_ino, os.stat(f).st_mtime_ns) for f in files(d)
+        ], f"{d} was rewritten by compaction"
+    manifest_after = sorted(
+        map(tuple, _index_manifest(spark.read.parquet(apath), cent).collect())
+    )
+    assert manifest_after == manifest_before
+
+
 def test_ivf_assign_spreads_before_expansion(spark, sf_dir):
     """_ivf_assign must repartition the corpus across cores BEFORE
     the |codebook|x cosine expansion (its largest map stage): a
