@@ -60,88 +60,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # not listed (or not yet registered) keep registration order at the
 # end — the list is advisory, never a filter.
 _PRIORITY = [
-    # ================= ROUND-13 WINDOW: standing freshness rotation
-    # (round-10 verdict item 1). 195 registered queries (190 at
-    # round-12 close + this round's FIVE registrations: the
-    # cid-partitioned persisted index, the checkpointed-stream
-    # index maintenance, the partition-grain cellpart update, the
-    # reader-atomic versioned-pointer update, and per-cell
-    # compaction) rotate through a 50-slot driver window;
-    # after round 12 the newest-green histogram is r9x40 / r10x50 /
-    # r11x50 / r12x50 (recomputed from CORRECTNESS_r01..r12 at
-    # round-13 start — matches the NOTES round-12 handoff). This
-    # window: positions 1-40 = ALL 40 r9-stale rows (alphabetical
-    # block order from the r12 pool), 41-45 = this round's new
-    # registrations, 46-50 = the first 5 rows of the r10 block.
-    # After this round no registry row's newest green is older than
-    # r10; the 45 remaining r10 rows lead round 14.
-    # ---- 1-40: the r9 block ----
-    "ep12_training_mix",
-    "ep13_contrastive_pairs",
-    "ep14_multimodal_pairs",
-    "f4_case_coalesce",
-    "i13_stream_cdc_apply",
-    "i1_highwatermark_increment",
-    "i3_streaming_snapshot",
-    "i3b_stateful_snapshot",
-    "i5_scd_flag_flip",
-    "i6_watermark_window",
-    "i7_stream_dedup",
-    "i8_session_window",
-    "i9_stream_static_join",
-    "p2_p3_time_range",
-    "q3_outlier_zscores",
-    "s10_watermark",
-    "s11_schema_evolution",
-    "samp_bottomk_fixed",
-    "samp_dsir_importance",
-    "samp_temperature_mix",
-    "samp_unimax",
-    "seq_funnel_states",
-    "text_lm_rarity_filter",
-    "tok_apply_vocab",
-    "tok_bpe_compression",
-    "tok_bpe_merges",
-    "tok_bpe_pair_stats",
-    "u10_incremental_agg",
-    "u11_dynamic_partition_overwrite",
-    "u12_cdc_apply",
-    "u2_merge_update",
-    "u3_partition_delete_reload",
-    "u4_truncate_rebuild",
-    "u5_conditional_flag",
-    "u6_date_gaps",
-    "u9_scd2_ranges",
-    "w12_sessionize",
-    "w2_first_per_key",
-    "w3_topn_per_group",
-    "w4_global_rank",
-    # ---- 41-42: NEW this round (first driver proof): the
-    # CELL-PARTITIONED persisted index — the inverted file written
-    # partitionBy(cid) and mined with the probed cid set pushed as a
-    # PARTITION filter, so a batch reads O(probed cells) of the
-    # index instead of all of it (round-12 verdict item 2) — and the
-    # CHECKPOINTED-STREAM index maintenance (foreachBatch O(batch)
-    # assign + idempotent insert-if-absent merge, proven equal to a
-    # full rebuild; round-12 stretch item 8) — and the
-    # PARTITION-GRAIN maintenance on the cellpart layout (merge
-    # touches only the cells the batch lands in; untouched cell
-    # files pinned byte-identical by test) ----
-    "ann_hard_negatives_cellpart",
-    "ann_index_stream_update",
-    "ann_index_cellpart_update",
-    "ann_index_versioned_update",
-    "ann_index_cellpart_compact",
-    # ---- 46-50: the first 5 rows of the r10 block (all 50 r10 rows
-    # are equally stale; alphabetical block order, continued at the
-    # head of the round-14 pool below) ----
-    "a12_rollup",
-    "a13_grouped_pandas_stats",
-    "a14_grouped_agg_udf",
-    "a1_count_distinct",
-    "a1b_approx_distinct",
-    # ---- rotation pool (advisory order; past the 50-slot window).
-    # Round-14 leads here: the 45 remaining r10 rows ----
+    # ================= ROUND-14 WINDOW: standing freshness rotation
+    # (round-10 verdict item 1). 196 registered queries (195 at
+    # round-13 close + this round's ONE registration: the
+    # partition-grain index DELETE) rotate through a 50-slot
+    # driver window; after round 13 the newest-green histogram is
+    # r10x45 / r11x50 / r12x50 / r13x50 (recomputed from
+    # CORRECTNESS_r01..r13 at round-14 start — matches the r13
+    # verdict). This window: positions 1-45 = ALL 45 r10-stale
+    # rows (alphabetical block order from the r13 pool), 46 =
+    # this round's new registration, 47-50 = the first 4 rows of
+    # the r11 block. After this round no registry row's newest
+    # green is older than r11; the 46 remaining r11 rows lead
+    # round 15.
+    # ---- 1-45: the r10 block ----
     "a3_sum_min_max_avg",
     "a4_scalar_subquery",
     "a6_having",
@@ -187,6 +119,120 @@ _PRIORITY = [
     "w7_rolling_7day",
     "w8_day_over_day",
     "w9_ntile_deciles",
+    # ---- 46: NEW this round (first driver proof): the
+    # partition-grain index DELETE — kill-list tombstones at cell
+    # grain (id kills rewrite only their cells via pruned read +
+    # anti-join; a whole-cell purge drops the dir in O(1) without
+    # reading it; untouched cells byte-identical by test; oracle =
+    # full rebuild from the survivors) — the one lifecycle verb
+    # round 13 was missing (r13 verdict item 2) ----
+    "ann_index_cellpart_delete",
+    # ---- 47-50: the first 4 rows of the r11 block (all 50 r11
+    # rows are equally stale; alphabetical block order, continued
+    # at the head of the round-15 pool below) ----
+    "a11_two_phase_agg",
+    "a15_cms_heavy_hitters",
+    "a16_hll_mergeable_rollup",
+    "a17_sketch_set_intersection",
+    # ---- rotation pool (advisory order; past the 50-slot window).
+    # Round-15 leads here: the 46 remaining r11 rows ----
+    "a8_percentile_disc",
+    "a8b_approx_percentile",
+    "a9_dedup_groupby",
+    "ann_cosine_topk",
+    "ann_hard_negatives_amortized",
+    "ann_ivf_lloyd",
+    "ann_ivf_probe",
+    "ann_lsh_bucketed",
+    "ann_lsh_multiprobe",
+    "ann_pq_adc",
+    "ann_recall_at_k",
+    "ann_recall_lloyd",
+    "d12_trade_decode_pipeline",
+    "d1_decode_log_price",
+    "d2_decode_calldata_token",
+    "dedup_edit_distance",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_simhash",
+    "ep13_contrastive_pairs_amortized",
+    "ep3_roi_cascade",
+    "ep4_circles",
+    "ep5_shadow_trade",
+    "ep6_insight_feed",
+    "i10_stream_stream_join",
+    "i11_stream_outer_join",
+    "i12_stream_session_window",
+    "j11_pairs_jaccard",
+    "j1_multiway_join",
+    "j3_range_in_on",
+    "j7_asof_join",
+    "j7b_asof_backward",
+    "j9_join_to_latest",
+    "mm_av_frame_sample",
+    "mm_dedup_phash",
+    "mm_image_features",
+    "mm_image_resize",
+    "o1_global_topk",
+    "q1_quality_report",
+    "text_repetition_quality",
+    "u1_insert_if_absent",
+    "u7_merge_into",
+    "w1_latest_per_key",
+    "w4b_global_rank_scalable",
+    "x11_salted_skew_join",
+    "x_bucketed_colocated_join",
+    # ---- then the r12 block ----
+    "ann_hard_negatives",
+    "ann_hard_negatives_persisted",
+    "ann_index_incremental_update",
+    "ann_ivf_fixed_k",
+    "decon_semantic_embeddings",
+    "dedup_bloom_incremental",
+    "dedup_cluster_canonical",
+    "dedup_embedding_multiprobe",
+    "dedup_minhash_lsh",
+    "dedup_minhash_recall",
+    "dedup_ngram_jaccard",
+    "dedup_semantic_clusters",
+    "dedup_semantic_fixed_k",
+    "dedup_shingle_containment",
+    "dedup_substring_spans",
+    "ep10_rag_retrieval",
+    "ep10_rag_retrieval_ann",
+    "ep11_ingest_dedup",
+    "ep13_contrastive_pairs_persisted",
+    "ep7_posts",
+    "ep8_corpus_pipeline",
+    "ep9_vector_index_pipeline",
+    "f1_string_funcs",
+    "f2_datetime_funcs",
+    "f3_math_decay",
+    "f5_array_access",
+    "f6_json_extract",
+    "i4_file_stream_exactly_once",
+    "j12_interval_bucket_join",
+    "j2_left_enrich",
+    "j4_left_anti",
+    "j5_left_semi",
+    "j6_double_anti",
+    "p1_project_arithmetic",
+    "p4_p5_inlist_like",
+    "p6_p7_membership",
+    "p8_p9_p10_null_blacklist",
+    "s2_s3_csv_roundtrip",
+    "s6_json_source",
+    "s8_rest_source",
+    "s9_rest_sink",
+    "t1_union_all_legs",
+    "t2_except",
+    "t3_intersect",
+    "text_bm25_search",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_quality_score",
+    "text_token_stats",
+    "x12_salted_agg",
 ]
 
 

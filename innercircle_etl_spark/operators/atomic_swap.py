@@ -109,9 +109,16 @@ def write_replace(
 
 def recover_partitions(table_path: str) -> None:
     """Partition-grain recovery: restore any ``.old_<part>`` dir whose
-    live partition is missing, then sweep staging dirs. Idempotent;
-    call before reading a table written via
-    ``overwrite_partitions_atomic`` if a crash is suspected."""
+    live partition is missing, then sweep staging dirs and any
+    ``.drop_<part>`` residue an interrupted ``drop_partitions_atomic``
+    left behind. The two hidden prefixes have OPPOSITE recovery
+    semantics on purpose: a stranded ``.old_`` means an overwrite
+    died mid-swap and the partition must come BACK; a stranded
+    ``.drop_`` means a drop's rename already landed — the partition
+    is deleted the instant it leaves the listable namespace — so the
+    residue is always swept, never restored. Idempotent; call before
+    reading a table written via ``overwrite_partitions_atomic`` /
+    ``drop_partitions_atomic`` if a crash is suspected."""
     if not os.path.isdir(table_path):
         return
     for entry in os.listdir(table_path):
@@ -123,6 +130,8 @@ def recover_partitions(table_path: str) -> None:
             else:
                 os.rename(old, live)
     for stale in glob.glob(f"{table_path}/.staging_*"):
+        shutil.rmtree(stale, ignore_errors=True)
+    for stale in glob.glob(f"{table_path}/.drop_*"):
         shutil.rmtree(stale, ignore_errors=True)
 
 
@@ -139,7 +148,12 @@ def overwrite_partitions_atomic(
     matched partitions before its renames land).
 
     One Spark job writes all partitions in parallel; the swap loop is
-    driver-side O(#partitions-touched) metadata renames."""
+    driver-side O(#partitions-touched) metadata renames.
+
+    A partition whose rows should ALL disappear cannot be expressed
+    here (dynamic overwrite only touches partitions present in the
+    new frame — same as the native committer); pair with
+    ``drop_partitions_atomic`` for emptied partitions."""
     recover_partitions(table_path)
     stage = os.path.join(table_path, f".staging_{tag}")
     try:
@@ -158,3 +172,33 @@ def overwrite_partitions_atomic(
         os.rename(os.path.join(stage, entry), live)
         shutil.rmtree(old, ignore_errors=True)
     shutil.rmtree(stage, ignore_errors=True)
+
+
+def drop_partitions_atomic(
+    table_path: str, part_col: str, values: list[object]
+) -> None:
+    """Crash-safe partition DROP — the delete verb of the
+    partition-grain CRUD set (overwrite = create/update, this =
+    delete): rename each live ``<part_col>=<value>`` dir to a hidden
+    ``.drop_`` dir (one atomic rename — a reader listing the table
+    sees the partition either fully present or fully gone, never a
+    half-deleted cell), then remove the renamed dir. Crash before a
+    value's rename: that partition intact, the drop retryable; crash
+    after: the partition is already deleted (it left the namespace at
+    the rename) and ``recover_partitions`` sweeps the ``.drop_``
+    residue. A value with no live dir is skipped — idempotent retry.
+
+    The dropped partition's files are never read or listed: dropping
+    a cell costs O(1) driver-side metadata regardless of its size —
+    the property that makes kill-list deletes O(touched cells), not
+    O(index)."""
+    recover_partitions(table_path)
+    for value in values:
+        entry = f"{part_col}={value}"
+        live = os.path.join(table_path, entry)
+        if not os.path.exists(live):
+            continue
+        dropped = os.path.join(table_path, f".drop_{entry}")
+        shutil.rmtree(dropped, ignore_errors=True)
+        os.rename(live, dropped)
+        shutil.rmtree(dropped, ignore_errors=True)

@@ -291,6 +291,13 @@ def test_sf_label_shared_between_bench_and_sweep():
     # year-like ancestors fail the parent-level plausibility bound
     assert parse_sf("/data/sf2020-era/fixture") is None
     assert parse_sf("/data/sf2020/fixture") is None
+    # ... and year-like BASENAMES fail the same bound (round-14,
+    # r13 advice item 2: sf2024_snapshot parsed 2024.0 through the
+    # unbounded basename arm and silently armed sf10 demotion); an
+    # implausible basename must not fall through to the parent arm
+    assert parse_sf("/data/sf2024_snapshot") is None
+    assert parse_sf("/x/sf10/sf2024_snapshot") is None
+    assert parse_sf("/x/sf1000/data") == 1000.0  # bound inclusive
     # bench labels with the raw path when nothing parses — it must
     # never raise after measurement (the round-12 lost-artifact bug)
     assert bench._parse_sf("/plain/fixture") == "/plain/fixture"

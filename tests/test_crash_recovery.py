@@ -377,3 +377,182 @@ def test_versioned_reader_survives_concurrent_publish(spark, tmp_path):
     # the old dir is still there and still complete
     assert in_flight.count() == 10
     assert read_current(spark, table).count() == 20
+
+
+def test_versioned_retained_tag_publish_refused(spark, tmp_path):
+    """Round-13 advice item 1: republishing a RETAINED version's tag
+    (day0 while CURRENT=v_day1) must raise, not restage — the
+    retained dir WAS pointered and a depth-1 in-flight reader may
+    still be on it. The refusal must leave the table byte-untouched
+    and the in-flight reader alive."""
+    import pytest
+
+    from innercircle_etl_spark.operators.versioned_table import (
+        current_version,
+        publish_version,
+        read_current,
+        retained_versions,
+        versions,
+    )
+
+    table = str(tmp_path / "vt")
+    publish_version(spark.range(5).selectExpr("id", "id AS v"), table, "day0")
+    publish_version(
+        spark.range(9).selectExpr("id", "id AS v"), table, "day1"
+    )
+    assert versions(table) == ["v_day1", "v_day0"]
+    assert retained_versions(table) == ["v_day0"]
+    in_flight = spark.read.parquet(os.path.join(table, "v_day0"))
+    live = os.path.join(table, "v_day0")
+    stat_before = sorted(
+        (f, os.stat(os.path.join(live, f)).st_mtime_ns)
+        for f in os.listdir(live)
+    )
+    with pytest.raises(ValueError, match="retained"):
+        publish_version(
+            spark.range(3).selectExpr("id", "id AS v"), table, "day0"
+        )
+    assert current_version(table) == "v_day1"
+    assert stat_before == sorted(
+        (f, os.stat(os.path.join(live, f)).st_mtime_ns)
+        for f in os.listdir(live)
+    )
+    assert in_flight.count() == 5
+    assert read_current(spark, table).count() == 9
+    # the refusal released the lock: a fresh-tag publish succeeds
+    publish_version(spark.range(2).selectExpr("id", "id AS v"), table, "day2")
+    assert current_version(table) == "v_day2"
+
+
+def test_versioned_publish_lock_two_racers_one_winner(spark, tmp_path):
+    """The multi-writer CAS (round-13 verdict stretch item 5): a
+    LIVE foreign lock holder makes the second publisher fail fast
+    with PublishContention — the winner's staged dirs and the live
+    table are never reaped by the loser. A DEAD holder's lock (the
+    holder crashed mid-publish) is stolen, and so is our OWN pid's
+    (a crashed earlier attempt in this process)."""
+    import subprocess
+
+    import pytest
+
+    from innercircle_etl_spark.operators.versioned_table import (
+        PublishContention,
+        current_version,
+        publish_version,
+        read_current,
+    )
+
+    table = str(tmp_path / "vt")
+    df = spark.range(5).selectExpr("id", "id AS v")
+    publish_version(df, table, "day0")
+    lock = os.path.join(table, ".publish.lock")
+
+    # racer A holds the lock (pid 1: alive, foreign) with a staged
+    # dir in flight; racer B must lose WITHOUT touching A's stage
+    os.makedirs(os.path.join(table, "v_inflight"))
+    with open(lock, "w") as f:
+        f.write("1\n")
+    with pytest.raises(PublishContention):
+        publish_version(df, table, "day1")
+    assert current_version(table) == "v_day0"
+    assert os.path.isdir(os.path.join(table, "v_inflight"))  # not reaped
+    assert read_current(spark, table).count() == 5
+    os.remove(lock)
+    import shutil as _sh
+
+    _sh.rmtree(os.path.join(table, "v_inflight"))
+
+    # dead holder: a real pid that has exited — stolen, publish wins
+    p = subprocess.Popen(["true"])
+    p.wait()
+    with open(lock, "w") as f:
+        f.write(f"{p.pid}\n")
+    publish_version(spark.range(7).selectExpr("id", "id AS v"), table, "day1")
+    assert current_version(table) == "v_day1"
+    assert not os.path.exists(lock)
+
+    # own-pid holder (this process crashed mid-publish earlier):
+    # stolen — a retry in the same single-writer process must not
+    # deadlock on its own corpse
+    with open(lock, "w") as f:
+        f.write(f"{os.getpid()}\n")
+    publish_version(spark.range(9).selectExpr("id", "id AS v"), table, "day2")
+    assert current_version(table) == "v_day2"
+    assert not os.path.exists(lock)
+
+
+def test_versioned_retention_depth_and_read_version(spark, tmp_path):
+    """The retention knob + time travel (round-13 verdict stretch
+    item 6): retain=2 keeps two previous versions readable by tag;
+    anything older is swept; read_version refuses un-pointered dirs
+    (a crashed-publish orphan may be half-written)."""
+    import pytest
+
+    from innercircle_etl_spark.operators.versioned_table import (
+        publish_version,
+        read_version,
+        versions,
+    )
+
+    table = str(tmp_path / "vt")
+    for day, n in (("day0", 3), ("day1", 5), ("day2", 7), ("day3", 9)):
+        publish_version(
+            spark.range(n).selectExpr("id", "id AS v"),
+            table,
+            day,
+            retain=2,
+        )
+    assert versions(table) == ["v_day3", "v_day2", "v_day1"]
+    ondisk = sorted(d for d in os.listdir(table) if d.startswith("v_"))
+    assert ondisk == ["v_day1", "v_day2", "v_day3"]
+    assert read_version(spark, table, "day3").count() == 9
+    assert read_version(spark, table, "day2").count() == 7
+    assert read_version(spark, table, "day1").count() == 5
+    with pytest.raises(FileNotFoundError, match="no readable version"):
+        read_version(spark, table, "day0")  # swept by retention
+    # an orphan dir on disk is NOT readable — never pointered, so
+    # possibly half-written
+    os.makedirs(os.path.join(table, "v_orphan"))
+    with pytest.raises(FileNotFoundError, match="no readable version"):
+        read_version(spark, table, "orphan")
+
+
+def test_drop_partitions_crash_matrix(spark, tmp_path):
+    """drop_partitions_atomic: the delete verb's crash points. A
+    crash AFTER the rename means the partition is already deleted —
+    recover_partitions must SWEEP the .drop_ residue, never restore
+    it (the opposite of .old_ semantics); a retry of the drop is a
+    no-op; values with no live dir are skipped."""
+    from innercircle_etl_spark.operators.atomic_swap import (
+        drop_partitions_atomic,
+        recover_partitions,
+    )
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(k, i) for k in (1, 2, 3) for i in range(4)], "k INT, v INT"
+    ).write.partitionBy("k").parquet(path)
+
+    # clean drop of k=2: dir gone, no residue, other cells intact
+    drop_partitions_atomic(path, "k", [2])
+    assert not os.path.exists(os.path.join(path, "k=2"))
+    assert not [d for d in os.listdir(path) if d.startswith(".drop_")]
+    assert sorted(
+        r.k for r in spark.read.parquet(path).select("k").distinct().collect()
+    ) == [1, 3]
+
+    # simulated crash after the rename, before the rmtree: the
+    # partition already left the namespace; recovery sweeps
+    os.rename(os.path.join(path, "k=3"), os.path.join(path, ".drop_k=3"))
+    assert sorted(
+        r.k for r in spark.read.parquet(path).select("k").distinct().collect()
+    ) == [1]  # reader never sees the half-dropped cell
+    recover_partitions(path)
+    assert not os.path.exists(os.path.join(path, ".drop_k=3"))
+    assert not os.path.exists(os.path.join(path, "k=3"))  # NOT restored
+
+    # idempotent retry + missing values
+    drop_partitions_atomic(path, "k", [2, 3, 99])
+    assert sorted(
+        r.k for r in spark.read.parquet(path).select("k").distinct().collect()
+    ) == [1]

@@ -1636,3 +1636,131 @@ def test_referential_audit_broadcasts_dims(spark, sf_dir):
     assert len(rows) == 5
     assert all(r.n_orphans == 0 for r in rows), rows
     assert all(r.n_child > 0 for r in rows), rows
+
+
+def test_cellpart_delete_touches_only_kill_cells(spark, sf_dir):
+    """ann_index_cellpart_delete: the delete verb must be O(touched
+    cells) PHYSICALLY — cells holding no kill are byte-identical
+    after the delete (names, inodes, mtimes, sizes), the purged
+    cell's dir is GONE (dropped without ever being read), the
+    survivor read is partition-pruned, no hidden residue remains,
+    and the final manifest equals an in-session rebuild from the
+    survivors."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from innercircle_etl_spark.operators.atomic_swap import (
+        drop_partitions_atomic,
+        overwrite_partitions_atomic,
+    )
+    from innercircle_etl_spark.plans.similarity_queries import (
+        _DEL_CELL,
+        _DEL_MOD,
+        _DEL_REM,
+        _hn_centroids,
+        _hn_frames,
+        _hn_ivf_assign,
+        _index_manifest,
+        _persisted_index,
+    )
+
+    base = "/root/repo/.scratch/test_celldel_witness"
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)
+    e, _ = _hn_frames(spark, sf_dir)
+    cent_built = _hn_centroids(e)
+    idx = _persisted_index(
+        spark,
+        base,
+        {
+            "assign": _hn_ivf_assign(e, cent_built),
+            "centroids": cent_built,
+        },
+        partition_by={"assign": "cid"},
+    )
+    apath = f"{base}/assign"
+
+    def snapshot(cell: str):
+        d = os.path.join(apath, cell)
+        return sorted(
+            (f, os.stat(os.path.join(d, f)).st_ino,
+             os.stat(os.path.join(d, f)).st_mtime_ns,
+             os.stat(os.path.join(d, f)).st_size)
+            for f in os.listdir(d)
+        )
+
+    cells = sorted(d for d in os.listdir(apath) if d.startswith("cid="))
+    before = {c: snapshot(c) for c in cells}
+    rows_before = spark.read.parquet(apath).count()
+
+    kill_assign = (
+        _hn_ivf_assign(
+            e.filter(F.col("vec_id") % _DEL_MOD == _DEL_REM),
+            idx["centroids"],
+        )
+        .select("vec_id", F.col("cid").cast("long").alias("cid"))
+        .localCheckpoint(eager=True)
+    )
+    n_killed_ids = kill_assign.count()
+    id_cells = sorted(
+        r.cid for r in kill_assign.select("cid").distinct().collect()
+    )
+    rewrite_cells = [c for c in id_cells if c != _DEL_CELL]
+    assert 0 < len(rewrite_cells) < len(cells) - 1
+    survivors = (
+        idx["assign"]
+        .filter(F.col("cid").isin(rewrite_cells))
+        .select(
+            "vec_id", "label", "v", F.col("cid").cast("long").alias("cid")
+        )
+        .join(
+            F.broadcast(kill_assign.select("vec_id")), "vec_id", "left_anti"
+        )
+    )
+    # the survivor read is pruned like the serving read
+    sp = survivors._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", sp)
+    assert m and "cid" in m.group(1), sp
+    survivors = survivors.localCheckpoint(eager=True)
+    kept_cells = {
+        r.cid for r in survivors.select("cid").distinct().collect()
+    }
+    assert kept_cells  # fixture cells never empty from the id kill
+    overwrite_partitions_atomic(survivors, apath, "cid", "witness_del")
+    emptied = [c for c in rewrite_cells if c not in kept_cells]
+    drop_partitions_atomic(apath, "cid", [*emptied, _DEL_CELL])
+
+    # purged cell: GONE, without its rows ever being read
+    assert not os.path.exists(os.path.join(apath, f"cid={_DEL_CELL}"))
+    touched_dirs = {f"cid={c}" for c in rewrite_cells}
+    for c in cells:
+        if c == f"cid={_DEL_CELL}":
+            continue
+        if c in touched_dirs:
+            assert snapshot(c) != before[c], f"{c} should have changed"
+        else:
+            assert snapshot(c) == before[c], f"{c} was rewritten"
+    assert not [
+        d
+        for d in os.listdir(apath)
+        if d.startswith((".staging", ".old", ".drop"))
+    ]
+
+    final = spark.read.parquet(apath)
+    got = {
+        r.cid: (r.n_vectors, r.min_vec_id)
+        for r in _index_manifest(final, idx["centroids"]).collect()
+    }
+    is_kill = (F.col("vec_id") % _DEL_MOD == _DEL_REM)
+    rebuilt = _hn_ivf_assign(e.filter(~is_kill), cent_built).filter(
+        F.col("cid") != _DEL_CELL
+    )
+    full = {
+        r.cid: (r.n_vectors, r.min_vec_id)
+        for r in _index_manifest(rebuilt, cent_built).collect()
+    }
+    assert got == full
+    assert _DEL_CELL not in got
+    assert final.count() < rows_before - n_killed_ids + 1

@@ -52,6 +52,48 @@ DEMOTED_AT_SF10 = {
         "error) carries the sf10 trend — run exact only when "
         "graph_queries.py changed or when named explicitly"
     ),
+    # Round-14 (r13 verdict item 4): the seven rows every sf10 sweep
+    # since r9 has re-adjudicated as documented fixture boundaries
+    # now carry their policy marker mechanically. Five are the
+    # mod-97-codebook boundary (the fixture codebook GROWS with the
+    # corpus, so |corpus| x |codebook| assignment cosines are
+    # quadratic BY FIXTURE — SCALE.md round-12 sf10 section); two
+    # are the quadratic exact recall-baseline leg production drops.
+    # Each names its green in-sweep control; name any row explicitly
+    # to re-arm its exact canary.
+    "ann_ivf_probe": (
+        "mod-97 codebook boundary (k grows with n -> quadratic "
+        "assignment BY FIXTURE); control: ann_ivf_fixed_k (constant "
+        "k=32, green at sf10, plan pinned by "
+        "test_ivf_fixed_k_same_plan_shape)"
+    ),
+    "ann_ivf_lloyd": (
+        "mod-97 codebook boundary via its Lloyd seed set; control: "
+        "ann_ivf_fixed_k carries the sf10 IVF trend"
+    ),
+    "ann_recall_lloyd": (
+        "recall harness over the mod-97 codebook: the exact "
+        "full-corpus baseline leg is quadratic BY DESIGN (it is what "
+        "production drops); control: rag_ann_topk's plane-knob "
+        "production path + the fixed-k recall contracts"
+    ),
+    "dedup_semantic_clusters": (
+        "mod-97 codebook boundary (|corpus| x |codebook| cosines); "
+        "control: dedup_semantic_fixed_k (constant k, green at sf10)"
+    ),
+    "ep9_vector_index_pipeline": (
+        "mod-97 codebook boundary in the index-build stage; control: "
+        "ann_index_incremental_update + the cellpart maintenance "
+        "family carry the sf10 index-lifecycle trend at O(batch)"
+    ),
+    "ep10_rag_retrieval": (
+        "quadratic exact recall-baseline scorer (documented round 9); "
+        "control: rag_ann_topk at the production plane count"
+    ),
+    "ep10_rag_retrieval_ann": (
+        "same harness as ep10_rag_retrieval — the quadratic exact "
+        "leg it diffs against dominates; control: rag_ann_topk"
+    ),
 }
 
 
