@@ -1764,3 +1764,137 @@ def test_cellpart_delete_touches_only_kill_cells(spark, sf_dir):
     assert got == full
     assert _DEL_CELL not in got
     assert final.count() < rows_before - n_killed_ids + 1
+
+
+def test_cellpart_delete_composes_with_compaction(spark, sf_dir):
+    """DELETE then COMPACT — the maintenance sequence a long-lived
+    index actually runs (r13 verdict item 2 asked for the
+    composition): the delete's survivor rewrite may fragment its
+    touched cells; the compaction pass must rewrite exactly the
+    fragmented cells to one file each, leave every other cell's
+    files byte-identical, and leave the manifest unchanged — still
+    equal to the rebuild-from-survivors, because compaction changes
+    layout, never content."""
+    import glob as _glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from innercircle_etl_spark.operators.atomic_swap import (
+        drop_partitions_atomic,
+        overwrite_partitions_atomic,
+    )
+    from innercircle_etl_spark.plans.similarity_queries import (
+        _DEL_CELL,
+        _DEL_MOD,
+        _DEL_REM,
+        _FIXED_K,
+        _hn_centroids,
+        _hn_frames,
+        _hn_ivf_assign,
+        _index_manifest,
+        _persisted_index,
+    )
+
+    base = "/root/repo/.scratch/test_celldel_compact"
+    shutil.rmtree(base, ignore_errors=True)
+    e, _ = _hn_frames(spark, sf_dir)
+    cent_built = _hn_centroids(e)
+    cast_cols = [
+        "vec_id", "label", "v", F.col("cid").cast("long").alias("cid")
+    ]
+    # compact day-0 layout (one file per cell), like the compact query
+    idx = _persisted_index(
+        spark,
+        base,
+        {
+            "assign": _hn_ivf_assign(e, cent_built).repartition(
+                _FIXED_K, "cid"
+            ),
+            "centroids": cent_built,
+        },
+        partition_by={"assign": "cid"},
+    )
+    apath = f"{base}/assign"
+
+    # the delete (the registered query's exact flow)
+    kill_assign = (
+        _hn_ivf_assign(
+            e.filter(F.col("vec_id") % _DEL_MOD == _DEL_REM),
+            idx["centroids"],
+        )
+        .select("vec_id", F.col("cid").cast("long").alias("cid"))
+        .localCheckpoint(eager=True)
+    )
+    rewrite_cells = [
+        r.cid
+        for r in kill_assign.select("cid").distinct().collect()
+        if r.cid != _DEL_CELL
+    ]
+    survivors = (
+        idx["assign"]
+        .filter(F.col("cid").isin(rewrite_cells))
+        .select(*cast_cols)
+        .join(
+            F.broadcast(kill_assign.select("vec_id")), "vec_id", "left_anti"
+        )
+        .localCheckpoint(eager=True)
+    )
+    # write the survivor rewrite through MANY tasks (round-robin
+    # repartition) so each touched cell lands as several files — the
+    # layout a parallel production rewrite produces; at fixture
+    # scale a single task per cell would write one file and leave
+    # the compaction with nothing to witness
+    overwrite_partitions_atomic(
+        survivors.repartition(8), apath, "cid", "del"
+    )
+    drop_partitions_atomic(apath, "cid", [_DEL_CELL])
+
+    def manifest():
+        return {
+            r.cid: (r.n_vectors, r.min_vec_id, round(r.avg_cos, 9))
+            for r in _index_manifest(
+                spark.read.parquet(apath),
+                spark.read.parquet(f"{base}/centroids"),
+            ).collect()
+        }
+
+    def snapshot(cell):
+        d = os.path.join(apath, cell)
+        return sorted(
+            (f, os.stat(os.path.join(d, f)).st_ino,
+             os.stat(os.path.join(d, f)).st_mtime_ns)
+            for f in os.listdir(d)
+        )
+
+    before_manifest = manifest()
+    frag = sorted(
+        int(os.path.basename(d).split("=", 1)[1])
+        for d in _glob.glob(f"{apath}/cid=*")
+        if len(_glob.glob(f"{d}/*.parquet")) > 1
+    )
+    assert frag, "delete rewrite must fragment cells for this witness"
+    unfrag_dirs = [
+        os.path.basename(d)
+        for d in _glob.glob(f"{apath}/cid=*")
+        if int(os.path.basename(d).split("=", 1)[1]) not in frag
+    ]
+    before_files = {c: snapshot(c) for c in unfrag_dirs}
+
+    # the compaction (the compact query's exact flow)
+    compact = (
+        spark.read.parquet(apath)
+        .filter(F.col("cid").isin(frag))
+        .select(*cast_cols)
+        .repartition(len(frag), "cid")
+    )
+    overwrite_partitions_atomic(compact, apath, "cid", "compact")
+
+    for c in frag:
+        files = _glob.glob(f"{apath}/cid={c}/*.parquet")
+        assert len(files) == 1, f"cid={c} not compacted: {files}"
+    for c in unfrag_dirs:
+        assert snapshot(c) == before_files[c], f"{c} was rewritten"
+    assert manifest() == before_manifest
+    assert _DEL_CELL not in before_manifest
