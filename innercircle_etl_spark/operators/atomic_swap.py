@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import glob
 import os
+import re
 import shutil
 
 from pyspark.sql import DataFrame
@@ -174,6 +175,23 @@ def overwrite_partitions_atomic(
     shutil.rmtree(stage, ignore_errors=True)
 
 
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _hive_unescape(name: str) -> str:
+    """Invert Spark/Hive partition-path escaping: special characters
+    in partition VALUES are written as %XX dir-name escapes (space ->
+    %20, '/' -> %2F, ':' -> %3A, ...). Matching dirs by their
+    unescaped value keeps the drop verb correct for string partition
+    columns — a raw f-string path would silently miss them
+    (round-14 self-review finding 2)."""
+    return re.sub(
+        r"%([0-9A-Fa-f]{2})",
+        lambda m: chr(int(m.group(1), 16)),
+        name,
+    )
+
+
 def drop_partitions_atomic(
     table_path: str, part_col: str, values: list[object]
 ) -> None:
@@ -188,16 +206,28 @@ def drop_partitions_atomic(
     the rename) and ``recover_partitions`` sweeps the ``.drop_``
     residue. A value with no live dir is skipped — idempotent retry.
 
+    Dir names are matched by their HIVE-UNESCAPED value (Spark
+    writes ``a b`` as ``%20``-escaped ``a%20b``; a None value is the
+    ``__HIVE_DEFAULT_PARTITION__`` dir), so string partition values
+    drop correctly. Values compare as ``str(value)`` — pass them in
+    the partition column's own type/rendering (an int column's cell
+    is ``cid=7``, so 7, not 7.0).
+
     The dropped partition's files are never read or listed: dropping
-    a cell costs O(1) driver-side metadata regardless of its size —
-    the property that makes kill-list deletes O(touched cells), not
-    O(index)."""
+    a cell costs O(1) driver-side metadata (one listdir + a rename
+    per dropped cell) regardless of cell size — the property that
+    makes kill-list deletes O(touched cells), not O(index)."""
     recover_partitions(table_path)
-    for value in values:
-        entry = f"{part_col}={value}"
-        live = os.path.join(table_path, entry)
-        if not os.path.exists(live):
+    if not os.path.isdir(table_path):
+        return
+    targets = {_HIVE_NULL if v is None else str(v) for v in values}
+    prefix = f"{part_col}="
+    for entry in sorted(os.listdir(table_path)):
+        if not entry.startswith(prefix):
             continue
+        if _hive_unescape(entry[len(prefix):]) not in targets:
+            continue
+        live = os.path.join(table_path, entry)
         dropped = os.path.join(table_path, f".drop_{entry}")
         shutil.rmtree(dropped, ignore_errors=True)
         os.rename(live, dropped)

@@ -46,13 +46,17 @@ Crash matrix (every step, proven in tests/test_crash_recovery.py):
     window this module removes).
   - publisher dies holding the lock: the lock file carries the
     holder's pid; the next publisher detects the dead (or own,
-    crashed-and-retrying) pid and steals the lock via a private
-    rename, so a crash never wedges the table. A LIVE foreign
+    crashed-and-retrying) pid and steals the lock through a
+    per-incarnation token with inode+content re-verification
+    (details on ``_acquire_publish_lock``), so a crash never wedges
+    the table and two stealers can never both win. A LIVE foreign
     holder raises ``PublishContention`` instead — fail fast, never
-    race.
+    race. Known residual: pid REUSE can false-positive the liveness
+    probe and wedge the table until ``force_unlock`` — documented
+    on both functions.
 
 Concurrency contract: readers are unlimited and never coordinate.
-Writers are serialized by an O_EXCL pid-stamped lock file — the
+Writers are serialized by a link-created pid-stamped lock file — the
 compare-and-swap the round-13 verdict asked for: two concurrent
 publishers no longer race last-writer-wins; the loser gets
 ``PublishContention`` and the winner's staged dirs are never reaped.
@@ -81,6 +85,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -166,39 +171,127 @@ def _pid_alive(pid: int) -> bool:
         return True  # exists, other user
 
 
+def force_unlock(table: str) -> None:
+    """Manually clear a wedged publish lock. The ONLY false-wedge
+    case is pid reuse: a publisher crashed, the OS later recycled
+    its pid for an unrelated long-lived process, and every publish
+    now reads the lock as live-and-foreign. Call this only after
+    confirming no publisher is actually running against the table —
+    removing a LIVE publisher's lock reopens the multi-writer
+    race."""
+    try:
+        os.remove(os.path.join(table, _LOCK))
+    except FileNotFoundError:
+        pass
+
+
 def _acquire_publish_lock(table: str) -> str:
-    """O_EXCL pid-stamped lock — the POSIX compare-and-swap. A live
+    """Pid-stamped lock file — the POSIX compare-and-swap. A live
     FOREIGN holder -> PublishContention (fail fast, never race). A
     dead holder, or our OWN pid (a crashed earlier attempt in this
-    process), is stolen via a private rename: two stealers cannot
-    both win — the loser's rename raises FileNotFound and it loops
-    into the winner's fresh lock."""
+    process), is stolen.
+
+    Two races the round-14 self-review closed:
+
+    * create-then-write had a window where a second publisher read
+      an EMPTY lock (holder 0 -> falsy -> steal of a live lock).
+      The lock is now created by ``os.link`` from a pre-written
+      private file — creation and content are one atomic op.
+    * remove-and-retry stealing had a TOCTOU: two publishers could
+      both adjudicate the same dead holder, and the slower one's
+      remove could hit the faster one's FRESH lock. A steal now
+      first claims a per-INCARNATION token (``.steal.<inode>``,
+      itself link-created, so exactly one claimant per incarnation)
+      and re-verifies inode+content before removing — a fresh lock
+      by the other stealer fails both checks. A claimant that dies
+      mid-steal leaves a token a later publisher adjudicates by the
+      same dead-pid rule, so a crash never wedges the table.
+
+    Residual assumption (documented, not closed): pid liveness via
+    os.kill(pid, 0) false-positives if the OS recycles a crashed
+    publisher's pid (or for an unreaped zombie) — the table then
+    reports PublishContention until ``force_unlock``. The real fix
+    at scale is a lease/TTL or the object store's conditional PUT;
+    a local daily-maintenance deployment restarts publishers far
+    more often than Linux wraps pids."""
     lock = os.path.join(table, _LOCK)
-    while True:
-        try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    me = os.getpid()
+    tmp = f"{lock}.me.{me}"
+    # sweep dead publishers' private files (nothing else removes them)
+    import glob as _glob
+
+    for stale in _glob.glob(f"{lock}.me.*"):
+        spid = stale.rsplit(".", 1)[-1]
+        if spid.isdigit() and int(spid) != me and not _pid_alive(int(spid)):
             try:
-                os.write(fd, f"{os.getpid()}\n".encode())
-            finally:
-                os.close(fd)
-            return lock
-        except FileExistsError:
+                os.remove(stale)
+            except FileNotFoundError:
+                pass
+    with open(tmp, "w") as f:
+        f.write(f"{me}\n")
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        while True:
             try:
+                os.link(tmp, lock)  # atomic create WITH content
+                return lock
+            except FileExistsError:
+                pass
+            try:
+                st = os.stat(lock)
                 with open(lock) as f:
                     raw = f.read().strip()
             except FileNotFoundError:
-                continue  # holder released between open and read
+                continue  # released between attempts; re-try create
             holder = int(raw) if raw.isdigit() else 0
-            if holder and holder != os.getpid() and _pid_alive(holder):
+            if holder and holder != me and _pid_alive(holder):
                 raise PublishContention(
                     f"publish lock on {table} held by live pid {holder}"
-                ) from None
-            stale = f"{lock}.stale.{os.getpid()}"
+                )
+            # dead / own / corrupt holder: claim the steal of THIS
+            # incarnation (inode-keyed token, link-created)
+            token = f"{lock}.steal.{st.st_ino}"
             try:
-                os.rename(lock, stale)
-            except FileNotFoundError:
-                continue  # another stealer won; re-probe its lock
-            os.remove(stale)
+                os.link(tmp, token)
+            except FileExistsError:
+                # another claimant owns this incarnation's steal; if
+                # IT died mid-steal, clear its token, else yield
+                try:
+                    with open(token) as f:
+                        traw = f.read().strip()
+                except FileNotFoundError:
+                    continue
+                tpid = int(traw) if traw.isdigit() else 0
+                if tpid and tpid != me and _pid_alive(tpid):
+                    time.sleep(0.05)
+                    continue
+                try:
+                    os.remove(token)
+                except FileNotFoundError:
+                    pass
+                continue
+            try:
+                # verified steal: same incarnation AND same content,
+                # else it is someone's fresh lock — leave it
+                try:
+                    st2 = os.stat(lock)
+                    with open(lock) as f:
+                        raw2 = f.read().strip()
+                except FileNotFoundError:
+                    continue
+                if st2.st_ino == st.st_ino and raw2 == raw:
+                    os.remove(lock)
+            finally:
+                try:
+                    os.remove(token)
+                except FileNotFoundError:
+                    pass
+    finally:
+        try:
+            os.remove(tmp)
+        except FileNotFoundError:
+            pass
 
 
 def publish_version(

@@ -1363,12 +1363,14 @@ def ann_ivf_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RAG_PLANES = 4  # 16 sign buckets over the 16-dim chunk embeddings
 
 
-def _rag_bucket_sql(v: str) -> str:
-    """DuckDB expression: _RAG_PLANES(=4)-bit hyperplane-sign bucket
-    of a _RAG_D(=16)-dim list column — same integer weights as the
-    Spark side's V.hyperplane_weights(_RAG_PLANES, _RAG_D)."""
+def _rag_bucket_sql(v: str, n_planes: int = _RAG_PLANES) -> str:
+    """DuckDB expression: n_planes-bit hyperplane-sign bucket of a
+    _RAG_D(=16)-dim list column — same integer weights as the Spark
+    side's V.hyperplane_weights(n_planes, _RAG_D). Default is the
+    recall harness's _RAG_PLANES=4; the production registration
+    below passes its own count."""
     terms = []
-    for p, w in enumerate(V.hyperplane_weights(_RAG_PLANES, _RAG_D)):
+    for p, w in enumerate(V.hyperplane_weights(n_planes, _RAG_D)):
         wl = "[" + ", ".join(str(x) for x in w) + "]"
         proj = (
             f"list_reduce(list_transform(generate_series(1, {_RAG_D}),"
@@ -1531,6 +1533,80 @@ def ep10_rag_retrieval_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("recall"),
     )
 
+
+
+_RAG_PROD_PLANES = 12  # the corpus-size knob at its 100x setting:
+# planes ~= log2(n_chunks / target_bucket_size). Round-9 measurement
+# (tools/rag_ann_knob.py): 4 planes = 536 s, 12 planes = 54.8 s at
+# sf10 on the SAME plan — the plane count is config, not code.
+
+
+def _rag_prod_oracle() -> str:
+    from innercircle_etl_spark.plans.text_queries import CHUNK_CTES_SQL
+
+    return f"""
+WITH {CHUNK_CTES_SQL},
+{_RAG_EMB_CTE},
+b AS (
+    SELECT doc_id, chunk_idx, v,
+           CAST({_rag_bucket_sql("v", _RAG_PROD_PLANES)} AS INTEGER)
+             AS bucket
+    FROM emb),
+q AS (SELECT doc_id AS q_doc, chunk_idx AS q_chunk, v AS vq,
+             bucket AS qbucket
+      FROM b WHERE doc_id % {_RAG_Q_MOD} = 0),
+scored AS (
+    SELECT q.q_doc, q.q_chunk,
+           c.doc_id AS m_doc, c.chunk_idx AS m_chunk,
+           {_COS_SQL.format(a="q.vq", b="c.v")} AS cos
+    FROM q JOIN b c ON q.qbucket = c.bucket
+    WHERE NOT (q.q_doc = c.doc_id AND q.q_chunk = c.chunk_idx)),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY q_doc, q_chunk
+        ORDER BY cos DESC, m_doc ASC, m_chunk ASC) AS rnk
+    FROM scored)
+SELECT q_doc, CAST(q_chunk AS INTEGER) AS q_chunk,
+       m_doc, CAST(m_chunk AS INTEGER) AS m_chunk
+FROM ranked WHERE rnk <= {_RAG_K}
+"""
+
+
+@register("rag_ann_production", oracle=_rag_prod_oracle())
+def rag_ann_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RAG retrieval PRODUCTION path as its own registered,
+    oracle-backed query — at the production plane count
+    (_RAG_PROD_PLANES=12), with no exact leg anywhere in the DAG.
+    Round-14 self-review finding: the sf10 demotion of the ep10
+    recall harnesses (whose quadratic exact baseline leg is what
+    times out) silently removed ALL sf10 coverage of the production
+    bucketed-join path, because ``rag_ann_topk`` was an unregistered
+    helper only those harnesses exercised. This registration closes
+    that hole: the same helper at its scale setting, output pinned
+    hash-exactly (per query chunk the top-_RAG_K same-bucket
+    neighbors by exact cosine, ties broken by (m_doc, m_chunk) — a
+    fully deterministic list), runnable at EVERY sweep tier. At
+    small fixtures the 2^12 buckets are sparse so lists run thin —
+    this row pins plan + output correctness; the recall QUALITY
+    contract stays with the 4-plane harness rows, whose populated
+    buckets make recall non-trivial (ep10_rag_retrieval_ann at
+    sf<=1; demoted-with-marker at sf10 where its exact leg is the
+    documented fixture boundary).
+
+    Scale: one pass over the chunk corpus — bucket-keyed equi-join
+    (broadcast query side), per-bucket exact re-rank; candidate
+    cost ~n/2^planes per query, the knob a deployment turns as the
+    corpus grows. Never a cross product (no-cartesian matrix).
+
+    Reference parity: beyond-reference (north-star extension);
+    harness twin: ep10_rag_retrieval_ann."""
+    ann = rag_ann_topk(spark, sf_dir, n_planes=_RAG_PROD_PLANES)
+    return ann.select(
+        "q_doc",
+        F.col("q_chunk").cast("int").alias("q_chunk"),
+        "m_doc",
+        F.col("m_chunk").cast("int").alias("m_chunk"),
+    )
 
 
 _TOPK_SALT = 32  # phase-1 buckets per (group) in salted two-phase top-k
@@ -2945,7 +3021,6 @@ def ann_index_cellpart_delete(
     from innercircle_etl_spark.operators.atomic_swap import (
         drop_partitions_atomic,
         overwrite_partitions_atomic,
-        recover_partitions,
     )
 
     base = _scratch_base(sf_dir, "hn_ivf_celldel")
@@ -2998,7 +3073,6 @@ def ann_index_cellpart_delete(
         overwrite_partitions_atomic(survivors, apath, "cid", "celldel")
     emptied = [c for c in rewrite_cells if c not in kept_cells]
     drop_partitions_atomic(apath, "cid", [*emptied, _DEL_CELL])
-    recover_partitions(apath)
     final = spark.read.parquet(apath)
     return _index_manifest(final, cent)
 

@@ -556,3 +556,95 @@ def test_drop_partitions_crash_matrix(spark, tmp_path):
     assert sorted(
         r.k for r in spark.read.parquet(path).select("k").distinct().collect()
     ) == [1]
+
+
+def test_drop_partitions_hive_escaped_values(spark, tmp_path):
+    """Round-14 self-review finding 2: Spark hive-escapes special
+    characters in partition VALUES (space -> %20, '/' -> %2F) and
+    writes NULL as __HIVE_DEFAULT_PARTITION__; the drop verb must
+    match dirs by UNESCAPED value or string kill-lists silently
+    no-op. Also pins the idempotent skip for unknown values."""
+    from innercircle_etl_spark.operators.atomic_swap import (
+        drop_partitions_atomic,
+    )
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [("a b", 1), ("c/d", 2), ("plain", 3), (None, 4)],
+        "k STRING, v INT",
+    ).write.partitionBy("k").parquet(path)
+    dirs = sorted(d for d in os.listdir(path) if d.startswith("k="))
+    # the trap: '/' is %XX-escaped in the dir name (a raw f-string
+    # path would miss it); space happens to stay raw on this FS —
+    # the unescape matcher must handle both renderings
+    assert "k=c%2Fd" in dirs and "k=a b" in dirs, dirs
+
+    drop_partitions_atomic(path, "k", ["a b", "c/d", None, "missing"])
+    left = sorted(d for d in os.listdir(path) if d.startswith("k="))
+    assert left == ["k=plain"], left
+    assert not [d for d in os.listdir(path) if d.startswith(".drop_")]
+    rows = spark.read.parquet(path).collect()
+    assert [(r.k, r.v) for r in rows] == [("plain", 3)]
+
+
+def test_publish_lock_steal_is_verified_and_token_guarded(
+    spark, tmp_path
+):
+    """Round-14 self-review finding 1 (the steal TOCTOU): the lock
+    is link-created WITH content (no empty-read window), and a steal
+    claims a per-incarnation token before removing. Pins the
+    adjudication arms a crashed fleet leaves behind: a corrupt/empty
+    lock is stolen; a dead holder whose previous stealer ALSO died
+    (stale token) is cleaned and acquired; dead publishers' private
+    .me files are swept; force_unlock clears the pid-reuse wedge."""
+    import subprocess
+
+    import pytest
+
+    from innercircle_etl_spark.operators.versioned_table import (
+        PublishContention,
+        current_version,
+        force_unlock,
+        publish_version,
+    )
+
+    table = str(tmp_path / "vt")
+    df = spark.range(5).selectExpr("id", "id AS v")
+    publish_version(df, table, "day0")
+    lock = os.path.join(table, ".publish.lock")
+
+    # (a) corrupt/EMPTY lock content (the old create-then-write
+    # window): adjudicated dead, stolen, publish succeeds
+    with open(lock, "w") as f:
+        f.write("")
+    publish_version(df, table, "day1")
+    assert current_version(table) == "v_day1"
+    assert not os.path.exists(lock)
+
+    # (b) dead holder + stale steal token from a SECOND dead
+    # stealer: both cleaned, acquisition proceeds
+    p = subprocess.Popen(["true"]); p.wait()
+    q = subprocess.Popen(["true"]); q.wait()
+    with open(lock, "w") as f:
+        f.write(f"{p.pid}\n")
+    ino = os.stat(lock).st_ino
+    with open(f"{lock}.steal.{ino}", "w") as f:
+        f.write(f"{q.pid}\n")
+    with open(f"{lock}.me.{q.pid}", "w") as f:  # dead private file
+        f.write(f"{q.pid}\n")
+    publish_version(df, table, "day2")
+    assert current_version(table) == "v_day2"
+    assert not os.path.exists(lock)
+    assert not [
+        e for e in os.listdir(table) if e.startswith(".publish.lock.")
+    ], os.listdir(table)
+
+    # (c) live foreign holder still refuses fast...
+    with open(lock, "w") as f:
+        f.write("1\n")
+    with pytest.raises(PublishContention):
+        publish_version(df, table, "day3")
+    # ...and force_unlock is the documented pid-reuse escape hatch
+    force_unlock(table)
+    publish_version(df, table, "day3")
+    assert current_version(table) == "v_day3"

@@ -74,8 +74,8 @@ DEMOTED_AT_SF10 = {
     "ann_recall_lloyd": (
         "recall harness over the mod-97 codebook: the exact "
         "full-corpus baseline leg is quadratic BY DESIGN (it is what "
-        "production drops); control: rag_ann_topk's plane-knob "
-        "production path + the fixed-k recall contracts"
+        "production drops); controls: ann_ivf_fixed_k + the "
+        "registered rag_ann_production bucketed path"
     ),
     "dedup_semantic_clusters": (
         "mod-97 codebook boundary (|corpus| x |codebook| cosines); "
@@ -88,11 +88,12 @@ DEMOTED_AT_SF10 = {
     ),
     "ep10_rag_retrieval": (
         "quadratic exact recall-baseline scorer (documented round 9); "
-        "control: rag_ann_topk at the production plane count"
+        "control: rag_ann_production (the registered bucketed path "
+        "at the production plane count — runs in every sweep tier)"
     ),
     "ep10_rag_retrieval_ann": (
         "same harness as ep10_rag_retrieval — the quadratic exact "
-        "leg it diffs against dominates; control: rag_ann_topk"
+        "leg it diffs against dominates; control: rag_ann_production"
     ),
 }
 
