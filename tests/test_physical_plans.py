@@ -193,6 +193,7 @@ def test_salted_agg_two_phase_exchanges(spark, sf_dir):
         "s15_partitioned_db_pull",
         "q4_key_skew_report",
         "text_decontaminate",
+        "rag_ann_production",
     ],
 )
 # i13_stream_cdc_apply is excluded from the plan-gate parametrize:
