@@ -1899,3 +1899,65 @@ def test_cellpart_delete_composes_with_compaction(spark, sf_dir):
         assert snapshot(c) == before_files[c], f"{c} was rewritten"
     assert manifest() == before_manifest
     assert _DEL_CELL not in before_manifest
+
+
+def test_versioned_cellpart_serving_prunes_at_the_scan(spark, sf_dir):
+    """The two index disciplines COMPOSE: a version published
+    ``partition_by="cid"`` through the reader-atomic pointer table
+    serves pruned reads — the probed cid set lands as a
+    PartitionFilters entry on the FileScan of the CURRENT version's
+    dir, and a republish retains the previous version so an
+    in-flight pruned reader keeps a complete dir under its feet.
+    This is the full production layout (reader-atomic + O(probed
+    cells) serving) pinned without a registry row: both halves are
+    already oracle-proven separately (ann_index_versioned_update /
+    ann_hard_negatives_cellpart); this witnesses their
+    composition."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from innercircle_etl_spark.operators.versioned_table import (
+        current_path,
+        publish_version,
+        read_current,
+        read_version,
+    )
+    from innercircle_etl_spark.plans.similarity_queries import (
+        _hn_centroids,
+        _hn_frames,
+        _hn_ivf_assign,
+    )
+
+    table = "/root/repo/.scratch/test_versioned_cellpart"
+    shutil.rmtree(table, ignore_errors=True)
+    e, _ = _hn_frames(spark, sf_dir)
+    cent = _hn_centroids(e)
+    publish_version(
+        _hn_ivf_assign(e, cent), table, "day0", partition_by="cid"
+    )
+    # the version dir is hive-partitioned on cid
+    vdir = current_path(table)
+    assert any(
+        d.startswith("cid=") for d in os.listdir(vdir)
+    ), os.listdir(vdir)
+    # a probed-cid serving read through the pointer prunes at the scan
+    probe = read_current(spark, table).filter(F.col("cid").isin([1, 5]))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cid" in m.group(1), plan
+    n_before = probe.count()
+    assert n_before > 0
+    # republish (day1 adds nothing — same content, new tag): the
+    # in-flight day0 pruned reader still resolves a complete dir
+    in_flight = read_version(spark, table, "day0").filter(
+        F.col("cid").isin([1, 5])
+    )
+    publish_version(
+        _hn_ivf_assign(e, cent), table, "day1", partition_by="cid"
+    )
+    assert in_flight.count() == n_before  # retained dir, intact
+    assert read_current(spark, table).filter(
+        F.col("cid").isin([1, 5])
+    ).count() == n_before

@@ -109,7 +109,17 @@ DEMOTED_AT_SF10 = {
 # sf1 sweep note). The override leaves headroom for same-session
 # GC/heap churn after heavy predecessors (the 5-10x overstatement
 # class documented in the verify skill).
-BUDGET_OVERRIDES: dict[str, float] = {"ep4_circles": 240.0}
+BUDGET_OVERRIDES: dict[str, float] = {
+    "ep4_circles": 240.0,
+    # Round-14: in-sweep sf1 reading 120.05 s (TIMEOUT at the default
+    # budget) vs isolated re-measure 42.75 s — the documented
+    # same-session GC-churn overstatement class (its persisted twin
+    # read 45.0 s in the SAME sweep, and the amortized form completes
+    # sf10 in 81.9 s, so a genuine >120 s sf1 wall is implausible).
+    # The override absorbs the churn band instead of forcing a fresh
+    # adjudication every round; sf10 stays inside the default 300 s.
+    "ep13_contrastive_pairs_amortized": 240.0,
+}
 
 
 # The ONE sf parser, shared with bench.py so the demotion decision
