@@ -61,18 +61,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # end — the list is advisory, never a filter.
 _PRIORITY = [
     # ================= ROUND-14 WINDOW: standing freshness rotation
-    # (round-10 verdict item 1). 197 registered queries (195 at
-    # round-13 close + this round's TWO registrations: the
-    # partition-grain index DELETE and the production RAG bucketed
-    # path) rotate through a 50-slot
+    # (round-10 verdict item 1). 198 registered queries (195 at
+    # round-13 close + this round's THREE registrations: the
+    # partition-grain index DELETE, the production RAG bucketed
+    # path, and the streaming kill-list delete) rotate through a
+    # 50-slot
     # driver window; after round 13 the newest-green histogram is
     # r10x45 / r11x50 / r12x50 / r13x50 (recomputed from
     # CORRECTNESS_r01..r13 at round-14 start — matches the r13
     # verdict). This window: positions 1-45 = ALL 45 r10-stale
-    # rows (alphabetical block order from the r13 pool), 46-47 =
-    # this round's new registrations, 48-50 = the first 3 rows of
+    # rows (alphabetical block order from the r13 pool), 46-48 =
+    # this round's new registrations, 49-50 = the first 2 rows of
     # the r11 block. After this round no registry row's newest
-    # green is older than r11; the 47 remaining r11 rows lead
+    # green is older than r11; the 48 remaining r11 rows lead
     # round 15.
     # ---- 1-45: the r10 block ----
     "a3_sum_min_max_avg",
@@ -134,14 +135,19 @@ _PRIORITY = [
     # rag_ann_production (plane count at its 100x setting, no exact
     # leg) closes that hole and runs at every sweep tier ----
     "rag_ann_production",
-    # ---- 48-50: the first 3 rows of the r11 block (all 50 r11
+    # ... and the streaming kill-list delete — the checkpointed
+    # landing-zone analog of the batch delete (naturally idempotent:
+    # a replayed kill file leaves the index files BYTE-identical,
+    # pinned by test) ----
+    "ann_index_stream_delete",
+    # ---- 49-50: the first 2 rows of the r11 block (all 50 r11
     # rows are equally stale; alphabetical block order, continued
     # at the head of the round-15 pool below) ----
     "a11_two_phase_agg",
     "a15_cms_heavy_hitters",
-    "a16_hll_mergeable_rollup",
     # ---- rotation pool (advisory order; past the 50-slot window).
-    # Round-15 leads here: a17 + the 46 remaining r11 rows ----
+    # Round-15 leads here: a16/a17 + the 46 remaining r11 rows ----
+    "a16_hll_mergeable_rollup",
     "a17_sketch_set_intersection",
     "a8_percentile_disc",
     "a8b_approx_percentile",

@@ -2966,6 +2966,16 @@ GROUP BY cid
 """
 
 
+# The id-kill-only variant (no whole-cell purge) — the streaming
+# delete's oracle (plans/streaming_queries.py): rebuild from the
+# survivors of the residue-class kill-list alone.
+_DEL_ID_ORACLE = _INC_UPDATE_ORACLE.replace(
+    "FROM assign GROUP BY cid",
+    f"FROM assign\nWHERE NOT (vec_id % {_DEL_MOD} = {_DEL_REM})\nGROUP BY cid",
+)
+assert "WHERE NOT" in _DEL_ID_ORACLE  # replace anchor must hold
+
+
 @register("ann_index_cellpart_delete", oracle=_DEL_ORACLE)
 def ann_index_cellpart_delete(
     spark: SparkSession, sf_dir: str

@@ -1241,3 +1241,133 @@ def ann_index_stream_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     recover_table(apath)
     merged = spark.read.parquet(apath)
     return _index_manifest(merged, spark.read.parquet(f"{idx_base}/centroids"))
+
+
+# ------------- streaming DELETE (kill-list) on the partitioned index
+
+from innercircle_etl_spark.plans.similarity_queries import (  # noqa: E402
+    _DEL_ID_ORACLE,
+    _DEL_MOD,
+    _DEL_REM,
+)
+
+
+def _stream_delete_apply(
+    apath: str, cent: DataFrame, batch_df: DataFrame, tag: object
+) -> None:
+    """One micro-batch of kill-list maintenance on a cell-partitioned
+    index — the module-level helper so the replay test drives the
+    REAL code path: locate each kill's cell O(batch) against the
+    loaded codebook, prune-read only the touched cells, anti-join
+    the kill ids out, swap survivors back at partition grain, drop
+    emptied cells. If the batch's ids are already absent (a
+    checkpoint-replayed file), the survivor count equals the live
+    count and the batch returns WITHOUT swapping — deletion is
+    naturally idempotent, so replay is a TRUE no-op: untouched
+    FILES, not just untouched content."""
+    from innercircle_etl_spark.operators.atomic_swap import (
+        drop_partitions_atomic,
+        overwrite_partitions_atomic,
+        recover_partitions,
+    )
+    from innercircle_etl_spark.plans.similarity_queries import (
+        _hn_ivf_assign,
+    )
+
+    recover_partitions(apath)
+    spark_b = batch_df.sparkSession
+    kill = (
+        _hn_ivf_assign(batch_df, cent)
+        .select("vec_id", F.col("cid").cast("long").alias("cid"))
+        .localCheckpoint(eager=True)
+    )
+    touched = sorted(
+        r.cid for r in kill.select("cid").distinct().collect()
+    )
+    if not touched:
+        return
+    live = (
+        spark_b.read.parquet(apath)
+        .filter(F.col("cid").isin(touched))
+        .select(
+            "vec_id", "label", "v", F.col("cid").cast("long").alias("cid")
+        )
+    )
+    survivors = live.join(
+        F.broadcast(kill.select("vec_id")), "vec_id", "left_anti"
+    ).localCheckpoint(eager=True)
+    if survivors.count() == live.count():
+        return  # nothing to kill in this batch — replayed file
+    kept = {r.cid for r in survivors.select("cid").distinct().collect()}
+    if kept:
+        overwrite_partitions_atomic(survivors, apath, "cid", f"sdel{tag}")
+    drop_partitions_atomic(
+        apath, "cid", [c for c in touched if c not in kept]
+    )
+
+
+@register("ann_index_stream_delete", oracle=_DEL_ID_ORACLE)
+def ann_index_stream_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ann_index_cellpart_delete's CHECKPOINTED-STREAM analog — the
+    kill-list as a LANDING ZONE, which is how deletion requests
+    actually arrive (a GDPR queue, a poisoned-content feed): kill
+    batches land as parquet files in a watched dir across TWO waves
+    (vec_id % 200 == 7, then == 107 — union = the batch delete's
+    residue class), and a Trigger.AvailableNow foreachBatch drains
+    each wave through ``_stream_delete_apply``: O(batch) cell
+    location against the LOADED codebook, pruned read of only the
+    touched cells, anti-join, partition-grain swap, emptied-cell
+    drop. Deletion is NATURALLY idempotent (dropping an absent id is
+    a no-op), and the apply detects the already-applied case and
+    skips the swap entirely — so a checkpoint-replayed file leaves
+    the index files BYTE-identical, a stronger replay guarantee than
+    the insert form's content-identity
+    (test_ann_index_stream_delete_replay_is_noop). Output: the
+    post-drain manifest from the LOADED table; oracle: full rebuild
+    from the survivors (fixed codebook ⇒ per-row argmax independent
+    of deletion order AND batching — stream delete == batch delete
+    == rebuild-from-survivors, hash-exactly).
+
+    Scale: per batch O(kill) assignment + I/O ∝ touched cells; the
+    watched dir is the request queue a 100 TB pipeline already has.
+    Completes the streaming half of the lifecycle: the index can now
+    be appended AND shrunk from checkpointed streams with
+    exactly-once semantics.
+
+    Reference parity: beyond-reference (north-star extension);
+    batch twin: plans/similarity_queries.py
+    ann_index_cellpart_delete."""
+    base = _fresh(f"{SCRATCH}/stream_anndel_{os.path.basename(sf_dir)}")
+    src, ckpt, idx_base = f"{base}/in", f"{base}/ckpt", f"{base}/idx"
+    os.makedirs(src, exist_ok=True)
+
+    e, _ = _hn_frames(spark, sf_dir)
+    cent_built = _hn_centroids(e)
+    idx = _persisted_index(
+        spark,
+        idx_base,
+        {
+            "assign": _hn_ivf_assign(e, cent_built),
+            "centroids": cent_built,
+        },
+        partition_by={"assign": "cid"},
+    )
+    cent = idx["centroids"]
+    apath = f"{idx_base}/assign"
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        _stream_delete_apply(apath, cent, batch_df, batch_id)
+
+    for wave_rem in (_DEL_REM, _DEL_REM + _DEL_MOD):
+        e.filter(
+            F.col("vec_id") % (2 * _DEL_MOD) == wave_rem
+        ).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(e.schema).parquet(src)
+        run_available_now(stream, ckpt, foreach_batch=apply_batch)
+
+    from innercircle_etl_spark.operators.atomic_swap import (
+        recover_partitions,
+    )
+
+    recover_partitions(apath)
+    return _index_manifest(spark.read.parquet(apath), cent)

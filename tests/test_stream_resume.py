@@ -109,3 +109,59 @@ def test_ann_index_stream_update_replay_is_noop(spark, sf_dir):
     assert re_manifest == manifest
     # every corpus row present exactly once
     assert after.select("vec_id").distinct().count() == before == e.count()
+
+
+def test_ann_index_stream_delete_replay_is_noop(spark, sf_dir):
+    """ann_index_stream_delete: deletion is NATURALLY idempotent, and
+    the apply skips the swap when a batch's ids are already absent —
+    so replaying an applied kill wave through the REAL apply path
+    must leave the index files BYTE-identical (names, inodes,
+    mtimes), a stronger guarantee than the insert form's
+    content-identity. The manifest must also be unchanged."""
+    from pyspark.sql import functions as F
+
+    from innercircle_etl_spark.plans import QUERIES
+    from innercircle_etl_spark.plans.similarity_queries import (
+        _DEL_MOD,
+        _DEL_REM,
+        _hn_frames,
+        _index_manifest,
+    )
+    from innercircle_etl_spark.plans.streaming_queries import (
+        SCRATCH,
+        _stream_delete_apply,
+    )
+
+    manifest = {
+        r.cid: (r.n_vectors, r.min_vec_id, r.avg_cos)
+        for r in QUERIES["ann_index_stream_delete"](spark, sf_dir).collect()
+    }
+    base = f"{SCRATCH}/stream_anndel_{os.path.basename(sf_dir)}"
+    apath = f"{base}/idx/assign"
+    cent = spark.read.parquet(f"{base}/idx/centroids")
+
+    def snapshot():
+        out = []
+        for d in sorted(os.listdir(apath)):
+            if not d.startswith("cid="):
+                continue
+            cd = os.path.join(apath, d)
+            for f in sorted(os.listdir(cd)):
+                st = os.stat(os.path.join(cd, f))
+                out.append((d, f, st.st_ino, st.st_mtime_ns, st.st_size))
+        return out
+
+    before = snapshot()
+    # replay wave A (already applied) through the REAL apply path
+    e, _ = _hn_frames(spark, sf_dir)
+    wave_a = e.filter(F.col("vec_id") % (2 * _DEL_MOD) == _DEL_REM)
+    assert wave_a.count() > 0
+    _stream_delete_apply(apath, cent, wave_a, "replay")
+    assert snapshot() == before  # TRUE no-op: files never touched
+    re_manifest = {
+        r.cid: (r.n_vectors, r.min_vec_id, r.avg_cos)
+        for r in _index_manifest(
+            spark.read.parquet(apath), cent
+        ).collect()
+    }
+    assert re_manifest == manifest
