@@ -61,20 +61,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # end — the list is advisory, never a filter.
 _PRIORITY = [
     # ================= ROUND-14 WINDOW: standing freshness rotation
-    # (round-10 verdict item 1). 198 registered queries (195 at
-    # round-13 close + this round's THREE registrations: the
+    # (round-10 verdict item 1). 199 registered queries (195 at
+    # round-13 close + this round's FOUR registrations: the
     # partition-grain index DELETE, the production RAG bucketed
-    # path, and the streaming kill-list delete) rotate through a
-    # 50-slot
+    # path, the streaming kill-list delete, and the hardlink-shared
+    # versioned partition-grain update) rotate through a 50-slot
     # driver window; after round 13 the newest-green histogram is
     # r10x45 / r11x50 / r12x50 / r13x50 (recomputed from
     # CORRECTNESS_r01..r13 at round-14 start — matches the r13
     # verdict). This window: positions 1-45 = ALL 45 r10-stale
-    # rows (alphabetical block order from the r13 pool), 46-48 =
-    # this round's new registrations, 49-50 = the first 2 rows of
-    # the r11 block. After this round no registry row's newest
-    # green is older than r11; the 48 remaining r11 rows lead
-    # round 15.
+    # rows (alphabetical block order from the r13 pool), 46-49 =
+    # this round's new registrations, 50 = the first row of the
+    # r11 block. After this round no registry row's newest green
+    # is older than r11; the 49 remaining r11 rows lead round 15.
     # ---- 1-45: the r10 block ----
     "a3_sum_min_max_avg",
     "a4_scalar_subquery",
@@ -140,13 +139,19 @@ _PRIORITY = [
     # a replayed kill file leaves the index files BYTE-identical,
     # pinned by test) ----
     "ann_index_stream_delete",
-    # ---- 49-50: the first 2 rows of the r11 block (all 50 r11
-    # rows are equally stale; alphabetical block order, continued
-    # at the head of the round-15 pool below) ----
+    # ... and the hardlink-shared versioned partition-grain update —
+    # publish_version_linked stages a new version by hardlinking
+    # every untouched cell from the previous one (zero data bytes)
+    # and writing only the touched cells, fixing the versioned
+    # form's full-rewrite-per-publish cost (inode witness by test) --
+    "ann_index_versioned_cellpart_update",
+    # ---- 50: the first row of the r11 block (all 50 r11 rows are
+    # equally stale; alphabetical block order, continued at the
+    # head of the round-15 pool below) ----
     "a11_two_phase_agg",
-    "a15_cms_heavy_hitters",
     # ---- rotation pool (advisory order; past the 50-slot window).
-    # Round-15 leads here: a16/a17 + the 46 remaining r11 rows ----
+    # Round-15 leads here: a15-a17 + the 46 remaining r11 rows ----
+    "a15_cms_heavy_hitters",
     "a16_hll_mergeable_rollup",
     "a17_sketch_set_intersection",
     "a8_percentile_disc",

@@ -648,3 +648,74 @@ def test_publish_lock_steal_is_verified_and_token_guarded(
     force_unlock(table)
     publish_version(df, table, "day3")
     assert current_version(table) == "v_day3"
+
+
+def test_linked_publish_shares_unchanged_cell_inodes(spark, tmp_path):
+    """publish_version_linked: the zero-copy claim made physical —
+    unchanged partitions' files in the NEW version are the SAME
+    INODES as the previous version's (hardlinks, no data bytes);
+    changed partitions are fresh files; dropped partitions are
+    absent from the new version and intact in the old; and after the
+    old version is swept by retention, the shared inodes survive
+    under the new version's names."""
+    import pytest
+
+    from innercircle_etl_spark.operators.versioned_table import (
+        publish_version,
+        publish_version_linked,
+        read_current,
+        read_version,
+        versions,
+    )
+
+    table = str(tmp_path / "vt")
+
+    def inodes(vname, cell):
+        d = os.path.join(table, vname, cell)
+        return sorted(
+            os.stat(os.path.join(d, f)).st_ino for f in os.listdir(d)
+        )
+
+    # no previous version -> linked publish must refuse
+    df0 = spark.createDataFrame(
+        [(k, i) for k in (1, 2, 3, 4) for i in range(3)], "k INT, v INT"
+    )
+    with pytest.raises(FileNotFoundError, match="no previous version"):
+        publish_version_linked(df0, table, "day0", "k")
+
+    publish_version(df0, table, "day0", partition_by="k")
+    # day1: cell k=2 changes (one row rewritten), k=4 dropped,
+    # k=1 and k=3 untouched -> linked
+    changed = spark.createDataFrame([(2, 99)], "k INT, v INT")
+    publish_version_linked(changed, table, "day1", "k", dropped=[4])
+
+    assert inodes("v_day1", "k=1") == inodes("v_day0", "k=1")  # shared
+    assert inodes("v_day1", "k=3") == inodes("v_day0", "k=3")
+    assert not set(inodes("v_day1", "k=2")) & set(
+        inodes("v_day0", "k=2")
+    )  # fresh
+    assert not os.path.exists(os.path.join(table, "v_day1", "k=4"))
+    assert os.path.isdir(os.path.join(table, "v_day0", "k=4"))
+
+    cur = {(r.k, r.v) for r in read_current(spark, table).collect()}
+    assert cur == {(1, 0), (1, 1), (1, 2), (3, 0), (3, 1), (3, 2), (2, 99)}
+    old = read_version(spark, table, "day0")
+    assert old.count() == 12  # time travel: day0 complete
+
+    # day2 sweeps day0 (retain=1): day1's linked files must survive
+    # the rmtree of the version that originally owned their inodes
+    day1_k1 = inodes("v_day1", "k=1")
+    publish_version_linked(
+        spark.createDataFrame([(3, 77)], "k INT, v INT"),
+        table,
+        "day2",
+        "k",
+    )
+    assert versions(table) == ["v_day2", "v_day1"]
+    assert not os.path.exists(os.path.join(table, "v_day0"))
+    assert inodes("v_day1", "k=1") == day1_k1  # names + inodes alive
+    assert {(r.k, r.v) for r in read_version(spark, table, "day1").collect()} == cur
+    cur2 = {(r.k, r.v) for r in read_current(spark, table).collect()}
+    assert cur2 == {(1, 0), (1, 1), (1, 2), (3, 77), (2, 99)}
+    # day2 shares day1's untouched cells in turn
+    assert inodes("v_day2", "k=1") == day1_k1
