@@ -294,32 +294,15 @@ def _acquire_publish_lock(table: str) -> str:
             pass
 
 
-def publish_version(
-    df: DataFrame,
-    table: str,
-    tag: object,
-    partition_by: str | None = None,
-    retain: int = 1,
-) -> str:
-    """Write ``df`` as version ``v_<tag>`` and atomically flip the
-    pointer to it. Returns the new version dir name. Retains the
-    ``retain`` most-recent previous versions for in-flight readers
-    and time travel; sweeps everything older, plus any orphaned
-    version dirs a crashed publish left un-pointered (identified as:
-    not in the pointered set — safe because a version only becomes
-    visible at the pointer flip, so an un-pointered dir has no
-    readers).
-
-    Idempotent retry: if CURRENT already names ``v_<tag>``, a prior
-    attempt crashed AFTER its flip — the publish succeeded; return
-    without touching the LIVE dir (restaging it would delete the
-    directory readers are on, the exact window this module removes).
-    If ``v_<tag>`` is a RETAINED version the same refusal applies
-    with force (round-13 advice item 1): that dir WAS pointered and
-    a depth-``retain`` reader may still be on it, so the call is a
-    caller bug (ValueError), never a silent restage. Tags therefore
-    name versions: publishing different data under a pointered tag
-    is an error, not an update."""
+def _publish_with(table, tag, retain, stage_fn) -> str:
+    """The ONE copy of the crash-critical publish skeleton (round-14
+    review item: the linked publish had duplicated it verbatim —
+    a future fix to the flip/sweep/guards applied to one copy would
+    silently miss the other). Under the lock: pointer read,
+    idempotent-retry and retained-tag guards, orphan rmtree, stage
+    via ``stage_fn(vdir, prev_dir-or-None)`` (raise -> vdir cleaned,
+    pointer untouched), fsync'd atomic flip carrying the retained
+    list, retention sweep of everything un-pointered."""
     if retain < 0:
         raise ValueError(f"retain must be >= 0, got {retain}")
     os.makedirs(table, exist_ok=True)
@@ -339,10 +322,7 @@ def publish_version(
         if os.path.exists(vdir):  # orphan from a crashed publish
             shutil.rmtree(vdir)  # re-using the tag — never pointered,
         try:  # no readers
-            w = df.write.mode("overwrite")
-            if partition_by is not None:
-                w = w.partitionBy(partition_by)
-            w.parquet(vdir)
+            stage_fn(vdir, os.path.join(table, prev) if prev else None)
         except BaseException:
             shutil.rmtree(vdir, ignore_errors=True)
             raise
@@ -372,6 +352,43 @@ def publish_version(
             pass
 
 
+def publish_version(
+    df: DataFrame,
+    table: str,
+    tag: object,
+    partition_by: str | None = None,
+    retain: int = 1,
+) -> str:
+    """Write ``df`` as version ``v_<tag>`` (a COMPLETE copy) and
+    atomically flip the pointer to it. Returns the new version dir
+    name. Retains the ``retain`` most-recent previous versions for
+    in-flight readers and time travel; sweeps everything older, plus
+    any orphaned version dirs a crashed publish left un-pointered
+    (identified as: not in the pointered set — safe because a
+    version only becomes visible at the pointer flip, so an
+    un-pointered dir has no readers).
+
+    Idempotent retry: if CURRENT already names ``v_<tag>``, a prior
+    attempt crashed AFTER its flip — the publish succeeded; return
+    without touching the LIVE dir (restaging it would delete the
+    directory readers are on, the exact window this module removes).
+    If ``v_<tag>`` is a RETAINED version the same refusal applies
+    with force (round-13 advice item 1): that dir WAS pointered and
+    a depth-``retain`` reader may still be on it, so the call is a
+    caller bug (ValueError), never a silent restage. Tags therefore
+    name versions: publishing different data under a pointered tag
+    is an error, not an update. For partition-grain maintenance use
+    ``publish_version_linked`` — this form stages a full copy."""
+
+    def stage(vdir: str, prev_dir: str | None) -> None:
+        w = df.write.mode("overwrite")
+        if partition_by is not None:
+            w = w.partitionBy(partition_by)
+        w.parquet(vdir)
+
+    return _publish_with(table, tag, retain, stage)
+
+
 def publish_version_linked(
     df_changed: DataFrame,
     table: str,
@@ -398,15 +415,21 @@ def publish_version_linked(
     other's writes, and the retention sweep's rmtree only UNLINKS
     names — an inode lives until its last referencing version is
     swept. Every pointer/crash/lock/retention property of
-    ``publish_version`` is inherited verbatim (same flip, same
-    sweep, same idempotent-retry and retained-tag guards, same
-    lock): a crash mid-stage leaves an orphan dir of names whose
-    removal cannot affect other versions.
+    ``publish_version`` is inherited through the SHARED
+    ``_publish_with`` core (one copy of the skeleton): a crash
+    mid-stage leaves an orphan dir of names whose removal cannot
+    affect other versions.
 
-    Requires an existing previous version (day-0 ships whole via
-    ``publish_version(..., partition_by=part_col)``). On S3 the
-    hardlink becomes a manifest entry naming the shared object —
-    identical semantics, zero-copy there too.
+    Misuse guards (round-14 review): requires an existing previous
+    version (day-0 ships whole via ``publish_version(...,
+    partition_by=part_col)``) that IS hive-partitioned by
+    ``part_col`` — an unpartitioned previous version raises instead
+    of silently publishing a version that lost every unchanged row;
+    and a partition present in BOTH ``df_changed`` and ``dropped``
+    raises instead of silently surviving the drop.
+
+    On S3 the hardlink becomes a manifest entry naming the shared
+    object — identical semantics, zero-copy there too.
 
     Scale: publish cost is O(changed-partition bytes) + O(total
     partitions) driver-side metadata — the same asymptotic shape as
@@ -417,73 +440,54 @@ def publish_version_linked(
         _hive_unescape,
     )
 
-    if retain < 0:
-        raise ValueError(f"retain must be >= 0, got {retain}")
-    os.makedirs(table, exist_ok=True)
-    lock = _acquire_publish_lock(table)
-    try:
-        ptr = _read_pointer(table)
-        prev, retained = (ptr[0], ptr[1:]) if ptr else (None, [])
-        vname = f"v_{tag}"
-        vdir = os.path.join(table, vname)
-        if vname == prev:
-            return vname  # retried publish; flip already happened
-        if vname in retained:
-            raise ValueError(
-                f"version {vname!r} of {table} is retained and may have"
-                f" in-flight readers — tags name versions; pick a new tag"
-            )
-        if prev is None:
+    drop_set = {
+        _HIVE_NULL if v is None else str(v) for v in (dropped or [])
+    }
+    prefix = f"{part_col}="
+
+    def stage(vdir: str, prev_dir: str | None) -> None:
+        if prev_dir is None:
             raise FileNotFoundError(
                 f"versioned table {table} has no previous version to"
                 f" link from — day-0 publishes whole via"
                 f" publish_version(..., partition_by={part_col!r})"
             )
-        if os.path.exists(vdir):  # orphan from a crashed publish
-            shutil.rmtree(vdir)
-        prev_dir = os.path.join(table, prev)
-        drop_set = {
-            _HIVE_NULL if v is None else str(v) for v in (dropped or [])
-        }
-        prefix = f"{part_col}="
-        try:
-            df_changed.write.mode("overwrite").partitionBy(
-                part_col
-            ).parquet(vdir)
-            changed = {
-                e for e in os.listdir(vdir) if e.startswith(prefix)
-            }
-            for entry in sorted(os.listdir(prev_dir)):
-                if not entry.startswith(prefix) or entry in changed:
-                    continue
-                if _hive_unescape(entry[len(prefix):]) in drop_set:
-                    continue
-                src = os.path.join(prev_dir, entry)
-                dst = os.path.join(vdir, entry)
-                os.makedirs(dst, exist_ok=True)
-                for f in os.listdir(src):
-                    os.link(
-                        os.path.join(src, f), os.path.join(dst, f)
-                    )  # zero-copy share of the immutable file
-        except BaseException:
-            shutil.rmtree(vdir, ignore_errors=True)
-            raise
-        keep_prev = ([prev] + retained)[:retain]
-        tmp_ptr = os.path.join(table, f".{_POINTER}.tmp")
-        with open(tmp_ptr, "w") as f:
-            f.write("\n".join([vname, *keep_prev]) + "\n")
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp_ptr, os.path.join(table, _POINTER))
-        keep = {vname, *keep_prev}
-        for entry in os.listdir(table):
-            if entry.startswith("v_") and entry not in keep:
-                shutil.rmtree(
-                    os.path.join(table, entry), ignore_errors=True
-                )
-        return vname
-    finally:
-        try:
-            os.remove(lock)
-        except FileNotFoundError:
-            pass
+        prev_cells = [
+            e for e in os.listdir(prev_dir) if e.startswith(prefix)
+        ]
+        if not prev_cells:
+            raise ValueError(
+                f"previous version {prev_dir} has no {prefix}*"
+                f" partition dirs — it was not published"
+                f" partition_by={part_col!r}; linking from it would"
+                f" silently lose every unchanged row"
+            )
+        df_changed.write.mode("overwrite").partitionBy(
+            part_col
+        ).parquet(vdir)
+        changed = {e for e in os.listdir(vdir) if e.startswith(prefix)}
+        overlap = sorted(
+            e
+            for e in changed
+            if _hive_unescape(e[len(prefix):]) in drop_set
+        )
+        if overlap:
+            raise ValueError(
+                f"partitions {overlap} are present in BOTH df_changed"
+                f" and dropped — a dropped partition must not ship in"
+                f" the changed frame"
+            )
+        for entry in sorted(prev_cells):
+            if entry in changed:
+                continue
+            if _hive_unescape(entry[len(prefix):]) in drop_set:
+                continue
+            src = os.path.join(prev_dir, entry)
+            dst = os.path.join(vdir, entry)
+            os.makedirs(dst, exist_ok=True)
+            for f in os.listdir(src):
+                os.link(
+                    os.path.join(src, f), os.path.join(dst, f)
+                )  # zero-copy share of the immutable file
+
+    return _publish_with(table, tag, retain, stage)

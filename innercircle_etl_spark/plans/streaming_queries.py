@@ -1286,12 +1286,17 @@ def _stream_delete_apply(
     )
     if not touched:
         return
+    # ONE pruned parquet scan of the touched cells: live is pinned
+    # eagerly and both the survivor derivation and the idempotency
+    # counts read the checkpointed blocks, never the files again
+    # (round-14 review item: live.count() used to re-scan parquet)
     live = (
         spark_b.read.parquet(apath)
         .filter(F.col("cid").isin(touched))
         .select(
             "vec_id", "label", "v", F.col("cid").cast("long").alias("cid")
         )
+        .localCheckpoint(eager=True)
     )
     survivors = live.join(
         F.broadcast(kill.select("vec_id")), "vec_id", "left_anti"

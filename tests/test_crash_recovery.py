@@ -683,7 +683,36 @@ def test_linked_publish_shares_unchanged_cell_inodes(spark, tmp_path):
     with pytest.raises(FileNotFoundError, match="no previous version"):
         publish_version_linked(df0, table, "day0", "k")
 
+    # unpartitioned previous version -> linked publish must refuse
+    # loudly (silently linking nothing would publish a version that
+    # lost every unchanged row — round-14 review item 1)
+    flat = str(tmp_path / "flat")
+    publish_version(df0, flat, "day0")  # no partition_by
+    with pytest.raises(ValueError, match="not published partition_by"):
+        publish_version_linked(
+            spark.createDataFrame([(2, 99)], "k INT, v INT"),
+            flat,
+            "day1",
+            "k",
+        )
+    from innercircle_etl_spark.operators.versioned_table import (
+        current_version,
+    )
+
+    assert current_version(flat) == "v_day0"  # pointer untouched
+    assert not os.path.exists(os.path.join(flat, "v_day1"))  # cleaned
+
     publish_version(df0, table, "day0", partition_by="k")
+    # a partition in BOTH df_changed and dropped -> loud error, not a
+    # silently-surviving "dropped" partition (review item 2)
+    with pytest.raises(ValueError, match="BOTH df_changed and dropped"):
+        publish_version_linked(
+            spark.createDataFrame([(4, 1)], "k INT, v INT"),
+            table,
+            "day1",
+            "k",
+            dropped=[4],
+        )
     # day1: cell k=2 changes (one row rewritten), k=4 dropped,
     # k=1 and k=3 untouched -> linked
     changed = spark.createDataFrame([(2, 99)], "k INT, v INT")

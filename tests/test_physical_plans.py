@@ -1930,7 +1930,8 @@ def test_versioned_cellpart_serving_prunes_at_the_scan(spark, sf_dir):
         _hn_ivf_assign,
     )
 
-    table = "/root/repo/.scratch/test_versioned_cellpart"
+    scratch = os.environ.get("SPARK_GRAFT_SCRATCH", "/root/repo/.scratch")
+    table = f"{scratch}/test_versioned_cellpart"
     shutil.rmtree(table, ignore_errors=True)
     e, _ = _hn_frames(spark, sf_dir)
     cent = _hn_centroids(e)
