@@ -33,8 +33,8 @@ from __future__ import annotations
 
 import glob
 import os
-import re
 import shutil
+from urllib.parse import unquote
 
 from pyspark.sql import DataFrame
 
@@ -184,12 +184,17 @@ def _hive_unescape(name: str) -> str:
     %20, '/' -> %2F, ':' -> %3A, ...). Matching dirs by their
     unescaped value keeps the drop verb correct for string partition
     columns — a raw f-string path would silently miss them
-    (round-14 self-review finding 2)."""
-    return re.sub(
-        r"%([0-9A-Fa-f]{2})",
-        lambda m: chr(int(m.group(1), 16)),
-        name,
-    )
+    (round-14 self-review finding 2).
+
+    %XX runs decode as UTF-8 BYTES, not per-escape code points
+    (round-14 advice item 3): Spark writes non-ASCII values raw, but
+    a Hive/external writer that percent-escapes per byte writes
+    ``café`` as ``caf%C3%A9`` — chr()-per-escape would read that as
+    mojibake (``caf\\xc3\\xa9``) and the drop/link verbs would
+    silently skip the partition. ``errors='strict'`` keeps garbage
+    loud: an escape run that is not valid UTF-8 cannot come from a
+    string partition value, so it raises instead of guessing."""
+    return unquote(name, errors="strict")
 
 
 def drop_partitions_atomic(

@@ -51,9 +51,12 @@ Crash matrix (every step, proven in tests/test_crash_recovery.py):
     (details on ``_acquire_publish_lock``), so a crash never wedges
     the table and two stealers can never both win. A LIVE foreign
     holder raises ``PublishContention`` instead — fail fast, never
-    race. Known residual: pid REUSE can false-positive the liveness
-    probe and wedge the table until ``force_unlock`` — documented
-    on both functions.
+    race. Pid reuse cannot wedge the table: liveness is pid-probe
+    AND lease — the holder heartbeats the lock's mtime while it
+    publishes, so a lock whose mtime is older than the lease TTL is
+    adjudicated dead even if its recycled pid still answers
+    ``os.kill(pid, 0)`` (round-14 advice item 2; closes the old
+    documented residual).
 
 Concurrency contract: readers are unlimited and never coordinate.
 Writers are serialized by a link-created pid-stamped lock file — the
@@ -85,12 +88,32 @@ from __future__ import annotations
 
 import os
 import shutil
+import threading
 import time
 
 from pyspark.sql import DataFrame, SparkSession
 
 _POINTER = "CURRENT"
 _LOCK = ".publish.lock"
+
+
+def _lease_ttl() -> float:
+    """Publish-lock lease in seconds. A holder heartbeats the lock's
+    mtime every ``ttl/4`` while it publishes, so a live publisher's
+    lock is always younger than this; a lock OLDER than it is dead no
+    matter what its pid probe says (pid reuse / unreaped zombie).
+    Override via SPARK_GRAFT_PUBLISH_LEASE_SEC; the default is wide
+    enough that a heartbeat only has to land once per 3.75 min."""
+    return float(os.environ.get("SPARK_GRAFT_PUBLISH_LEASE_SEC", "900"))
+
+
+def _acquire_deadline() -> float:
+    """Wall-clock bound on lock ACQUISITION's retry loops (round-14
+    advice item 1): lock adjudication is pure metadata ops, so a
+    claimant that keeps us spinning past this is stuck, and the
+    fail-fast contract says raise PublishContention rather than spin
+    forever. Override via SPARK_GRAFT_PUBLISH_ACQUIRE_SEC."""
+    return float(os.environ.get("SPARK_GRAFT_PUBLISH_ACQUIRE_SEC", "30"))
 
 
 class PublishContention(RuntimeError):
@@ -172,13 +195,13 @@ def _pid_alive(pid: int) -> bool:
 
 
 def force_unlock(table: str) -> None:
-    """Manually clear a wedged publish lock. The ONLY false-wedge
-    case is pid reuse: a publisher crashed, the OS later recycled
-    its pid for an unrelated long-lived process, and every publish
-    now reads the lock as live-and-foreign. Call this only after
-    confirming no publisher is actually running against the table —
-    removing a LIVE publisher's lock reopens the multi-writer
-    race."""
+    """Manually clear a publish lock. Since the lease/TTL fallback
+    landed (a lock whose mtime exceeds ``_lease_ttl`` is adjudicated
+    dead regardless of its pid probe), no crash or pid-reuse scenario
+    wedges the table longer than one lease — this is now purely an
+    operator override for "I know the holder is gone and can't wait
+    out the lease". Removing a LIVE publisher's lock reopens the
+    multi-writer race; prefer waiting."""
     try:
         os.remove(os.path.join(table, _LOCK))
     except FileNotFoundError:
@@ -207,13 +230,29 @@ def _acquire_publish_lock(table: str) -> str:
       mid-steal leaves a token a later publisher adjudicates by the
       same dead-pid rule, so a crash never wedges the table.
 
-    Residual assumption (documented, not closed): pid liveness via
-    os.kill(pid, 0) false-positives if the OS recycles a crashed
-    publisher's pid (or for an unreaped zombie) — the table then
-    reports PublishContention until ``force_unlock``. The real fix
-    at scale is a lease/TTL or the object store's conditional PUT;
-    a local daily-maintenance deployment restarts publishers far
-    more often than Linux wraps pids."""
+    Liveness is pid-probe AND lease (round-14 advice items 1-2,
+    closing the old pid-reuse residual): a holder only counts as
+    live if ``os.kill(pid, 0)`` succeeds AND the lock's mtime is
+    younger than ``_lease_ttl`` — ``_publish_with`` heartbeats the
+    mtime every ttl/4 while it works, so a real publisher's lock
+    never ages out, while a recycled pid (or unreaped zombie) never
+    heartbeats and is stolen after one lease. The same rule
+    adjudicates a steal-token claimant. The whole acquisition is
+    additionally bounded by ``_acquire_deadline`` wall-clock: a
+    claimant that is alive-but-stuck mid-steal used to spin us in
+    the 0.05 s yield loop forever; now it raises PublishContention
+    when the deadline passes — the fail-fast contract, uniformly.
+
+    Lease residual (inherent to every lease lock without fencing
+    tokens): a holder ALIVE but fully paused past the ttl (SIGSTOP,
+    a 15-minute GC) can be stolen from and later race the thief's
+    flip. The holder's release is inode-verified so it never removes
+    the thief's lock, and both flips are complete pointer states, so
+    the damage is bounded to last-writer-wins between two valid
+    versions — the full fix at scale is the object store's
+    conditional PUT with a fencing token, which this maps onto
+    directly. The ttl/heartbeat ratio (4 missed beats) makes the
+    window require a quarter-hour total process pause."""
     lock = os.path.join(table, _LOCK)
     me = os.getpid()
     tmp = f"{lock}.me.{me}"
@@ -231,8 +270,17 @@ def _acquire_publish_lock(table: str) -> str:
         f.write(f"{me}\n")
         f.flush()
         os.fsync(f.fileno())
+    ttl = _lease_ttl()
+    deadline = time.monotonic() + _acquire_deadline()
     try:
         while True:
+            if time.monotonic() > deadline:
+                raise PublishContention(
+                    f"publish lock on {table}: adjudication did not"
+                    f" converge within {_acquire_deadline()}s (a live"
+                    f" claimant is stuck mid-steal, or the lock is"
+                    f" churning) — failing fast per contract"
+                )
             try:
                 os.link(tmp, lock)  # atomic create WITH content
                 return lock
@@ -245,9 +293,16 @@ def _acquire_publish_lock(table: str) -> str:
             except FileNotFoundError:
                 continue  # released between attempts; re-try create
             holder = int(raw) if raw.isdigit() else 0
-            if holder and holder != me and _pid_alive(holder):
+            if (
+                holder
+                and holder != me
+                and _pid_alive(holder)
+                and time.time() - st.st_mtime < ttl
+            ):
                 raise PublishContention(
                     f"publish lock on {table} held by live pid {holder}"
+                    f" (lease fresh: {time.time() - st.st_mtime:.0f}s"
+                    f" < ttl {ttl:.0f}s)"
                 )
             # dead / own / corrupt holder: claim the steal of THIS
             # incarnation (inode-keyed token, link-created)
@@ -263,8 +318,17 @@ def _acquire_publish_lock(table: str) -> str:
                 except FileNotFoundError:
                     continue
                 tpid = int(traw) if traw.isdigit() else 0
-                if tpid and tpid != me and _pid_alive(tpid):
-                    time.sleep(0.05)
+                try:
+                    token_age = time.time() - os.stat(token).st_mtime
+                except FileNotFoundError:
+                    continue
+                if (
+                    tpid
+                    and tpid != me
+                    and _pid_alive(tpid)
+                    and token_age < ttl
+                ):
+                    time.sleep(0.05)  # bounded by the deadline above
                     continue
                 try:
                     os.remove(token)
@@ -302,11 +366,34 @@ def _publish_with(table, tag, retain, stage_fn) -> str:
     idempotent-retry and retained-tag guards, orphan rmtree, stage
     via ``stage_fn(vdir, prev_dir-or-None)`` (raise -> vdir cleaned,
     pointer untouched), fsync'd atomic flip carrying the retained
-    list, retention sweep of everything un-pointered."""
+    list, retention sweep of everything un-pointered.
+
+    While the publish runs, a daemon heartbeat touches the lock's
+    mtime every ``ttl/4`` so the lease (``_lease_ttl``) never
+    expires under a live holder — arbitrarily long stage writes stay
+    safe, while a holder that DIES stops heartbeating and is stolen
+    after one lease even if the OS recycled its pid. The beat
+    re-verifies the lock's inode first: it must never refresh a lock
+    it no longer owns."""
     if retain < 0:
         raise ValueError(f"retain must be >= 0, got {retain}")
     os.makedirs(table, exist_ok=True)
     lock = _acquire_publish_lock(table)
+    lock_ino = os.stat(lock).st_ino
+    stop_beat = threading.Event()
+
+    def _beat() -> None:
+        ttl = _lease_ttl()
+        while not stop_beat.wait(max(0.05, ttl / 4)):
+            try:
+                if os.stat(lock).st_ino != lock_ino:
+                    return  # not our lock anymore — never refresh it
+                os.utime(lock, None)
+            except FileNotFoundError:
+                return
+
+    beater = threading.Thread(target=_beat, daemon=True)
+    beater.start()
     try:
         ptr = _read_pointer(table)
         prev, retained = (ptr[0], ptr[1:]) if ptr else (None, [])
@@ -346,8 +433,15 @@ def _publish_with(table, tag, retain, stage_fn) -> str:
                 )
         return vname
     finally:
+        stop_beat.set()
+        beater.join(timeout=2.0)
         try:
-            os.remove(lock)
+            # inode-verified release: if the lease expired under a
+            # paused-but-alive us and someone stole the lock, the
+            # file there is THEIRS — removing it would reopen the
+            # race the steal verification closed.
+            if os.stat(lock).st_ino == lock_ino:
+                os.remove(lock)
         except FileNotFoundError:
             pass
 
@@ -425,8 +519,11 @@ def publish_version_linked(
     partition_by=part_col)``) that IS hive-partitioned by
     ``part_col`` — an unpartitioned previous version raises instead
     of silently publishing a version that lost every unchanged row;
-    and a partition present in BOTH ``df_changed`` and ``dropped``
-    raises instead of silently surviving the drop.
+    a partition present in BOTH ``df_changed`` and ``dropped``
+    raises instead of silently surviving the drop; and a changed
+    frame whose non-partition (name, type) set drifted from the
+    previous version raises instead of publishing a mixed-schema
+    version that only breaks at read time (round-14 advice item 4).
 
     On S3 the hardlink becomes a manifest entry naming the shared
     object — identical semantics, zero-copy there too.
@@ -461,6 +558,38 @@ def publish_version_linked(
                 f" partition dirs — it was not published"
                 f" partition_by={part_col!r}; linking from it would"
                 f" silently lose every unchanged row"
+            )
+        # schema-drift guard (round-14 advice item 4): a changed
+        # frame whose non-partition columns differ from the previous
+        # version's would publish a version with MIXED parquet
+        # schemas across cells — readable cells with nulled/missing
+        # columns, failing only at read time. Fail loud at stage
+        # time instead. The partition column is excluded: its
+        # read-back type is dir-name INFERENCE (cid=7 -> int) and
+        # legitimately differs from the frame's column type;
+        # nullability is ignored (simpleString) — only names+types
+        # drift matters for cell-to-cell compatibility.
+        prev_schema = df_changed.sparkSession.read.parquet(
+            prev_dir
+        ).schema
+        have = {
+            (f.name, f.dataType.simpleString())
+            for f in prev_schema
+            if f.name != part_col
+        }
+        want = {
+            (f.name, f.dataType.simpleString())
+            for f in df_changed.schema
+            if f.name != part_col
+        }
+        if want != have:
+            raise ValueError(
+                f"df_changed's non-partition schema drifted from"
+                f" version {prev_dir}: only-in-changed"
+                f" {sorted(want - have)}, only-in-previous"
+                f" {sorted(have - want)} — a linked version must"
+                f" carry cell-compatible schemas; migrate via a"
+                f" whole publish_version instead"
             )
         df_changed.write.mode("overwrite").partitionBy(
             part_col

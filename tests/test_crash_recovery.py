@@ -748,3 +748,218 @@ def test_linked_publish_shares_unchanged_cell_inodes(spark, tmp_path):
     assert cur2 == {(1, 0), (1, 1), (1, 2), (3, 77), (2, 99)}
     # day2 shares day1's untouched cells in turn
     assert inodes("v_day2", "k=1") == day1_k1
+
+
+def test_publish_lock_lease_expiry_steals_recycled_pid(
+    spark, tmp_path, monkeypatch
+):
+    """Round-14 advice item 2 (the pid-reuse residual, closed): a
+    lock whose pid probes LIVE but whose mtime exceeds the lease TTL
+    is adjudicated dead and stolen — a recycled pid (or unreaped
+    zombie) can no longer wedge the table until force_unlock. A
+    fresh-mtime live-foreign lock still refuses fast."""
+    import time as _time
+
+    import pytest
+
+    from innercircle_etl_spark.operators.versioned_table import (
+        PublishContention,
+        current_version,
+        publish_version,
+    )
+
+    table = str(tmp_path / "vt")
+    df = spark.range(5).selectExpr("id", "id AS v")
+    publish_version(df, table, "day0")
+    lock = os.path.join(table, ".publish.lock")
+
+    monkeypatch.setenv("SPARK_GRAFT_PUBLISH_LEASE_SEC", "5")
+    # pid 1 is alive-and-foreign forever — the recycled-pid shape.
+    # Fresh mtime: the lease protects it -> contention.
+    with open(lock, "w") as f:
+        f.write("1\n")
+    with pytest.raises(PublishContention, match="lease fresh"):
+        publish_version(df, table, "day1")
+    # Aged past the ttl: no heartbeat ever landed, so the holder is
+    # dead no matter what os.kill says -> stolen, publish succeeds.
+    old = _time.time() - 60
+    os.utime(lock, (old, old))
+    publish_version(df, table, "day1")
+    assert current_version(table) == "v_day1"
+    assert not os.path.exists(lock)
+
+
+def test_publish_lock_acquire_deadline_bounds_stuck_claimant(
+    spark, tmp_path, monkeypatch
+):
+    """Round-14 advice item 1: a LIVE steal-token claimant that is
+    stuck mid-steal used to spin the acquirer in the 0.05 s yield
+    loop forever; acquisition is now wall-clock bounded and raises
+    PublishContention — fail fast, uniformly."""
+    import subprocess
+    import time as _time
+
+    import pytest
+
+    from innercircle_etl_spark.operators.versioned_table import (
+        PublishContention,
+        current_version,
+        publish_version,
+    )
+
+    table = str(tmp_path / "vt")
+    df = spark.range(5).selectExpr("id", "id AS v")
+    publish_version(df, table, "day0")
+    lock = os.path.join(table, ".publish.lock")
+
+    # dead holder (steal is warranted) + the steal token for THIS
+    # incarnation held by a live, never-finishing claimant (pid 1)
+    p = subprocess.Popen(["true"])
+    p.wait()
+    with open(lock, "w") as f:
+        f.write(f"{p.pid}\n")
+    with open(f"{lock}.steal.{os.stat(lock).st_ino}", "w") as f:
+        f.write("1\n")
+
+    monkeypatch.setenv("SPARK_GRAFT_PUBLISH_ACQUIRE_SEC", "0.4")
+    t0 = _time.monotonic()
+    with pytest.raises(PublishContention, match="did not converge"):
+        publish_version(df, table, "day1")
+    assert _time.monotonic() - t0 < 5.0  # bounded, not forever
+    assert current_version(table) == "v_day0"  # nothing flipped
+
+
+def test_publish_heartbeat_keeps_lease_fresh_and_release_is_owned(
+    spark, tmp_path, monkeypatch
+):
+    """The lease's other half: a LIVE holder heartbeats the lock's
+    mtime every ttl/4, so an arbitrarily long stage write never ages
+    out of its own lease. And the release is inode-verified: if the
+    lock on disk is no longer ours (a thief replaced it after a
+    lease expiry), the finally-block must NOT remove the thief's
+    lock."""
+    import time as _time
+
+    from innercircle_etl_spark.operators.versioned_table import (
+        _publish_with,
+        current_version,
+    )
+
+    table = str(tmp_path / "vt")
+    os.makedirs(table)
+    lock = os.path.join(table, ".publish.lock")
+    monkeypatch.setenv("SPARK_GRAFT_PUBLISH_LEASE_SEC", "0.4")
+
+    ages = []
+
+    def slow_stage(vdir, prev_dir):
+        _time.sleep(1.3)  # > 3 lease TTLs
+        ages.append(_time.time() - os.stat(lock).st_mtime)
+        os.makedirs(vdir)
+        with open(os.path.join(vdir, "part-0"), "w") as f:
+            f.write("x")
+
+    _publish_with(table, "day0", 1, slow_stage)
+    assert current_version(table) == "v_day0"
+    assert ages[0] < 0.4, f"heartbeat did not land: age {ages[0]}"
+    assert not os.path.exists(lock)
+
+    # theft simulation: mid-publish the lock is replaced by a
+    # different inode (a thief's). Release must leave it in place.
+    def stolen_stage(vdir, prev_dir):
+        # allocate the thief's inode while ours still exists (a bare
+        # remove+create can get the SAME inode back from the fs)
+        thief = lock + ".thief"
+        with open(thief, "w") as f:
+            f.write("1\n")
+        assert os.stat(thief).st_ino != os.stat(lock).st_ino
+        os.replace(thief, lock)
+        os.makedirs(vdir)
+        with open(os.path.join(vdir, "part-0"), "w") as f:
+            f.write("x")
+
+    _publish_with(table, "day1", 1, stolen_stage)
+    assert current_version(table) == "v_day1"
+    assert os.path.exists(lock), "release removed a lock it lost"
+    with open(lock) as f:
+        assert f.read().strip() == "1"
+    os.remove(lock)
+
+
+def test_hive_unescape_decodes_multibyte_utf8(spark, tmp_path):
+    """Round-14 advice item 3: %XX runs decode as UTF-8 BYTES. A
+    per-byte percent-escaping writer (Hive proper, some external
+    tools) renders 'café' as caf%C3%A9; chr()-per-escape decoded
+    that to mojibake and the drop verb silently skipped the
+    partition. ASCII escapes and raw names are unchanged."""
+    from innercircle_etl_spark.operators.atomic_swap import (
+        _hive_unescape,
+        drop_partitions_atomic,
+    )
+
+    assert _hive_unescape("caf%C3%A9") == "café"
+    assert _hive_unescape("a%20b") == "a b"
+    assert _hive_unescape("c%2Fd") == "c/d"
+    assert _hive_unescape("plain") == "plain"
+    assert _hive_unescape("100%25") == "100%"
+
+    # a table whose 'café' cell was written per-byte-escaped by an
+    # external writer: the kill-list names the VALUE and must drop it
+    path = str(tmp_path / "t")
+    for d in ("k=caf%C3%A9", "k=plain"):
+        os.makedirs(os.path.join(path, d))
+        with open(os.path.join(path, d, "part-0.parquet"), "w") as f:
+            f.write("")
+    drop_partitions_atomic(path, "k", ["café"])
+    left = sorted(d for d in os.listdir(path) if d.startswith("k="))
+    assert left == ["k=plain"], left
+
+
+def test_linked_publish_refuses_schema_drift(spark, tmp_path):
+    """Round-14 advice item 4: a linked publish whose changed frame's
+    non-partition (name, type) set drifted from the previous version
+    would create a version with MIXED cell schemas — failing (or
+    silently nulling) only at read time. It must fail loud at stage
+    time, pointer untouched, staged dir cleaned. The partition
+    column's own type is exempt (its read-back type is dir-name
+    inference) and a same-schema publish still works."""
+    import pytest
+
+    from innercircle_etl_spark.operators.versioned_table import (
+        current_version,
+        publish_version,
+        publish_version_linked,
+    )
+
+    table = str(tmp_path / "vt")
+    df0 = spark.createDataFrame(
+        [(k, i) for k in (1, 2) for i in range(3)], "k INT, v INT"
+    )
+    publish_version(df0, table, "day0", partition_by="k")
+
+    # type drift: v INT -> v STRING
+    with pytest.raises(ValueError, match="schema drifted"):
+        publish_version_linked(
+            spark.createDataFrame([(2, "99")], "k INT, v STRING"),
+            table,
+            "day1",
+            "k",
+        )
+    # column drift: renamed payload column
+    with pytest.raises(ValueError, match="schema drifted"):
+        publish_version_linked(
+            spark.createDataFrame([(2, 99)], "k INT, v2 INT"),
+            table,
+            "day1",
+            "k",
+        )
+    assert current_version(table) == "v_day0"  # pointer untouched
+    assert not os.path.exists(os.path.join(table, "v_day1"))  # cleaned
+
+    # same non-partition schema, partition col typed LONG in the
+    # frame (dir-name inference reads it back INT): exempt, succeeds
+    ok = spark.createDataFrame([(2, 99)], "k INT, v INT").selectExpr(
+        "CAST(k AS BIGINT) AS k", "v"
+    )
+    publish_version_linked(ok, table, "day1", "k")
+    assert current_version(table) == "v_day1"
