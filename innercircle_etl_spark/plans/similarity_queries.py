@@ -3169,6 +3169,110 @@ def ann_index_cellpart_delete(
     return _index_manifest(final, cent)
 
 
+@register("ann_index_versioned_delete", oracle=_DEL_ORACLE)
+def ann_index_versioned_delete(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The kill-list applied AS A LINKED VERSION PUBLISH — the last
+    cell of the {batch, stream, versioned} x {update, delete} matrix
+    (round-14 verdict item 2): GDPR deletion with reader atomicity,
+    time travel, and zero-copy untouched cells, in one verb.
+
+    The delete discipline is ``ann_index_cellpart_delete``'s exactly
+    (same kill mix: the vec_id % 100 == 7 id list + the cid == 13
+    whole-cell purge; same O(kill) broadcast argmax against the
+    LOADED codebook; same pruned read of only the kill-touched
+    cells; same anti-join), but the apply step is a single
+    ``publish_version_linked``: the rewritten survivor cells ship in
+    ``df_changed``, the purged cell AND any cell the kill-list
+    emptied ship in ``dropped``, and every untouched cell is
+    HARDLINKED from v_day0 (zero data bytes). What that buys over
+    the in-place form:
+
+    * reader atomicity — the delete becomes visible at one pointer
+      flip; a reader mid-scan of v_day0 keeps a complete immutable
+      dir under its feet (the in-place form swaps cell dirs one at a
+      time, so a concurrent multi-cell scan can see cell A deleted
+      and cell B not yet).
+    * time travel — v_day0 is RETAINED one publish deep, so the
+      pre-delete index stays readable (``read_version``) for
+      audit/rollback until retention sweeps it; the killed ids are
+      still servable from the snapshot, gone from CURRENT (pinned by
+      test_versioned_delete_time_travel_and_zero_copy).
+    * crash safety by inheritance — a crash mid-stage leaves an
+      orphan dir of names; the pointer, the live version, and every
+      shared inode are untouched.
+
+    Oracle: the full rebuild FROM THE SURVIVORS (``_DEL_ORACLE``,
+    verbatim from the in-place delete) — linked versioned delete ==
+    in-place delete == rebuild-from-survivors, hash-exactly.
+
+    Scale: O(kill) assignment + O(touched-cell bytes) rewrite +
+    O(cells) driver metadata for the links — never a corpus pass,
+    never an index-wide copy. On S3 the links are manifest entries
+    naming shared objects, so this is the Delta/Iceberg DELETE
+    shape (copy-on-write at partition grain) reduced to POSIX.
+
+    Reference parity: beyond-reference (north-star extension);
+    in-place twin: ann_index_cellpart_delete; versioned-update twin:
+    ann_index_versioned_cellpart_update."""
+    from innercircle_etl_spark.operators.versioned_table import (
+        publish_version,
+        publish_version_linked,
+        read_current,
+    )
+
+    base = _scratch_base(sf_dir, "hn_ivf_vdel")
+    e, _ = _hn_frames(spark, sf_dir)
+    cent_built = _hn_centroids(e)
+    idx = _persisted_index(spark, f"{base}/aux", {"centroids": cent_built})
+    cent = idx["centroids"]
+    table = f"{base}/assign"
+    cast_cols = [
+        "vec_id", "label", "v", F.col("cid").cast("long").alias("cid")
+    ]
+    publish_version(
+        _hn_ivf_assign(e, cent), table, "day0", partition_by="cid"
+    )
+    # O(kill) cell location: broadcast argmax of ONLY the kill batch
+    # against the loaded codebook (fixed codebook -> same argmax ->
+    # same cell as the stored row)
+    kill_assign = (
+        _hn_ivf_assign(
+            e.filter(F.col("vec_id") % _DEL_MOD == _DEL_REM), cent
+        )
+        .select("vec_id", F.col("cid").cast("long").alias("cid"))
+        .localCheckpoint(eager=True)
+    )
+    id_cells = sorted(
+        r.cid for r in kill_assign.select("cid").distinct().collect()
+    )
+    rewrite_cells = [c for c in id_cells if c != _DEL_CELL]
+    # pruned read of ONLY the kill-touched cells of the LIVE
+    # (immutable) version; anti-join the kills out
+    survivors = (
+        read_current(spark, table)
+        .filter(F.col("cid").isin(rewrite_cells))
+        .select(*cast_cols)
+        .join(
+            F.broadcast(kill_assign.select("vec_id")),
+            "vec_id",
+            "left_anti",
+        )
+        .localCheckpoint(eager=True)
+    )
+    kept_cells = {
+        r.cid for r in survivors.select("cid").distinct().collect()
+    }
+    emptied = [c for c in rewrite_cells if c not in kept_cells]
+    # ONE publish: survivors rewrite their cells, purged+emptied
+    # cells drop, every untouched cell hardlinks from v_day0
+    publish_version_linked(
+        survivors, table, "day1", "cid", dropped=[*emptied, _DEL_CELL]
+    )
+    return _index_manifest(read_current(spark, table), cent)
+
+
 # --------------------------- ep13: contrastive pair construction
 
 _EP13_ANCHORS = 20  # fixed anchor-doc batch (the hard-negatives lesson)

@@ -963,3 +963,76 @@ def test_linked_publish_refuses_schema_drift(spark, tmp_path):
     )
     publish_version_linked(ok, table, "day1", "k")
     assert current_version(table) == "v_day1"
+
+
+def test_versioned_delete_time_travel_and_zero_copy(spark, sf_dir):
+    """ann_index_versioned_delete (round-14 verdict item 2): the
+    kill-list applied as ONE linked publish. Pins the three claims
+    that distinguish it from the in-place delete: (1) time travel —
+    the retained pre-delete version still serves the killed ids and
+    the purged cell while CURRENT serves neither; (2) zero-copy —
+    every untouched cell's files in v_day1 are the SAME INODES as
+    v_day0's (hardlinks); (3) the purged cell's dir is absent from
+    v_day1 and intact in v_day0."""
+    import os
+
+    from innercircle_etl_spark.operators.versioned_table import (
+        read_current,
+        read_version,
+        versions,
+    )
+    from innercircle_etl_spark.plans import QUERIES
+    from innercircle_etl_spark.plans.similarity_queries import (
+        _DEL_CELL,
+        _DEL_MOD,
+        _DEL_REM,
+    )
+
+    QUERIES["ann_index_versioned_delete"](spark, sf_dir).collect()
+    scratch = os.environ.get("SPARK_GRAFT_SCRATCH", "/root/repo/.scratch")
+    table = (
+        f"{scratch}/hn_ivf_vdel_"
+        f"{os.path.basename(sf_dir.rstrip('/'))}/assign"
+    )
+    assert versions(table) == ["v_day1", "v_day0"]
+
+    kill = F.col("vec_id") % _DEL_MOD == _DEL_REM
+    pre = read_version(spark, table, "day0")
+    assert pre.filter(kill).count() > 0  # snapshot: killed ids live
+    assert pre.filter(F.col("cid") == _DEL_CELL).count() > 0
+    cur = read_current(spark, table)
+    assert cur.filter(kill).count() == 0  # CURRENT: gone
+    assert cur.filter(F.col("cid") == _DEL_CELL).count() == 0
+
+    killed_cells = {
+        r.cid for r in pre.filter(kill).select("cid").distinct().collect()
+    } | {_DEL_CELL}
+
+    def inodes(v, cell):
+        d = os.path.join(table, v, cell)
+        return sorted(
+            os.stat(os.path.join(d, f)).st_ino for f in os.listdir(d)
+        )
+
+    assert not os.path.exists(
+        os.path.join(table, "v_day1", f"cid={_DEL_CELL}")
+    )
+    assert os.path.isdir(os.path.join(table, "v_day0", f"cid={_DEL_CELL}"))
+
+    shared = fresh = 0
+    for entry in os.listdir(os.path.join(table, "v_day0")):
+        if not entry.startswith("cid="):
+            continue
+        cid = int(entry.split("=", 1)[1])
+        if cid in killed_cells:
+            if os.path.exists(os.path.join(table, "v_day1", entry)):
+                assert not set(inodes("v_day1", entry)) & set(
+                    inodes("v_day0", entry)
+                ), f"touched cell {entry} not freshly written"
+                fresh += 1
+        else:
+            assert inodes("v_day1", entry) == inodes("v_day0", entry), (
+                f"untouched cell {entry} was copied, not linked"
+            )
+            shared += 1
+    assert shared > 0 and fresh > 0, (shared, fresh)
