@@ -60,97 +60,22 @@ def entry(spark: SparkSession) -> DataFrame:
 # not listed (or not yet registered) keep registration order at the
 # end — the list is advisory, never a filter.
 _PRIORITY = [
-    # ================= ROUND-14 WINDOW: standing freshness rotation
-    # (round-10 verdict item 1). 199 registered queries (195 at
-    # round-13 close + this round's FOUR registrations: the
-    # partition-grain index DELETE, the production RAG bucketed
-    # path, the streaming kill-list delete, and the hardlink-shared
-    # versioned partition-grain update) rotate through a 50-slot
-    # driver window; after round 13 the newest-green histogram is
-    # r10x45 / r11x50 / r12x50 / r13x50 (recomputed from
-    # CORRECTNESS_r01..r13 at round-14 start — matches the r13
-    # verdict). This window: positions 1-45 = ALL 45 r10-stale
-    # rows (alphabetical block order from the r13 pool), 46-49 =
-    # this round's new registrations, 50 = the first row of the
-    # r11 block. After this round no registry row's newest green
-    # is older than r11; the 49 remaining r11 rows lead round 15.
-    # ---- 1-45: the r10 block ----
-    "a3_sum_min_max_avg",
-    "a4_scalar_subquery",
-    "a6_having",
-    "a7_conditional_agg",
-    "ann_hard_negatives_ann",
-    "ann_sq_adc",
-    "dedup_incremental_minhash",
-    "dedup_ngram_jaccard_w5",
-    "ep13_contrastive_pairs_ann",
-    "ep1_daily_pipeline",
-    "f7_array_hof",
-    "graph_pagerank3",
-    "graph_triangles",
-    "graph_triangles_sampled",
-    "mm_av_frame_sample_udtf",
-    "p12_null_safe_eq",
-    "q2_column_profile",
-    "q4_key_skew_report",
-    "q5_referential_integrity",
-    "s12_corrupt_records",
-    "s13_compaction",
-    "s14_orc_roundtrip",
-    "s15_partitioned_db_pull",
-    "samp_epoch_shuffle",
-    "samp_stratified_hash",
-    "samp_weighted_resample",
-    "seq_event_assembly",
-    "t4_pivot",
-    "t5_unpivot",
-    "text_boilerplate_scrub",
-    "text_chunk_windows",
-    "text_decontaminate",
-    "text_mix_weights",
-    "text_oov_quality",
-    "text_pack_shards",
-    "text_pii_scrub",
-    "text_tfidf_terms",
-    "text_train_eval_split",
-    "w10_twap",
-    "w11_cohort_retention",
-    "w13_ewma",
-    "w6_gap_fill_ffill",
-    "w7_rolling_7day",
-    "w8_day_over_day",
-    "w9_ntile_deciles",
-    # ---- 46-47: NEW this round (first driver proof): the
-    # partition-grain index DELETE — kill-list tombstones at cell
-    # grain (id kills rewrite only their cells via pruned read +
-    # anti-join; a whole-cell purge drops the dir in O(1) without
-    # reading it; untouched cells byte-identical by test; oracle =
-    # full rebuild from the survivors) — the one lifecycle verb
-    # round 13 was missing (r13 verdict item 2) ----
-    "ann_index_cellpart_delete",
-    # ... and the production RAG path as its own registered row —
-    # the round-14 self-review found the ep10 sf10 demotions left
-    # the bucketed production path with no registered sf10 control;
-    # rag_ann_production (plane count at its 100x setting, no exact
-    # leg) closes that hole and runs at every sweep tier ----
-    "rag_ann_production",
-    # ... and the streaming kill-list delete — the checkpointed
-    # landing-zone analog of the batch delete (naturally idempotent:
-    # a replayed kill file leaves the index files BYTE-identical,
-    # pinned by test) ----
-    "ann_index_stream_delete",
-    # ... and the hardlink-shared versioned partition-grain update —
-    # publish_version_linked stages a new version by hardlinking
-    # every untouched cell from the previous one (zero data bytes)
-    # and writing only the touched cells, fixing the versioned
-    # form's full-rewrite-per-publish cost (inode witness by test) --
-    "ann_index_versioned_cellpart_update",
-    # ---- 50: the first row of the r11 block (all 50 r11 rows are
-    # equally stale; alphabetical block order, continued at the
-    # head of the round-15 pool below) ----
-    "a11_two_phase_agg",
-    # ---- rotation pool (advisory order; past the 50-slot window).
-    # Round-15 leads here: a15-a17 + the 46 remaining r11 rows ----
+    # ================= ROUND-15 WINDOW: standing freshness rotation
+    # (round-10 verdict item 1). 201 registered queries (199 at
+    # round-14 close + this round's TWO registrations: the versioned
+    # DELETE composition and the production-plane-count multiprobe
+    # scale control) rotate through the 50-slot driver window; after
+    # round 14 the newest-green histogram is r11x49 / r12x50 /
+    # r13x50 / r14x50 (recomputed from CORRECTNESS_r01..r14 at
+    # round-15 start — matches the r14 verdict). This window,
+    # exactly as the r14 verdict item 1 prescribes: positions 1-49 =
+    # ALL 49 r11-stale rows (alphabetical block order), 50 = the
+    # round's headline registration. After this round no registry
+    # row's newest DRIVER green is older than r12; the second r15
+    # registration (dedup_embedding_multiprobe_scaled, locally
+    # oracle-verified at three SFs) heads the round-16 pool together
+    # with the r12 block.
+    # ---- 1-49: the r11 block ----
     "a15_cms_heavy_hitters",
     "a16_hll_mergeable_rollup",
     "a17_sketch_set_intersection",
@@ -200,7 +125,17 @@ _PRIORITY = [
     "w4b_global_rank_scalable",
     "x11_salted_skew_join",
     "x_bucketed_colocated_join",
-    # ---- then the r12 block ----
+    # ---- 50: NEW this round (first driver proof): the kill-list
+    # applied as ONE linked version publish — GDPR delete with
+    # reader atomicity, time travel (pre-delete version retained and
+    # readable), and zero-copy untouched cells; closes the last cell
+    # of the {batch, stream, versioned} x {update, delete} matrix
+    # (r14 verdict item 2) ----
+    "ann_index_versioned_delete",
+    # ---- rotation pool (advisory order; past the 50-slot window).
+    # Round-16 leads here: the round's second registration, then
+    # the r12 block (all equally stale; alphabetical) ----
+    "dedup_embedding_multiprobe_scaled",
     "ann_hard_negatives",
     "ann_hard_negatives_persisted",
     "ann_index_incremental_update",

@@ -905,14 +905,19 @@ def _emb_multiprobe_corpus(emb: DataFrame) -> DataFrame:
     return base.unionByName(perturbed)
 
 
-def _margin_keyed(corpus: DataFrame) -> DataFrame:
+def _margin_keyed(
+    corpus: DataFrame, n_planes: int = _EMB_PLANES
+) -> DataFrame:
     """Shared builder: (vec_id, v, mask, base, bucket) under the
-    module's 16-plane family — per-plane uncertainty mask (planes
-    whose |projection| <= the derived perturbation margin), the
-    certain-plane base bucket, and the exact sign bucket. Used by
-    dedup_embedding_multiprobe (symmetric self-join) and
-    decon_semantic_embeddings (asymmetric train-vs-eval probe)."""
-    planes = V.hyperplane_weights(_EMB_PLANES, _EMB_DIM)
+    module's hyperplane family (default 16 planes) — per-plane
+    uncertainty mask (planes whose |projection| <= the derived
+    perturbation margin), the certain-plane base bucket, and the
+    exact sign bucket. Used by dedup_embedding_multiprobe
+    (symmetric self-join), its production-plane-count scaled twin,
+    and decon_semantic_embeddings (asymmetric train-vs-eval probe).
+    The margin-probe losslessness argument is plane-count-free, so
+    ``n_planes`` is purely the bucket-granularity knob."""
+    planes = V.hyperplane_weights(n_planes, _EMB_DIM)
     margins = _emb_margins(planes)
     mask, base = None, None
     for p, (w, m) in enumerate(zip(planes, margins)):
@@ -933,13 +938,15 @@ def _margin_keyed(corpus: DataFrame) -> DataFrame:
     )
 
 
-def _margin_probes(keyed: DataFrame) -> DataFrame:
+def _margin_probes(
+    keyed: DataFrame, n_planes: int = _EMB_PLANES
+) -> DataFrame:
     """Shared builder: (pid, probe) — every sign-completion of a
     vector's uncertain planes over its certain-plane base bucket.
     Lossless for the derived-margin perturbation class: a flipped
     plane's projection necessarily lands within the margin, so the
     enumeration contains the partner's bucket."""
-    pow_lits = ", ".join(f"{1 << p}L" for p in range(_EMB_PLANES))
+    pow_lits = ", ".join(f"{1 << p}L" for p in range(n_planes))
     return (
         keyed.withColumn(
             "powers",
@@ -993,14 +1000,30 @@ def dedup_embedding_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: expected probes/vector = prod_p (1 + P(|proj_p| <=
     margin_p)) ~= 3-4 here (eps tunes it); the join stays keyed on
     the bucket value — same shuffle as the single-bucket form, just a
-    slightly fatter probe side. No all-pairs anything."""
+    slightly fatter probe side. No all-pairs anything. The FIXED
+    16-plane bucket count makes within-bucket pairs quadratic in
+    corpus size (documented at SCALE.md round-9); the plane count is
+    the corpus-size knob, and dedup_embedding_multiprobe_scaled
+    below registers it at its 100x setting — the rag_ann_production
+    pattern."""
+    return _multiprobe_pairs(spark, sf_dir, _EMB_PLANES)
+
+
+def _multiprobe_pairs(
+    spark: SparkSession, sf_dir: str, n_planes: int
+) -> DataFrame:
+    """The margin-multiprobe near-dup plan at a given plane count.
+    Output is plane-count-INVARIANT: candidates are a (lossless)
+    superset at any n_planes and the exact cosine verify filters
+    them to the same >= 0.99 pair set, so both registered forms
+    share one all-pairs oracle hash-exactly."""
     emb = load(spark, sf_dir, "embeddings")
     corpus = _emb_multiprobe_corpus(emb)
 
-    keyed = _margin_keyed(corpus).cache()
+    keyed = _margin_keyed(corpus, n_planes).cache()
     keyed.count()  # eager: probe + exact sides share this cache
 
-    probes = _margin_probes(keyed)
+    probes = _margin_probes(keyed, n_planes)
     exact = keyed.select(
         F.col("vec_id").alias("eid"), F.col("bucket"), F.col("v").alias("ev")
     )
@@ -1025,6 +1048,42 @@ def dedup_embedding_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cos") >= 0.99)
     )
+
+
+_EMB_PROD_PLANES = 24  # the corpus-size knob at its 100x setting:
+# within-bucket candidate pairs scale ~n^2/2^planes, so a 100x corpus
+# wants ~log2(100^2) ~ 13 more planes to hold per-bucket density;
+# +8 planes (2^24 buckets) covers the sf10 sweep fixture with margin
+# while the probe fan-out grows only ~(1+q)^8 (q = per-plane
+# uncertainty probability — measured ~9 -> ~25 probes/vector here)
+
+
+@register("dedup_embedding_multiprobe_scaled", oracle=_EMB_MP_ORACLE)
+def dedup_embedding_multiprobe_scaled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """dedup_embedding_multiprobe at the PRODUCTION plane count —
+    the registered scale control for the fixed-16-plane form's
+    documented sf10 budget edge (round-14 verdict item 3; the
+    rag_ann_production pattern): the 2^16-bucket form's within-
+    bucket pairs grow quadratically with corpus size, and the plane
+    count is the granularity knob, so this row runs the SAME
+    margin-multiprobe plan at 24 planes (2^24 buckets) in every
+    sweep tier. Margin-probe losslessness is plane-count-free
+    (a flipped plane is sub-margin for both ends of a true pair by
+    the same projection-shift bound), so the exact verify yields the
+    IDENTICAL pair set and this row shares the all-pairs oracle
+    hash-exactly — the control carries the sf10 trend while the
+    16-plane form stays the cheap-fixture canary.
+
+    Scale: probes/vector grows ~(1+q)^8 over the base form while
+    bucket count grows 256x — per-bucket candidate density (the
+    quadratic term) drops ~256x for a ~3x fatter probe side. At a
+    real 100 TB corpus the plane count keeps following log2(n^2).
+
+    Reference parity: beyond-reference (north-star extension);
+    fixed-granularity twin: dedup_embedding_multiprobe."""
+    return _multiprobe_pairs(spark, sf_dir, _EMB_PROD_PLANES)
 
 
 # --------------------------------------------- minhash recall harness

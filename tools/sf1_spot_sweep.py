@@ -95,6 +95,19 @@ DEMOTED_AT_SF10 = {
         "same harness as ep10_rag_retrieval — the quadratic exact "
         "leg it diffs against dominates; control: rag_ann_production"
     ),
+    # Round-15 (r14 verdict item 3): the closest row to the sf10
+    # watchdog budget (281.9 s of 300 s in the r14 sweep) — FIXED
+    # 2^16 buckets make within-bucket pairs quadratic in corpus size
+    # (SCALE.md round-9; the plane count is the granularity knob).
+    "dedup_embedding_multiprobe": (
+        "fixed 2^16-bucket quadratic at 281.9 s of the 300 s budget "
+        "(r14 sweep) — one fixture bump tips it; control: "
+        "dedup_embedding_multiprobe_scaled (the SAME margin-"
+        "multiprobe plan at the production 24-plane setting, "
+        "hash-exact against the same all-pairs oracle, green at "
+        "sf10) carries the trend — run the 16-plane exact canary "
+        "when dedup_queries.py changed or when named explicitly"
+    ),
 }
 
 
