@@ -61,20 +61,21 @@ def entry(spark: SparkSession) -> DataFrame:
 # end — the list is advisory, never a filter.
 _PRIORITY = [
     # ================= ROUND-15 WINDOW: standing freshness rotation
-    # (round-10 verdict item 1). 201 registered queries (199 at
-    # round-14 close + this round's TWO registrations: the versioned
-    # DELETE composition and the production-plane-count multiprobe
-    # scale control) rotate through the 50-slot driver window; after
+    # (round-10 verdict item 1). 202 registered queries (199 at
+    # round-14 close + this round's THREE registrations: the
+    # versioned DELETE composition, the production-plane-count
+    # multiprobe scale control, and the linked-compaction
+    # composition) rotate through the 50-slot driver window; after
     # round 14 the newest-green histogram is r11x49 / r12x50 /
     # r13x50 / r14x50 (recomputed from CORRECTNESS_r01..r14 at
     # round-15 start — matches the r14 verdict). This window,
     # exactly as the r14 verdict item 1 prescribes: positions 1-49 =
     # ALL 49 r11-stale rows (alphabetical block order), 50 = the
     # round's headline registration. After this round no registry
-    # row's newest DRIVER green is older than r12; the second r15
-    # registration (dedup_embedding_multiprobe_scaled, locally
-    # oracle-verified at three SFs) heads the round-16 pool together
-    # with the r12 block.
+    # row's newest DRIVER green is older than r12; the other r15
+    # registrations (dedup_embedding_multiprobe_scaled and
+    # ann_index_versioned_compact, locally oracle-verified at three
+    # SFs + vanilla) head the round-16 pool with the r12 block.
     # ---- 1-49: the r11 block ----
     "a15_cms_heavy_hitters",
     "a16_hll_mergeable_rollup",
@@ -136,6 +137,7 @@ _PRIORITY = [
     # Round-16 leads here: the round's second registration, then
     # the r12 block (all equally stale; alphabetical) ----
     "dedup_embedding_multiprobe_scaled",
+    "ann_index_versioned_compact",
     "ann_hard_negatives",
     "ann_hard_negatives_persisted",
     "ann_index_incremental_update",

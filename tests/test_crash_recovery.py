@@ -1036,3 +1036,73 @@ def test_versioned_delete_time_travel_and_zero_copy(spark, sf_dir):
             )
             shared += 1
     assert shared > 0 and fresh > 0, (shared, fresh)
+
+
+def test_versioned_compact_keeps_unfragmented_cells_shared(spark, sf_dir):
+    """ann_index_versioned_compact (r14 verdict stretch item 6):
+    compaction published as a linked version. Pins: (1) the append
+    version really fragmented its touched cells (>1 parquet file);
+    (2) the compacted version holds exactly ONE file in each
+    previously-fragmented cell; (3) every UNfragmented cell's files
+    in v_day2 are the SAME INODES as v_day1's (compaction moved zero
+    bytes for them); (4) v_day1 is retained and readable across the
+    compaction (time travel), with content equal to CURRENT's —
+    compaction changes layout, never content."""
+    import glob as g
+    import os
+
+    from innercircle_etl_spark.operators.versioned_table import (
+        read_current,
+        read_version,
+        versions,
+    )
+    from innercircle_etl_spark.plans import QUERIES
+
+    QUERIES["ann_index_versioned_compact"](spark, sf_dir).collect()
+    scratch = os.environ.get("SPARK_GRAFT_SCRATCH", "/root/repo/.scratch")
+    table = (
+        f"{scratch}/hn_ivf_vcomp_"
+        f"{os.path.basename(sf_dir.rstrip('/'))}/assign"
+    )
+    assert versions(table) == ["v_day2", "v_day1"], versions(table)
+
+    def files(v, cell):
+        return sorted(g.glob(os.path.join(table, v, cell, "*.parquet")))
+
+    def inodes(v, cell):
+        return sorted(os.stat(f).st_ino for f in files(v, cell))
+
+    frag = [
+        os.path.basename(d)
+        for d in g.glob(os.path.join(table, "v_day1", "cid=*"))
+        if len(g.glob(os.path.join(d, "*.parquet"))) > 1
+    ]
+    assert frag, "fixture produced no fragmentation — witness is vacuous"
+    shared = 0
+    for d in g.glob(os.path.join(table, "v_day2", "cid=*")):
+        cell = os.path.basename(d)
+        if cell in frag:
+            assert len(files("v_day2", cell)) == 1, (
+                f"{cell} not compacted: {files('v_day2', cell)}"
+            )
+            assert not set(inodes("v_day2", cell)) & set(
+                inodes("v_day1", cell)
+            ), f"{cell} was supposed to be rewritten"
+        else:
+            assert inodes("v_day2", cell) == inodes("v_day1", cell), (
+                f"unfragmented {cell} was copied, not linked"
+            )
+            shared += 1
+    assert shared > 0
+
+    cur = {
+        (r.vec_id, r.cid)
+        for r in read_current(spark, table).select("vec_id", "cid").collect()
+    }
+    pre = {
+        (r.vec_id, r.cid)
+        for r in read_version(spark, table, "day1")
+        .select("vec_id", "cid")
+        .collect()
+    }
+    assert cur == pre  # layout-only change
