@@ -191,10 +191,19 @@ def _hive_unescape(name: str) -> str:
     a Hive/external writer that percent-escapes per byte writes
     ``café`` as ``caf%C3%A9`` — chr()-per-escape would read that as
     mojibake (``caf\\xc3\\xa9``) and the drop/link verbs would
-    silently skip the partition. ``errors='strict'`` keeps garbage
-    loud: an escape run that is not valid UTF-8 cannot come from a
-    string partition value, so it raises instead of guessing."""
-    return unquote(name, errors="strict")
+    silently skip the partition.
+
+    An escape run that is NOT valid UTF-8 (e.g. a latin-1 per-byte
+    escaper's ``caf%E9``) cannot come from a ``str(value)`` target,
+    so the entry is returned UNDECODED — it then matches a target
+    only by its literal escaped name. Raising instead (the first cut
+    used errors='strict') was wrong: these helpers run over EVERY
+    dir entry during membership tests, so one foreign dir would
+    abort drops/links of partitions it was never part of."""
+    try:
+        return unquote(name, errors="strict")
+    except UnicodeDecodeError:
+        return name
 
 
 def drop_partitions_atomic(

@@ -282,6 +282,13 @@ def _acquire_publish_lock(table: str) -> str:
                     f" churning) — failing fast per contract"
                 )
             try:
+                # refresh tmp's mtime first: the hardlink SHARES the
+                # inode, so the lock is born with tmp's timestamp —
+                # without this, a long contended acquire would link a
+                # lock that is already lease-aged and instantly
+                # stealable (review finding: the lease invariant is
+                # "mtime = acquisition/heartbeat time", establish it)
+                os.utime(tmp, None)
                 os.link(tmp, lock)  # atomic create WITH content
                 return lock
             except FileExistsError:
@@ -308,6 +315,7 @@ def _acquire_publish_lock(table: str) -> str:
             # incarnation (inode-keyed token, link-created)
             token = f"{lock}.steal.{st.st_ino}"
             try:
+                os.utime(tmp, None)  # token age gates OTHER claimants
                 os.link(tmp, token)
             except FileExistsError:
                 # another claimant owns this incarnation's steal; if
@@ -345,7 +353,11 @@ def _acquire_publish_lock(table: str) -> str:
                 except FileNotFoundError:
                     continue
                 if st2.st_ino == st.st_ino and raw2 == raw:
-                    os.remove(lock)
+                    try:
+                        os.remove(lock)
+                    except FileNotFoundError:
+                        pass  # released under us (resumed holder /
+                        # force_unlock) — re-loop and re-adjudicate
             finally:
                 try:
                     os.remove(token)
@@ -439,7 +451,13 @@ def _publish_with(table, tag, retain, stage_fn) -> str:
             # inode-verified release: if the lease expired under a
             # paused-but-alive us and someone stole the lock, the
             # file there is THEIRS — removing it would reopen the
-            # race the steal verification closed.
+            # race the steal verification closed. stat-then-remove is
+            # itself a (vanishingly narrow) TOCTOU: a holder paused
+            # once past the WHOLE ttl and then again for the exact
+            # stat-to-remove gap could still unlink a thief's fresh
+            # lock — the same no-fencing residual documented on
+            # _acquire_publish_lock, shrunk from "always" to that
+            # double-pause window; POSIX has no compare-and-unlink.
             if os.stat(lock).st_ino == lock_ino:
                 os.remove(lock)
         except FileNotFoundError:

@@ -3058,6 +3058,54 @@ _DEL_ID_ORACLE = _INC_UPDATE_ORACLE.replace(
 assert "WHERE NOT" in _DEL_ID_ORACLE  # replace anchor must hold
 
 
+def _kill_survivors(
+    e: DataFrame, cent: DataFrame, live: DataFrame
+) -> tuple[DataFrame, set, list]:
+    """The ONE copy of the kill-location pipeline the two registered
+    partition-grain DELETE forms share (round-15 self-review: the
+    versioned form had duplicated it verbatim, so the claimed
+    "discipline is the in-place form's exactly" was maintained by
+    copy-paste). Steps: the id kill-list (vec_id % _DEL_MOD ==
+    _DEL_REM, arriving WITH its vectors) is located O(kill) via
+    broadcast argmax against the LOADED codebook ``cent``; the
+    kill-touched cells (minus the _DEL_CELL whole-cell purge, whose
+    rows are never read) are read from ``live`` via a PRUNED
+    partition-filter scan; the kill ids are anti-joined out. Returns
+    ``(survivors, kept_cells, emptied_cells)`` — survivors eagerly
+    pinned (consumed by both the apply and the kept-cell census),
+    kept_cells the cids the apply must rewrite, emptied_cells the
+    rewrite cells the kill-list fully drained (they take the drop
+    path). All collects are kill-batch-bounded."""
+    kill_assign = (
+        _hn_ivf_assign(
+            e.filter(F.col("vec_id") % _DEL_MOD == _DEL_REM), cent
+        )
+        .select("vec_id", F.col("cid").cast("long").alias("cid"))
+        .localCheckpoint(eager=True)
+    )
+    id_cells = sorted(
+        r.cid for r in kill_assign.select("cid").distinct().collect()
+    )
+    rewrite_cells = [c for c in id_cells if c != _DEL_CELL]
+    survivors = (
+        live.filter(F.col("cid").isin(rewrite_cells))
+        .select(
+            "vec_id", "label", "v", F.col("cid").cast("long").alias("cid")
+        )
+        .join(
+            F.broadcast(kill_assign.select("vec_id")),
+            "vec_id",
+            "left_anti",
+        )
+        .localCheckpoint(eager=True)
+    )
+    kept_cells = {
+        r.cid for r in survivors.select("cid").distinct().collect()
+    }
+    emptied = [c for c in rewrite_cells if c not in kept_cells]
+    return survivors, kept_cells, emptied
+
+
 @register("ann_index_cellpart_delete", oracle=_DEL_ORACLE)
 def ann_index_cellpart_delete(
     spark: SparkSession, sf_dir: str
@@ -3129,41 +3177,12 @@ def ann_index_cellpart_delete(
     )
     apath = f"{base}/assign"
     cent = idx["centroids"]
-    # locate the id kills' cells: O(kill) broadcast argmax against
-    # the LOADED codebook, pinned eagerly (consumed twice: the
-    # touched-cell collect + the anti-join)
-    kill_assign = (
-        _hn_ivf_assign(
-            e.filter(F.col("vec_id") % _DEL_MOD == _DEL_REM), cent
-        )
-        .select("vec_id", F.col("cid").cast("long").alias("cid"))
-        .localCheckpoint(eager=True)
+    # shared kill-location pipeline (one copy for both DELETE forms)
+    survivors, kept_cells, emptied = _kill_survivors(
+        e, cent, idx["assign"]
     )
-    id_cells = sorted(
-        r.cid for r in kill_assign.select("cid").distinct().collect()
-    )
-    # cells needing a ROW-level rewrite: the id kills' cells minus
-    # the purged cell (whose rows are never read — it drops whole)
-    rewrite_cells = [c for c in id_cells if c != _DEL_CELL]
-    survivors = (
-        idx["assign"]
-        .filter(F.col("cid").isin(rewrite_cells))
-        .select(
-            "vec_id", "label", "v", F.col("cid").cast("long").alias("cid")
-        )
-        .join(
-            F.broadcast(kill_assign.select("vec_id")),
-            "vec_id",
-            "left_anti",
-        )
-        .localCheckpoint(eager=True)
-    )
-    kept_cells = {
-        r.cid for r in survivors.select("cid").distinct().collect()
-    }
     if kept_cells:
         overwrite_partitions_atomic(survivors, apath, "cid", "celldel")
-    emptied = [c for c in rewrite_cells if c not in kept_cells]
     drop_partitions_atomic(apath, "cid", [*emptied, _DEL_CELL])
     final = spark.read.parquet(apath)
     return _index_manifest(final, cent)
@@ -3228,43 +3247,14 @@ def ann_index_versioned_delete(
     idx = _persisted_index(spark, f"{base}/aux", {"centroids": cent_built})
     cent = idx["centroids"]
     table = f"{base}/assign"
-    cast_cols = [
-        "vec_id", "label", "v", F.col("cid").cast("long").alias("cid")
-    ]
     publish_version(
         _hn_ivf_assign(e, cent), table, "day0", partition_by="cid"
     )
-    # O(kill) cell location: broadcast argmax of ONLY the kill batch
-    # against the loaded codebook (fixed codebook -> same argmax ->
-    # same cell as the stored row)
-    kill_assign = (
-        _hn_ivf_assign(
-            e.filter(F.col("vec_id") % _DEL_MOD == _DEL_REM), cent
-        )
-        .select("vec_id", F.col("cid").cast("long").alias("cid"))
-        .localCheckpoint(eager=True)
+    # shared kill-location pipeline against the LIVE (immutable)
+    # version — one copy for both DELETE forms (_kill_survivors)
+    survivors, _, emptied = _kill_survivors(
+        e, cent, read_current(spark, table)
     )
-    id_cells = sorted(
-        r.cid for r in kill_assign.select("cid").distinct().collect()
-    )
-    rewrite_cells = [c for c in id_cells if c != _DEL_CELL]
-    # pruned read of ONLY the kill-touched cells of the LIVE
-    # (immutable) version; anti-join the kills out
-    survivors = (
-        read_current(spark, table)
-        .filter(F.col("cid").isin(rewrite_cells))
-        .select(*cast_cols)
-        .join(
-            F.broadcast(kill_assign.select("vec_id")),
-            "vec_id",
-            "left_anti",
-        )
-        .localCheckpoint(eager=True)
-    )
-    kept_cells = {
-        r.cid for r in survivors.select("cid").distinct().collect()
-    }
-    emptied = [c for c in rewrite_cells if c not in kept_cells]
     # ONE publish: survivors rewrite their cells, purged+emptied
     # cells drop, every untouched cell hardlinks from v_day0
     publish_version_linked(

@@ -902,6 +902,10 @@ def test_hive_unescape_decodes_multibyte_utf8(spark, tmp_path):
     assert _hive_unescape("c%2Fd") == "c/d"
     assert _hive_unescape("plain") == "plain"
     assert _hive_unescape("100%25") == "100%"
+    # a NON-UTF-8 escape run (latin-1 per-byte writer) cannot come
+    # from a str(value) target: returned undecoded, never raising —
+    # one foreign dir must not abort drops of unrelated partitions
+    assert _hive_unescape("caf%E9") == "caf%E9"
 
     # a table whose 'café' cell was written per-byte-escaped by an
     # external writer: the kill-list names the VALUE and must drop it
