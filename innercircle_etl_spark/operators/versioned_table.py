@@ -243,16 +243,19 @@ def _acquire_publish_lock(table: str) -> str:
     the 0.05 s yield loop forever; now it raises PublishContention
     when the deadline passes — the fail-fast contract, uniformly.
 
-    Lease residual (inherent to every lease lock without fencing
-    tokens): a holder ALIVE but fully paused past the ttl (SIGSTOP,
-    a 15-minute GC) can be stolen from and later race the thief's
-    flip. The holder's release is inode-verified so it never removes
-    the thief's lock, and both flips are complete pointer states, so
-    the damage is bounded to last-writer-wins between two valid
-    versions — the full fix at scale is the object store's
-    conditional PUT with a fencing token, which this maps onto
-    directly. The ttl/heartbeat ratio (4 missed beats) makes the
-    window require a quarter-hour total process pause."""
+    Lease residual (inherent to every lease lock without atomic
+    fencing): a holder ALIVE but fully paused past the ttl (SIGSTOP,
+    a 15-minute GC) can be stolen from. Three independent checks
+    bound the damage: the holder's FLIP is fenced (it re-verifies
+    lock ownership by inode immediately before os.replace and raises
+    PublishContention instead of overwriting the thief's pointer),
+    its release is inode-verified (it never removes the thief's
+    lock), and the thief's steal is inode+content re-verified. What
+    remains is the stat-to-syscall instant inside each check — POSIX
+    has no compare-and-rename/unlink; the object store's conditional
+    PUT (ETag fencing) closes even that, and this maps onto it
+    directly. The ttl/heartbeat ratio (4 missed beats) makes any of
+    this require a quarter-hour total process pause first."""
     lock = os.path.join(table, _LOCK)
     me = os.getpid()
     tmp = f"{lock}.me.{me}"
@@ -435,6 +438,26 @@ def _publish_with(table, tag, retain, stage_fn) -> str:
             f.write("\n".join([vname, *keep_prev]) + "\n")
             f.flush()
             os.fsync(f.fileno())
+        # flip fencing: refuse to flip if the lease was lost while we
+        # staged (a holder paused past the ttl and stolen from must
+        # not overwrite the thief's pointer — its staged dir becomes
+        # an orphan the next publish sweeps). This shrinks the
+        # no-fencing residual to the instant between this stat and
+        # the os.replace; the conditional-PUT ETag is the object-
+        # store equivalent.
+        try:
+            if os.stat(lock).st_ino != lock_ino:
+                raise PublishContention(
+                    f"publish lock on {table} was lease-stolen while"
+                    f" staging v_{tag} — refusing to flip over the"
+                    f" new holder's work; retry the publish"
+                )
+        except FileNotFoundError:
+            raise PublishContention(
+                f"publish lock on {table} disappeared while staging"
+                f" v_{tag} (lease-stolen then released, or"
+                f" force_unlock) — refusing to flip; retry"
+            ) from None
         os.replace(tmp_ptr, os.path.join(table, _POINTER))
         # retention: keep the pointered set; sweep older/orphaned
         keep = {vname, *keep_prev}

@@ -865,7 +865,16 @@ def test_publish_heartbeat_keeps_lease_fresh_and_release_is_owned(
     assert not os.path.exists(lock)
 
     # theft simulation: mid-publish the lock is replaced by a
-    # different inode (a thief's). Release must leave it in place.
+    # different inode (a thief's). The FLIP must refuse (fencing:
+    # never overwrite the new holder's pointer), the pointer stays
+    # on day0, the staged dir is left as a next-publish-swept
+    # orphan, and the release leaves the thief's lock in place.
+    import pytest as _pytest
+
+    from innercircle_etl_spark.operators.versioned_table import (
+        PublishContention,
+    )
+
     def stolen_stage(vdir, prev_dir):
         # allocate the thief's inode while ours still exists (a bare
         # remove+create can get the SAME inode back from the fs)
@@ -878,12 +887,24 @@ def test_publish_heartbeat_keeps_lease_fresh_and_release_is_owned(
         with open(os.path.join(vdir, "part-0"), "w") as f:
             f.write("x")
 
-    _publish_with(table, "day1", 1, stolen_stage)
-    assert current_version(table) == "v_day1"
+    with _pytest.raises(PublishContention, match="lease-stolen"):
+        _publish_with(table, "day1", 1, stolen_stage)
+    assert current_version(table) == "v_day0"  # thief's view intact
+    assert os.path.isdir(os.path.join(table, "v_day1"))  # orphan,
+    # never pointered — the next publish's retention sweep takes it
     assert os.path.exists(lock), "release removed a lock it lost"
     with open(lock) as f:
         assert f.read().strip() == "1"
     os.remove(lock)
+    # the orphan is indeed swept by the next successful publish
+    def day2_stage(vdir, prev_dir):
+        os.makedirs(vdir)
+        with open(os.path.join(vdir, "part-0"), "w") as f:
+            f.write("y")
+
+    _publish_with(table, "day2", 1, day2_stage)
+    assert current_version(table) == "v_day2"
+    assert not os.path.exists(os.path.join(table, "v_day1"))
 
 
 def test_hive_unescape_decodes_multibyte_utf8(spark, tmp_path):
