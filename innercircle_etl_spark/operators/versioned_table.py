@@ -395,14 +395,35 @@ def _publish_with(table, tag, retain, stage_fn) -> str:
     os.makedirs(table, exist_ok=True)
     lock = _acquire_publish_lock(table)
     lock_ino = os.stat(lock).st_ino
+    me = os.getpid()
+
+    def _owns_lock() -> bool:
+        """Inode AND content ownership check (the same double check
+        the verified steal runs, for the same reason): a freed inode
+        can be RECYCLED by a later publisher's lock file, so an
+        inode-only check is ABA-vulnerable — a holder stolen from,
+        whose stolen lock's inode came back as a third publisher's,
+        would pass it and fence/heartbeat/release against foreign
+        state. Content (our pid) breaks the ABA: a recycled-inode
+        lock carries the other publisher's pid. (Writer THREADS in
+        one process share a pid and must self-serialize — the
+        documented concurrency contract.)"""
+        try:
+            if os.stat(lock).st_ino != lock_ino:
+                return False
+            with open(lock) as f:
+                return f.read().strip() == str(me)
+        except FileNotFoundError:
+            return False
+
     stop_beat = threading.Event()
 
     def _beat() -> None:
         ttl = _lease_ttl()
         while not stop_beat.wait(max(0.05, ttl / 4)):
+            if not _owns_lock():
+                return  # not our lock anymore — never refresh it
             try:
-                if os.stat(lock).st_ino != lock_ino:
-                    return  # not our lock anymore — never refresh it
                 os.utime(lock, None)
             except FileNotFoundError:
                 return
@@ -433,31 +454,27 @@ def _publish_with(table, tag, retain, stage_fn) -> str:
         # on POSIX. Lines 2+ are the new retained set.
         keep_prev = ([prev] if prev else []) + retained
         keep_prev = keep_prev[:retain]
+        # flip fencing BEFORE staging the pointer temp (a fenced-out
+        # publish must not leave a stale .CURRENT.tmp behind): refuse
+        # to flip if the lease was lost while we staged — a holder
+        # paused past the ttl and stolen from must not overwrite the
+        # thief's pointer; its staged dir becomes an orphan the next
+        # publish sweeps. Ownership = inode AND content (ABA-proof —
+        # see _owns_lock). This shrinks the no-fencing residual to
+        # the instant between this check and the os.replace; the
+        # conditional-PUT ETag is the object-store equivalent.
+        if not _owns_lock():
+            raise PublishContention(
+                f"publish lock on {table} was lease-stolen (or"
+                f" force-unlocked) while staging v_{tag} — refusing"
+                f" to flip over the new holder's work; retry the"
+                f" publish"
+            )
         tmp_ptr = os.path.join(table, f".{_POINTER}.tmp")
         with open(tmp_ptr, "w") as f:
             f.write("\n".join([vname, *keep_prev]) + "\n")
             f.flush()
             os.fsync(f.fileno())
-        # flip fencing: refuse to flip if the lease was lost while we
-        # staged (a holder paused past the ttl and stolen from must
-        # not overwrite the thief's pointer — its staged dir becomes
-        # an orphan the next publish sweeps). This shrinks the
-        # no-fencing residual to the instant between this stat and
-        # the os.replace; the conditional-PUT ETag is the object-
-        # store equivalent.
-        try:
-            if os.stat(lock).st_ino != lock_ino:
-                raise PublishContention(
-                    f"publish lock on {table} was lease-stolen while"
-                    f" staging v_{tag} — refusing to flip over the"
-                    f" new holder's work; retry the publish"
-                )
-        except FileNotFoundError:
-            raise PublishContention(
-                f"publish lock on {table} disappeared while staging"
-                f" v_{tag} (lease-stolen then released, or"
-                f" force_unlock) — refusing to flip; retry"
-            ) from None
         os.replace(tmp_ptr, os.path.join(table, _POINTER))
         # retention: keep the pointered set; sweep older/orphaned
         keep = {vname, *keep_prev}
@@ -471,17 +488,18 @@ def _publish_with(table, tag, retain, stage_fn) -> str:
         stop_beat.set()
         beater.join(timeout=2.0)
         try:
-            # inode-verified release: if the lease expired under a
+            # ownership-verified release (inode AND content — see
+            # _owns_lock): if the lease expired under a
             # paused-but-alive us and someone stole the lock, the
             # file there is THEIRS — removing it would reopen the
-            # race the steal verification closed. stat-then-remove is
-            # itself a (vanishingly narrow) TOCTOU: a holder paused
-            # once past the WHOLE ttl and then again for the exact
-            # stat-to-remove gap could still unlink a thief's fresh
-            # lock — the same no-fencing residual documented on
+            # race the steal verification closed. check-then-remove
+            # is itself a (vanishingly narrow) TOCTOU: a holder
+            # paused once past the WHOLE ttl and then again for the
+            # exact check-to-remove gap could still unlink a thief's
+            # fresh lock — the same no-fencing residual documented on
             # _acquire_publish_lock, shrunk from "always" to that
             # double-pause window; POSIX has no compare-and-unlink.
-            if os.stat(lock).st_ino == lock_ino:
+            if _owns_lock():
                 os.remove(lock)
         except FileNotFoundError:
             pass

@@ -2901,6 +2901,38 @@ def ann_index_versioned_cellpart_update(
     return _index_manifest(read_current(spark, table), cent)
 
 
+def _fragmented_cells(apath: str) -> list[int]:
+    """The ONE copy of the fragmentation census the two compaction
+    twins share (round-15 second-review finding — the versioned form
+    had duplicated it verbatim, the same maintained-by-copy-paste
+    hazard _kill_survivors closed for the DELETE twins): cell dirs
+    holding more than one parquet file. Driver-side O(cells)
+    filesystem metadata; at real scale this reads the table format's
+    file manifest instead of listdir."""
+    import glob as _glob
+    import os
+
+    return sorted(
+        int(os.path.basename(d).split("=", 1)[1])
+        for d in _glob.glob(f"{apath}/cid=*")
+        if len(_glob.glob(f"{d}/*.parquet")) > 1
+    )
+
+
+def _compact_frame(df: DataFrame, frag: list[int]) -> DataFrame:
+    """The fragmented cells' rows re-laid-out one-file-per-cell:
+    ``repartition(len(frag), "cid")`` puts each cid in one task so
+    partitionBy emits exactly one file per cell dir. Shared by both
+    compaction twins."""
+    return (
+        df.filter(F.col("cid").isin(frag))
+        .select(
+            "vec_id", "label", "v", F.col("cid").cast("long").alias("cid")
+        )
+        .repartition(len(frag), "cid")
+    )
+
+
 @register("ann_index_cellpart_compact", oracle=_INC_UPDATE_ORACLE)
 def ann_index_cellpart_compact(
     spark: SparkSession, sf_dir: str
@@ -2939,9 +2971,6 @@ def ann_index_cellpart_compact(
 
     Reference parity: beyond-reference (north-star extension);
     table-grain twin: plans/sources_queries.py s13_compaction."""
-    import glob as _glob
-    import os
-
     from innercircle_etl_spark.operators.atomic_swap import (
         overwrite_partitions_atomic,
     )
@@ -2983,25 +3012,15 @@ def ann_index_cellpart_compact(
     overwrite_partitions_atomic(
         live_touched.unionByName(batch_assign), apath, "cid", "append"
     )
-    # the compaction planner: a driver-side fragmentation census
-    frag = sorted(
-        int(os.path.basename(d).split("=", 1)[1])
-        for d in _glob.glob(f"{apath}/cid=*")
-        if len(_glob.glob(f"{d}/*.parquet")) > 1
-    )
+    # the compaction planner: the shared fragmentation census
+    frag = _fragmented_cells(apath)
     if frag:
-        merged = spark.read.parquet(apath)
-        compact = (
-            merged.filter(F.col("cid").isin(frag))
-            .select(
-                "vec_id",
-                "label",
-                "v",
-                F.col("cid").cast("long").alias("cid"),
-            )
-            .repartition(len(frag), "cid")
+        overwrite_partitions_atomic(
+            _compact_frame(spark.read.parquet(apath), frag),
+            apath,
+            "cid",
+            "compact",
         )
-        overwrite_partitions_atomic(compact, apath, "cid", "compact")
     final = spark.read.parquet(apath)
     return _index_manifest(final, spark.read.parquet(f"{base}/centroids"))
 
@@ -3306,9 +3325,6 @@ def ann_index_versioned_compact(
     Reference parity: beyond-reference (north-star extension);
     in-place twin: ann_index_cellpart_compact; the version mechanics
     are publish_version_linked's (operators/versioned_table.py)."""
-    import glob as _glob
-    import os
-
     from innercircle_etl_spark.operators.versioned_table import (
         current_path,
         publish_version,
@@ -3352,22 +3368,17 @@ def ann_index_versioned_compact(
     publish_version_linked(
         live_touched.unionByName(batch_assign), table, "day1", "cid"
     )
-    # day 2: compaction AS a linked publish — census the live
-    # version, rewrite only its fragmented cells one-file-per-cell
-    live = current_path(table)
-    frag = sorted(
-        int(os.path.basename(d).split("=", 1)[1])
-        for d in _glob.glob(f"{live}/cid=*")
-        if len(_glob.glob(f"{d}/*.parquet")) > 1
-    )
+    # day 2: compaction AS a linked publish — the SHARED census and
+    # re-layout (one copy for both compaction twins), applied to the
+    # live version through the pointer discipline
+    frag = _fragmented_cells(current_path(table))
     if frag:
-        compact = (
-            read_current(spark, table)
-            .filter(F.col("cid").isin(frag))
-            .select(*cast_cols)
-            .repartition(len(frag), "cid")
+        publish_version_linked(
+            _compact_frame(read_current(spark, table), frag),
+            table,
+            "day2",
+            "cid",
         )
-        publish_version_linked(compact, table, "day2", "cid")
     return _index_manifest(read_current(spark, table), cent)
 
 

@@ -1089,7 +1089,6 @@ def test_versioned_compact_keeps_unfragmented_cells_shared(spark, sf_dir):
         f"{scratch}/hn_ivf_vcomp_"
         f"{os.path.basename(sf_dir.rstrip('/'))}/assign"
     )
-    assert versions(table) == ["v_day2", "v_day1"], versions(table)
 
     def files(v, cell):
         return sorted(g.glob(os.path.join(table, v, cell, "*.parquet")))
@@ -1097,12 +1096,16 @@ def test_versioned_compact_keeps_unfragmented_cells_shared(spark, sf_dir):
     def inodes(v, cell):
         return sorted(os.stat(f).st_ino for f in files(v, cell))
 
+    # vacuousness guard FIRST: with no fragmentation the query skips
+    # the day-2 publish entirely, and the versions assert below
+    # would fail with a misleading message
     frag = [
         os.path.basename(d)
         for d in g.glob(os.path.join(table, "v_day1", "cid=*"))
         if len(g.glob(os.path.join(d, "*.parquet"))) > 1
     ]
     assert frag, "fixture produced no fragmentation — witness is vacuous"
+    assert versions(table) == ["v_day2", "v_day1"], versions(table)
     shared = 0
     for d in g.glob(os.path.join(table, "v_day2", "cid=*")):
         cell = os.path.basename(d)
