@@ -124,6 +124,20 @@ DEMOTED_AT_SF10 = {
 # class documented in the verify skill).
 BUDGET_OVERRIDES: dict[str, float] = {
     "ep4_circles": 240.0,
+    # Round-15: three rows whose DOCUMENTED cold sf1 walls sit at or
+    # over the 120 s default, so they pass a default sweep only on a
+    # warm-cascade or quiet-box day (r14 read them at 56/28/26 s —
+    # the outliers; r15's readings matched the documented walls and
+    # recorded spurious TIMEOUTs). graph_triangles: 126 s documented
+    # cold (NOTES round-9; 113-143 s across four r15 re-measures).
+    # ep10_rag_retrieval: 67-122 s documented (SCALE round-8
+    # composite table). ep10_rag_retrieval_ann: 44.7 s documented
+    # but its quadratic exact leg carries the same burst sensitivity
+    # (120-149 s under measured load-19+ bursts). Overrides leave
+    # the same churn headroom as ep4's.
+    "graph_triangles": 240.0,
+    "ep10_rag_retrieval": 240.0,
+    "ep10_rag_retrieval_ann": 240.0,
     # Round-14: in-sweep sf1 reading 120.05 s (TIMEOUT at the default
     # budget) vs isolated re-measure 42.75 s — the documented
     # same-session GC-churn overstatement class (its persisted twin
