@@ -60,84 +60,22 @@ def entry(spark: SparkSession) -> DataFrame:
 # not listed (or not yet registered) keep registration order at the
 # end — the list is advisory, never a filter.
 _PRIORITY = [
-    # ================= ROUND-15 WINDOW: standing freshness rotation
-    # (round-10 verdict item 1). 202 registered queries (199 at
-    # round-14 close + this round's THREE registrations: the
-    # versioned DELETE composition, the production-plane-count
-    # multiprobe scale control, and the linked-compaction
-    # composition) rotate through the 50-slot driver window; after
-    # round 14 the newest-green histogram is r11x49 / r12x50 /
-    # r13x50 / r14x50 (recomputed from CORRECTNESS_r01..r14 at
-    # round-15 start — matches the r14 verdict). This window,
-    # exactly as the r14 verdict item 1 prescribes: positions 1-49 =
-    # ALL 49 r11-stale rows (alphabetical block order), 50 = the
-    # round's headline registration. After this round no registry
-    # row's newest DRIVER green is older than r12; the other r15
-    # registrations (dedup_embedding_multiprobe_scaled and
-    # ann_index_versioned_compact, locally oracle-verified at three
-    # SFs + vanilla) head the round-16 pool with the r12 block.
-    # ---- 1-49: the r11 block ----
-    "a15_cms_heavy_hitters",
-    "a16_hll_mergeable_rollup",
-    "a17_sketch_set_intersection",
-    "a8_percentile_disc",
-    "a8b_approx_percentile",
-    "a9_dedup_groupby",
-    "ann_cosine_topk",
-    "ann_hard_negatives_amortized",
-    "ann_ivf_lloyd",
-    "ann_ivf_probe",
-    "ann_lsh_bucketed",
-    "ann_lsh_multiprobe",
-    "ann_pq_adc",
-    "ann_recall_at_k",
-    "ann_recall_lloyd",
-    "d12_trade_decode_pipeline",
-    "d1_decode_log_price",
-    "d2_decode_calldata_token",
-    "dedup_edit_distance",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_simhash",
-    "ep13_contrastive_pairs_amortized",
-    "ep3_roi_cascade",
-    "ep4_circles",
-    "ep5_shadow_trade",
-    "ep6_insight_feed",
-    "i10_stream_stream_join",
-    "i11_stream_outer_join",
-    "i12_stream_session_window",
-    "j11_pairs_jaccard",
-    "j1_multiway_join",
-    "j3_range_in_on",
-    "j7_asof_join",
-    "j7b_asof_backward",
-    "j9_join_to_latest",
-    "mm_av_frame_sample",
-    "mm_dedup_phash",
-    "mm_image_features",
-    "mm_image_resize",
-    "o1_global_topk",
-    "q1_quality_report",
-    "text_repetition_quality",
-    "u1_insert_if_absent",
-    "u7_merge_into",
-    "w1_latest_per_key",
-    "w4b_global_rank_scalable",
-    "x11_salted_skew_join",
-    "x_bucketed_colocated_join",
-    # ---- 50: NEW this round (first driver proof): the kill-list
-    # applied as ONE linked version publish — GDPR delete with
-    # reader atomicity, time travel (pre-delete version retained and
-    # readable), and zero-copy untouched cells; closes the last cell
-    # of the {batch, stream, versioned} x {update, delete} matrix
-    # (r14 verdict item 2) ----
-    "ann_index_versioned_delete",
-    # ---- rotation pool (advisory order; past the 50-slot window).
-    # Round-16 leads here: the round's second registration, then
-    # the r12 block (all equally stale; alphabetical) ----
+    # ================= ROUND-16 WINDOW: standing freshness rotation
+    # (round-10 verdict item 1). 202 registered queries; after round
+    # 15 the newest-green histogram is r12x50 / r13x50 / r14x50 /
+    # r15x50 (recomputed from CORRECTNESS_r01..r15 at round-16
+    # start — matches the r15 verdict). This window, exactly as the
+    # r15 verdict item 1 prescribes: positions 1-2 = the two
+    # round-15 registrations that are locally oracle-proven but have
+    # no driver row yet (their FIRST driver proof), positions 3-50 =
+    # the 48 alphabetically-first r12-stale rows. The two remaining
+    # r12 rows (text_token_stats, x12_salted_agg) head the round-17
+    # pool; after this round no registry row's newest DRIVER green
+    # is older than r12 and only those two r12 rows remain.
+    # ---- 1-2: first driver proof for the r15 registrations ----
     "dedup_embedding_multiprobe_scaled",
     "ann_index_versioned_compact",
+    # ---- 3-50: the r12 block (alphabetical) ----
     "ann_hard_negatives",
     "ann_hard_negatives_persisted",
     "ann_index_incremental_update",
@@ -186,6 +124,9 @@ _PRIORITY = [
     "text_fingerprint",
     "text_lang_id",
     "text_quality_score",
+    # ---- rotation pool (advisory order; past the 50-slot window).
+    # Round-17 leads here: the two remaining r12 rows, then the r13
+    # block (alphabetical) ----
     "text_token_stats",
     "x12_salted_agg",
 ]

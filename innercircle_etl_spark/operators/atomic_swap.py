@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import glob
 import os
+import re
 import shutil
 from urllib.parse import unquote
 
@@ -195,15 +196,28 @@ def _hive_unescape(name: str) -> str:
 
     An escape run that is NOT valid UTF-8 (e.g. a latin-1 per-byte
     escaper's ``caf%E9``) cannot come from a ``str(value)`` target,
-    so the entry is returned UNDECODED — it then matches a target
-    only by its literal escaped name. Raising instead (the first cut
-    used errors='strict') was wrong: these helpers run over EVERY
-    dir entry during membership tests, so one foreign dir would
-    abort drops/links of partitions it was never part of."""
+    so that RUN is left undecoded — but only that run (round-15
+    advice item 3): each maximal %XX run decodes independently, so a
+    name mixing valid escapes with one non-UTF-8 run (``a%20b%E9``)
+    still gets its valid decodes (``a b%E9``) instead of losing the
+    whole name to the literal-escaped form. Raising instead (the
+    first cut used errors='strict') was wrong: these helpers run
+    over EVERY dir entry during membership tests, so one foreign dir
+    would abort drops/links of partitions it was never part of."""
     try:
         return unquote(name, errors="strict")
     except UnicodeDecodeError:
-        return name
+        return _ESC_RUN.sub(_unquote_run, name)
+
+
+_ESC_RUN = re.compile(r"(?:%[0-9A-Fa-f]{2})+")
+
+
+def _unquote_run(m: re.Match) -> str:
+    try:
+        return unquote(m.group(0), errors="strict")
+    except UnicodeDecodeError:
+        return m.group(0)
 
 
 def drop_partitions_atomic(

@@ -103,7 +103,18 @@ def _lease_ttl() -> float:
     lock is always younger than this; a lock OLDER than it is dead no
     matter what its pid probe says (pid reuse / unreaped zombie).
     Override via SPARK_GRAFT_PUBLISH_LEASE_SEC; the default is wide
-    enough that a heartbeat only has to land once per 3.75 min."""
+    enough that a heartbeat only has to land once per 3.75 min.
+
+    Clock assumption (round-15 advice item 2): lease age compares
+    the claimant's ``time.time()`` against the lock's ``st_mtime``,
+    which is valid only when both are stamped by the SAME clock —
+    true on the documented single-box local-FS deployment (utime and
+    time.time() both read the host realtime clock). On a network
+    filesystem whose server stamps mtime, or across hosts with skew
+    approaching the ttl, a live heartbeating holder could be falsely
+    adjudicated dead (or a dead lock held fresh); deploy there with
+    the object-store conditional-PUT mapping instead, or widen the
+    ttl well past the worst-case skew."""
     return float(os.environ.get("SPARK_GRAFT_PUBLISH_LEASE_SEC", "900"))
 
 
@@ -347,15 +358,25 @@ def _acquire_publish_lock(table: str) -> str:
                     pass
                 continue
             try:
-                # verified steal: same incarnation AND same content,
-                # else it is someone's fresh lock — leave it
+                # verified steal: same incarnation AND same content
+                # AND same mtime, else it is someone's fresh lock or
+                # a holder that RESUMED and heartbeated between our
+                # lease-age stat and now (a heartbeat changes neither
+                # inode nor content — only mtime witnesses it), so
+                # leave it and re-adjudicate (round-15 advice item 1:
+                # shrinks the resumed-holder window to the
+                # stat-to-unlink instant)
                 try:
                     st2 = os.stat(lock)
                     with open(lock) as f:
                         raw2 = f.read().strip()
                 except FileNotFoundError:
                     continue
-                if st2.st_ino == st.st_ino and raw2 == raw:
+                if (
+                    st2.st_ino == st.st_ino
+                    and raw2 == raw
+                    and st2.st_mtime == st.st_mtime
+                ):
                     try:
                         os.remove(lock)
                     except FileNotFoundError:
@@ -627,9 +648,31 @@ def publish_version_linked(
         # read-back type is dir-name INFERENCE (cid=7 -> int) and
         # legitimately differs from the frame's column type;
         # nullability is ignored (simpleString) — only names+types
-        # drift matters for cell-to-cell compatibility.
+        # drift matters for cell-to-cell compatibility. The schema
+        # is read from ONE cell's parquet file, not the whole
+        # version dir (round-15 advice item 4): pointing the reader
+        # at prev_dir merges every file's footer, so the guard's
+        # cost would grow with the previous version's file count and
+        # dent the O(changed bytes) linked-publish contract on
+        # many-celled tables. A single footer suffices because every
+        # cell of a published version carries the same schema — this
+        # guard is what enforces that invariant going forward. The
+        # sampled cell omits the dir-encoded partition column, which
+        # the comparison excludes anyway.
+        sample_cell = os.path.join(prev_dir, sorted(prev_cells)[0])
+        sample_files = sorted(
+            f
+            for f in os.listdir(sample_cell)
+            if f.endswith(".parquet")
+        )
+        sample = (
+            os.path.join(sample_cell, sample_files[0])
+            if sample_files
+            else prev_dir  # no data file (all-null cell edge):
+            # fall back to the whole-dir read rather than mis-guard
+        )
         prev_schema = df_changed.sparkSession.read.parquet(
-            prev_dir
+            sample
         ).schema
         have = {
             (f.name, f.dataType.simpleString())

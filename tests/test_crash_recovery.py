@@ -789,6 +789,61 @@ def test_publish_lock_lease_expiry_steals_recycled_pid(
     assert not os.path.exists(lock)
 
 
+def test_steal_aborts_when_holder_heartbeats_mid_steal(
+    spark, tmp_path, monkeypatch
+):
+    """Round-15 advice item 1: a holder paused past the TTL that
+    RESUMES and heartbeats between the claimant's lease-age stat and
+    the steal must keep its lock — a heartbeat changes neither inode
+    nor content, so the re-verify now also requires UNCHANGED mtime.
+    The heartbeat is injected deterministically at the worst instant
+    (during the claimant's steal-token creation): the claimant must
+    leave the lock in place and re-adjudicate it as lease-fresh."""
+    import time as _time
+
+    import pytest
+
+    from innercircle_etl_spark.operators.versioned_table import (
+        PublishContention,
+        current_version,
+        publish_version,
+    )
+
+    table = str(tmp_path / "vt")
+    df = spark.range(5).selectExpr("id", "id AS v")
+    publish_version(df, table, "day0")
+    lock = os.path.join(table, ".publish.lock")
+
+    monkeypatch.setenv("SPARK_GRAFT_PUBLISH_LEASE_SEC", "5")
+    # alive-foreign holder (pid 1), lease-aged: steal is warranted
+    # on the first adjudication...
+    with open(lock, "w") as f:
+        f.write("1\n")
+    old = _time.time() - 60
+    os.utime(lock, (old, old))
+
+    # ...but the holder resumes and heartbeats INSIDE the claimant's
+    # steal window (modelled at token-link time, after the stale
+    # stat, before the re-verify)
+    real_link = os.link
+    fired = []
+
+    def link_with_heartbeat(src, dst, *a, **k):
+        if ".steal." in os.path.basename(dst) and not fired:
+            fired.append(dst)
+            os.utime(lock, None)  # the resumed holder's beat
+        return real_link(src, dst, *a, **k)
+
+    monkeypatch.setattr(os, "link", link_with_heartbeat)
+    with pytest.raises(PublishContention, match="lease fresh"):
+        publish_version(df, table, "day1")
+    assert fired, "steal path never reached the token link"
+    # the live holder's lock survived the aborted steal untouched
+    with open(lock) as f:
+        assert f.read().strip() == "1"
+    assert current_version(table) == "v_day0"
+
+
 def test_publish_lock_acquire_deadline_bounds_stuck_claimant(
     spark, tmp_path, monkeypatch
 ):
@@ -927,6 +982,13 @@ def test_hive_unescape_decodes_multibyte_utf8(spark, tmp_path):
     # from a str(value) target: returned undecoded, never raising —
     # one foreign dir must not abort drops of unrelated partitions
     assert _hive_unescape("caf%E9") == "caf%E9"
+    # round-15 advice item 3: the fallback is per-escape-RUN, not
+    # per-name — a name mixing valid escapes with one invalid run
+    # keeps its valid decodes instead of losing the whole name
+    assert _hive_unescape("a%20b%E9") == "a b%E9"
+    assert _hive_unescape("%E9x%2Fy") == "%E9x/y"
+    assert _hive_unescape("%C3%A9%E9") == "%C3%A9%E9"  # one run,
+    # jointly invalid as UTF-8: stays escaped as a unit
 
     # a table whose 'café' cell was written per-byte-escaped by an
     # external writer: the kill-list names the VALUE and must drop it
