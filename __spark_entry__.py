@@ -125,10 +125,12 @@ _PRIORITY = [
     "text_lang_id",
     "text_quality_score",
     # ---- rotation pool (advisory order; past the 50-slot window).
-    # Round-17 leads here: the two remaining r12 rows, then the r13
+    # Round-17 leads here: the two remaining r12 rows, then this
+    # round's registration (locally oracle-proven), then the r13
     # block (alphabetical) ----
     "text_token_stats",
     "x12_salted_agg",
+    "dedup_ngram_jaccard_w7",
 ]
 
 

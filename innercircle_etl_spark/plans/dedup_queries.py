@@ -751,6 +751,28 @@ def dedup_ngram_jaccard_w5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(plant_near_docs(docs), 9, 10, gram_w=5)
 
 
+@register("dedup_ngram_jaccard_w7", oracle=_ngram_oracle(7))
+def dedup_ngram_jaccard_w7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION-WIDTH shingle member (7-gram): same PPJoin
+    plan, one more widening step past w5. Registered round 16 as the
+    named sf10 control for dedup_ngram_jaccard_w5 (the multiprobe
+    demotion pattern): w5's sf10 wall sat inside 15% of the sweep
+    watchdog budget two rounds running (284.7 s in-sweep vs the
+    255 s line, clean band 230-245), because even the 5-gram vocab
+    only partially de-saturates this synthetic ~30-word corpus —
+    candidate count is the asymptote (module doc). Each widening
+    step grows the vocabulary and shrinks the candidate set at the
+    same plan shape; w7 carries the sf10 trend with real headroom
+    while w5 stays oracle-checked at the sf0.01/sf1 tiers.
+    Shingle width is the production knob (natural-language corpora
+    widen far more per step than this fixture); the banded MinHash
+    member stays the sub-linear relief valve. The planted near-dup
+    pairs still exceed t=0.9 at width 7, so the output witnesses
+    rows at every tier."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return ngram_jaccard_pairs(plant_near_docs(docs), 9, 10, gram_w=7)
+
+
 # ----------------------------------------------------- embedding cosine
 
 _EMB_ORACLE = f"""

@@ -108,6 +108,22 @@ DEMOTED_AT_SF10 = {
         "sf10) carries the trend — run the 16-plane exact canary "
         "when dedup_queries.py changed or when named explicitly"
     ),
+    # Round-16 (r15 verdict item 2): the second of the two rows that
+    # sat inside 15% of the sf10 budget two sweeps running (284.7 s
+    # in-sweep, 230-245 clean band, vs the 255 s line) — the 5-gram
+    # vocab only partially de-saturates this ~30-word synthetic
+    # corpus, so candidate count stays near-quadratic. The widening
+    # knob IS the production answer (module doc), so the next step
+    # carries the trend.
+    "dedup_ngram_jaccard_w5": (
+        "5-gram vocab (20.4k) leaves candidates near-quadratic on "
+        "this corpus: 284.7 s in-sweep of the 300 s budget (r15) / "
+        "230-245 clean; control: dedup_ngram_jaccard_w7 (the SAME "
+        "PPJoin plan one widening step on — 63k vocab, ~3x fewer "
+        "candidates, identical 47,700 sf10 rows, 89.7 s measured "
+        "under load-16) — run the w5 canary when dedup_queries.py "
+        "changed or when named explicitly"
+    ),
 }
 
 
