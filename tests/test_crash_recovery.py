@@ -844,6 +844,60 @@ def test_steal_aborts_when_holder_heartbeats_mid_steal(
     assert current_version(table) == "v_day0"
 
 
+def test_flip_fence_refuses_theft_at_the_flock_boundary(
+    spark, tmp_path, monkeypatch
+):
+    """Round-15 verdict stretch item 7: the pointer flip's ownership
+    re-verify + os.replace now run inside an exclusive flock on
+    .CURRENT.flip, so a lease theft can no longer interleave between
+    the verify and the replace. The theft is injected at the WORST
+    instant — exactly as the holder enters the flip critical section
+    (its flock acquire): the in-flock re-verify must see the thief's
+    lock, refuse with PublishContention, leave the pointer on the
+    previous version, and leave the thief's lock untouched."""
+    import fcntl as _fcntl
+
+    import pytest
+
+    from innercircle_etl_spark.operators import versioned_table as vt
+
+    table = str(tmp_path / "vt")
+    os.makedirs(table)
+
+    def stage(vdir, prev_dir):
+        os.makedirs(vdir)
+        with open(os.path.join(vdir, "part-0"), "w") as f:
+            f.write("x")
+
+    vt._publish_with(table, "day0", 1, stage)
+    assert vt.current_version(table) == "v_day0"
+    lock = os.path.join(table, ".publish.lock")
+
+    real_flock = _fcntl.flock
+    stolen = []
+
+    def flock_with_theft(fd, op):
+        # first exclusive acquire after arming = the day1 flip's
+        # critical-section entry; steal the lock right there
+        if op == _fcntl.LOCK_EX and not stolen:
+            stolen.append(1)
+            thief = lock + ".thief"
+            with open(thief, "w") as f:
+                f.write("1\n")
+            assert os.stat(thief).st_ino != os.stat(lock).st_ino
+            os.replace(thief, lock)
+        return real_flock(fd, op)
+
+    monkeypatch.setattr(vt.fcntl, "flock", flock_with_theft)
+    with pytest.raises(vt.PublishContention, match="flip boundary"):
+        vt._publish_with(table, "day1", 1, stage)
+    assert stolen, "flip never entered the flock critical section"
+    assert vt.current_version(table) == "v_day0"  # thief's view safe
+    with open(lock) as f:  # release left the thief's lock in place
+        assert f.read().strip() == "1"
+    os.remove(lock)
+
+
 def test_publish_lock_acquire_deadline_bounds_stuck_claimant(
     spark, tmp_path, monkeypatch
 ):
