@@ -299,7 +299,7 @@ def ep12_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
          drop any train doc sharing an exact shingle with the
          held-out eval set; the fixture plants verbatim leaks so the
          stage actively removes rows.
-      2. SELECT (samp_dsir_importance's dsir_ratio_scores builder):
+      2. SELECT (samp_dsir_importance's dsir_scored_and_mean builder):
          keep the above-corpus-mean target-like docs — the DSIR
          data-selection gate; docs too short to carry a bigram
          feature are not selectable.
@@ -326,7 +326,7 @@ def ep12_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from innercircle_etl_spark.plans.sampling_queries import (
         _DSIR_TARGET_SQL,
         _h16_sql,
-        dsir_ratio_scores,
+        dsir_scored_and_mean,
     )
 
     docs = load(spark, sf_dir, "documents").select(
@@ -359,15 +359,17 @@ def ep12_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s1 = pool.join(contam, "doc_id", "anti")
 
-    # -- stage 2: DSIR target-likeness selection
-    scored = dsir_ratio_scores(
+    # -- stage 2: DSIR target-likeness selection. The corpus mean
+    # comes from the builder's PINNED B-bounded model table (the
+    # sum(cq*r) identity, round 16) — `scored` now has ONE consumer,
+    # so the survivor explode+score subtree runs once per pin, not
+    # twice.
+    scored, gm_mean = dsir_scored_and_mean(
         s1.select(
             "doc_id", F.expr(_DSIR_TARGET_SQL).alias("is_target"), "text"
         )
     )
-    gm = scored.agg(
-        F.expr("sum(ratio_sum) div sum(n_bigrams)").alias("cm")
-    )
+    gm = gm_mean.select(F.col("corpus_mean").alias("cm"))
     sel = (
         scored.crossJoin(F.broadcast(gm))
         .filter(F.expr("(ratio_sum div n_bigrams) > cm"))

@@ -1941,6 +1941,18 @@ def _bloom_pos(off: int):
     )
 
 
+def _bloom_pos_of_md5(md5_col: str, off: int):
+    """Bloom position from an ALREADY-COMPUTED md5 column — the same
+    value _bloom_pos(off) yields from the text (the position is a
+    substring of the md5 hex string), so an index side that has
+    materialized its distinct md5 set derives its position set from
+    that table instead of re-scanning and re-hashing the corpus."""
+    return F.expr(
+        f"cast(conv(substr({md5_col}, {off}, 7), 16, 10) as bigint)"
+        f" % {_BLOOM_M}"
+    )
+
+
 @register("dedup_bloom_incremental", oracle=_BLOOM_ORACLE)
 def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental EXACT dedup through a Bloom filter — the
@@ -1987,12 +1999,22 @@ def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+    # ONE index pass (round 16, guide §2.4): the distinct md5 set is
+    # pinned, and both Bloom position slices derive from the pinned
+    # md5 strings (pos = a substr of the md5 — bit-identical to
+    # hashing the text again). Before, fpos was consumed twice (f1,
+    # f2) and each broadcast build re-ran the idx union+distinct:
+    # 5 corpus scans per run; now 1 at pin time + the batch scan.
+    imd5 = (
+        idx.select(F.md5("text").alias("m"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     fpos = (
-        idx.select(_bloom_pos(1).alias("pos"))
-        .unionByName(idx.select(_bloom_pos(9).alias("pos")))
+        imd5.select(_bloom_pos_of_md5("m", 1).alias("pos"))
+        .unionByName(imd5.select(_bloom_pos_of_md5("m", 9).alias("pos")))
         .distinct()
     )
-    imd5 = idx.select(F.md5("text").alias("m")).distinct()
 
     b = batch.select(
         "doc_id",
@@ -2187,13 +2209,24 @@ def ep11_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    # -- stage 1: Bloom gate pruning the exact-md5 verify join
+    # -- stage 1: Bloom gate pruning the exact-md5 verify join.
+    # The index md5 set is computed ONCE and pinned (distinct-text-
+    # bounded — the same bound the imd5 broadcast below already
+    # relies on); both Bloom position slices derive from the PINNED
+    # md5 strings (pos = a substr of the md5 — bit-identical to
+    # re-hashing the text), so the index side is scanned once here
+    # instead of five times (guide §2.4: the f1/f2 broadcasts used
+    # to re-run the idx union+distinct per build).
+    imd5 = (
+        idx.select(F.md5("text").alias("i_m"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     fpos = (
-        idx.select(_bloom_pos(1).alias("pos"))
-        .unionByName(idx.select(_bloom_pos(9).alias("pos")))
+        imd5.select(_bloom_pos_of_md5("i_m", 1).alias("pos"))
+        .unionByName(imd5.select(_bloom_pos_of_md5("i_m", 9).alias("pos")))
         .distinct()
     )
-    imd5 = idx.select(F.md5("text").alias("i_m")).distinct()
     b = batch.select(
         "doc_id",
         "text",
@@ -2229,23 +2262,26 @@ def ep11_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s2 = s1.join(near, "doc_id", "anti")
 
-    # -- stage 3: corpus-LM rarity cull (OOV -> max surprisal)
-    itoks = idx.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    # -- stage 3: corpus-LM rarity cull (OOV -> max surprisal).
+    # The LM is built ONCE and pinned (vocab-bounded); the token
+    # total and the corpus mean are vocab-sized aggregates over the
+    # pinned table — the mean via the exact-BIGINT identity
+    # sum_docs(rarity_sum) = sum_t(cnt * ((n*1000) div cnt)) and
+    # sum_docs(n_tokens) = sum_t(cnt) (every index token joins its
+    # LM row exactly once), so the per-doc index scoring pass that
+    # existed only to feed the mean is gone entirely (guide §2.4;
+    # it was a full idx explode + join + doc shuffle per run).
+    itoks = idx.select(F.explode(F.split("text", " ")).alias("term"))
+    lm = (
+        itoks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
     )
-    lm = itoks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
     nn = lm.agg(F.sum("cnt").alias("n"))
-    iscore = (
-        itoks.join(lm, "term")
-        .crossJoin(F.broadcast(nn))
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum(F.expr("(n * 1000) div cnt")).alias("rarity_sum"),
+    imean = lm.crossJoin(F.broadcast(nn)).agg(
+        F.expr("sum(cnt * ((n * 1000) div cnt)) div sum(cnt)").alias(
+            "cm"
         )
-    )
-    imean = iscore.agg(
-        F.expr("sum(rarity_sum) div sum(n_tokens)").alias("cm")
     )
     btoks = s2.select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")

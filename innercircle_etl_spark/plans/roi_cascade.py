@@ -286,13 +286,18 @@ def ep3_roi_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     coll_rank=1 row per wallet (already carrying wallet_gain) —
     a sorted limit (TakeOrderedAndProject) whose K rows broadcast
     back onto the ranked rows."""
-    cet_roi = build_cet_roi(load_fact(spark, sf_dir)).localCheckpoint(
-        eager=True
-    )
+    cet_roi = build_cet_roi(load_fact(spark, sf_dir))
 
     # W3 + A11 on ONE wallet-partitioned exchange: rank within wallet
     # and the wallet's total gain (decimal-exact windowed sum — the
     # window form of dsum, order-independent by decimal exactness).
+    # The pin moved from cet_roi to `ranked` (round 16, guide §2.4):
+    # ranked has TWO consumers (the top-K subtree and the final
+    # coll_rank<=3 output), so pinning upstream of the window left
+    # the wallet exchange + sort + both window functions running
+    # twice per query — same grain (wallet x coll), same memory
+    # footprint, one pass instead of two, and the cascade still runs
+    # exactly once (inside this checkpoint's build).
     wpart = Window.partitionBy("wallet")
     ranked = cet_roi.withColumn(
         "coll_rank",
@@ -304,7 +309,7 @@ def ep3_roi_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("coll_gain").cast("decimal(38,6)"))
         .over(wpart)
         .cast("double"),
-    )
+    ).localCheckpoint(eager=True)
 
     # O1: global top-K wallets — the coll_rank=1 row is exactly one
     # row per wallet and already carries wallet_gain, so the sorted

@@ -268,14 +268,36 @@ FROM scored s CROSS JOIN g
 """
 
 
-def dsir_ratio_scores(docs: DataFrame) -> DataFrame:
+def dsir_scored_and_mean(
+    docs: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
     """Shared builder: per-doc DSIR target-likeness sums for an
     arbitrary (doc_id, is_target, text) frame — the parameterized
     body of samp_dsir_importance, reused by ep12_training_mix (the
     incremental_minhash_pairs discipline: one source for both the
-    registered query and the composite). Returns (doc_id, n_bigrams,
-    ratio_sum); docs with < 2 tokens have no bigram feature and are
-    absent (callers treat them as not-selected)."""
+    registered query and the composite). Returns ``(scored, mean)``:
+    ``scored`` is (doc_id, n_bigrams, ratio_sum) — docs with < 2
+    tokens have no bigram feature and are absent (callers treat them
+    as not-selected) — and ``mean`` is the 1-row corpus mean
+    ``sum(ratio_sum) div sum(n_bigrams)`` the callers compare
+    against.
+
+    Corpus-pass budget (round 16, guide §2.4): the fused models
+    aggregate is eagerly localCheckpointed — it is B-bounded
+    (B=4096, corpus-size-independent), so the pin is constant-size —
+    and
+    BOTH the broadcast ratio table and the corpus mean derive from
+    the pinned table. The mean uses the exact-BIGINT identity
+
+        sum_docs(ratio_sum) = sum_b(cq * r)    [every feature joins
+        sum_docs(n_bigrams) = sum_b(cq)         its bucket exactly
+                                                once]
+
+    so no second corpus pass computes it. Before: ``scored`` was
+    consumed twice (output + mean) and its own subtree held two
+    corpus explosions — 4 corpus bigram passes per run; now: one
+    pass pins the models, one pass scores. Oracle-identical: the
+    mean is the same integer, term for term."""
     base = docs.select(
         "doc_id", "is_target", F.split("text", " ").alias("w")
     )
@@ -307,12 +329,15 @@ def dsir_ratio_scores(docs: DataFrame) -> DataFrame:
     models = feats.groupBy("b").agg(
         F.count(F.lit(1)).alias("cq"),
         F.count(F.when(F.col("is_target"), F.lit(1))).alias("ct"),
-    )
+    ).localCheckpoint(eager=True)
     ratio = models.select(
         "b",
         F.expr("((ct + 1) * 1000) div (cq + 1)").alias("r"),
     )
-    return (
+    mean = models.select(
+        "cq", F.expr("((ct + 1) * 1000) div (cq + 1)").alias("r")
+    ).agg(F.expr("sum(cq * r) div sum(cq)").alias("corpus_mean"))
+    scored = (
         feats.join(F.broadcast(ratio), "b")
         .groupBy("doc_id")
         .agg(
@@ -320,6 +345,7 @@ def dsir_ratio_scores(docs: DataFrame) -> DataFrame:
             F.sum("r").alias("ratio_sum"),
         )
     )
+    return scored, mean
 
 
 @register("samp_dsir_importance", oracle=_DSIR_ORACLE)
@@ -343,22 +369,22 @@ def samp_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     (engines' last-ulp ``ln`` would make it engine-dependent).
 
     Plan/scale: both models are the SAME feature stream aggregated
-    twice — one corpus pass explodes bigrams to B=4096 hash buckets
+    once — one corpus pass explodes bigrams to B=4096 hash buckets
     (map-side combined groupBy; model size is B-BOUNDED, independent
-    of corpus size, DSIR's core trick), the ratio table is 4096 rows
-    (broadcast), scoring joins the feature stream to it map-side,
-    then one doc-keyed shuffle sums per document; the corpus mean is
-    a broadcast 1-row aggregate. At 100 TB: two bounded shuffles
+    of corpus size, DSIR's core trick) and pins the model table, the
+    ratio table is 4096 rows (broadcast), scoring joins the feature
+    stream to it map-side, then one doc-keyed shuffle sums per
+    document; the corpus mean is a broadcast 1-row aggregate over
+    the PINNED model table (the sum(cq*r) identity — see
+    dsir_scored_and_mean), not a second corpus pass. At 100 TB: two
+    corpus passes total (model build, scoring), two bounded shuffles
     (buckets, docs) and zero per-row Python.
 
     Reference parity: beyond-reference (north-star extension)."""
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", F.expr(_DSIR_TARGET_SQL).alias("is_target"), "text"
     )
-    scored = dsir_ratio_scores(docs)
-    g = scored.agg(
-        F.expr("sum(ratio_sum) div sum(n_bigrams)").alias("corpus_mean")
-    )
+    scored, g = dsir_scored_and_mean(docs)
     return scored.crossJoin(F.broadcast(g)).select(
         "doc_id",
         "n_bigrams",

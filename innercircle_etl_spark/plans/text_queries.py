@@ -1016,21 +1016,37 @@ def text_lm_rarity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic, hash-stable across engines.
 
     Plan/scale: one vocab-bounded shuffle builds the LM (map-side
-    combined groupBy; web-scale vocabs prune to a bounded table), the
-    token total comes from the LM table (vocab-sized agg, not a
-    second corpus pass), scoring joins the token stream to the LM —
-    vocab-bounded, AQE broadcasts it — then one doc-bounded shuffle
-    sums per document; the corpus mean is a broadcast 1-row
-    aggregate. No per-row Python, no driver collect; at 100 TB the
-    only full-corpus shuffle is the per-doc sum, keyed on doc_id
+    combined groupBy; web-scale vocabs prune to a bounded table) and
+    PINS it (eager localCheckpoint — vocab-bounded, so the pin is
+    constant-size); the token total AND the corpus mean are both
+    vocab-sized aggregates over the pinned table — the mean uses the
+    exact-BIGINT identity sum_docs(rarity_sum) = sum_t(cnt *
+    ((n*1000) div cnt)), sum_docs(n_tokens) = sum_t(cnt) = n (every
+    token joins its LM row exactly once), so neither needs a second
+    corpus pass. Scoring joins the token stream to the pinned LM —
+    vocab-bounded, AQE broadcasts it — then one doc-keyed shuffle
+    sums per document. Before round 16 the final DAG held SIX corpus
+    explode passes (scored consumed twice, each holding lm + n_df
+    subtrees); now exactly two (LM build at pin time, scoring). No
+    per-row Python, no driver collect; at 100 TB the only
+    full-corpus shuffle is the per-doc sum, keyed on doc_id
     (uniform — no skew).
 
     Reference parity: beyond-reference (north-star extension)."""
     toks = load(spark, sf_dir, "documents").select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     )
-    lm = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    lm = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
     n_df = lm.agg(F.sum("cnt").alias("n"))
+    g = lm.crossJoin(F.broadcast(n_df)).agg(
+        F.expr(
+            "sum(cnt * ((n * 1000) div cnt)) div sum(cnt)"
+        ).alias("corpus_mean")
+    )
     scored = (
         toks.join(lm, "term")
         .crossJoin(F.broadcast(n_df))
@@ -1040,9 +1056,6 @@ def text_lm_rarity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_tokens"),
             F.sum("surprisal").alias("rarity_sum"),
         )
-    )
-    g = scored.agg(
-        F.expr("sum(rarity_sum) div sum(n_tokens)").alias("corpus_mean")
     )
     return (
         scored.crossJoin(F.broadcast(g))
