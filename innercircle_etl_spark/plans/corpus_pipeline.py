@@ -399,39 +399,30 @@ def ep12_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)  # lang-bounded; two legs read it
     )
-    keyed = s2.join(F.broadcast(wts), "lang").select(
-        "doc_id",
-        "lang",
-        "text",
-        "w",
-        F.md5(
-            F.concat(F.col("doc_id").cast("string"), F.col("text"))
-        ).alias("k"),
-    )
-    coin = keyed.select(
-        "doc_id",
-        "lang",
-        "text",
-        "w",
-        (F.expr(f"({_h16_sql('k')})").cast("double") / 65536.0).alias("u"),
-    )
-    down = (
-        coin.filter(~(F.col("u") < F.least(F.lit(1.0), F.col("w"))))
-        .select("doc_id", "lang")
-        .localCheckpoint(eager=True)
-    )
     # -- stage 4 + output assembly in ONE corpus pass (round 11; was
     # a 4-leg union where the contaminated, off_target and packed
     # legs each re-scanned the corpus — the gates were pinned, the
-    # legs were not). The three pinned gate sets left-join onto one
+    # legs were not). The two pinned gate sets left-join onto one
     # pool scan (all keyed on doc_id, so consecutive joins reuse one
     # partitioning; at test scale they AQE-broadcast), the verdict
     # is a CASE over the gate flags (the gates are nested subsets —
-    # contam over pool, sel over s1, down over s2 — so precedence
-    # reproduces the leg semantics exactly), and the per-language
-    # pack window runs as a CONDITIONAL cumulative sum: non-packed
-    # rows contribute 0 tokens, so packed rows' shard boundaries are
-    # identical to a window over the survivors alone.
+    # contam over pool, sel over s1 — so precedence reproduces the
+    # leg semantics exactly), and the per-language pack window runs
+    # as a CONDITIONAL cumulative sum: non-packed rows contribute 0
+    # tokens, so packed rows' shard boundaries are identical to a
+    # window over the survivors alone.
+    #
+    # The downsample coin rides INLINE on this pass (round 16, guide
+    # §2.4): `wts` is a lang-bounded broadcast, so joining it here
+    # and computing u per row costs one md5 per pool row — strictly
+    # cheaper than the dedicated corpus pass (pool scan + anti +
+    # semi + the same md5) that used to materialize the `down` gate.
+    # The CASE only consults the coin AFTER the contam/sel branches,
+    # so rows outside s2 never read w/u — identical precedence, and
+    # every s2 row's (w, u) pair is the same value the old coin pass
+    # computed. The wts join is LEFT on lang: a lang absent from wts
+    # has no s2 survivors, so its rows are always decided by an
+    # earlier branch and their null w is never consulted.
     is_packed = F.col("verdict") == "packed"
     w_pack = (
         Window.partitionBy("lang")
@@ -439,6 +430,8 @@ def ep12_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     packed_tok = F.when(is_packed, F.col("n_tok")).otherwise(F.lit(0))
+    k = F.md5(F.concat(F.col("doc_id").cast("string"), F.col("text")))
+    u = F.expr(f"({_h16_sql('k')})").cast("double") / 65536.0
     return (
         pool.join(
             contam.select("doc_id", F.lit(True).alias("is_contam")),
@@ -450,17 +443,17 @@ def ep12_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "left",
         )
-        .join(
-            down.select("doc_id", F.lit(True).alias("is_down")),
-            "doc_id",
-            "left",
-        )
+        .join(F.broadcast(wts), "lang", "left")
+        .withColumn("k", k)
         .select(
             "doc_id",
             "lang",
             F.when(F.col("is_contam"), F.lit("contaminated"))
             .when(F.col("is_sel").isNull(), F.lit("off_target"))
-            .when(F.col("is_down"), F.lit("downsampled"))
+            .when(
+                ~(u < F.least(F.lit(1.0), F.col("w"))),
+                F.lit("downsampled"),
+            )
             .otherwise(F.lit("packed"))
             .alias("verdict"),
             TX.bpe_ish_token_count(F.col("text"))

@@ -280,31 +280,38 @@ def mm_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
 
     def sig_batches(batches):
+        # Whole-batch vectorization (round 16, guide §4.2): the old
+        # body looped per DOCUMENT with a fresh numpy cumsum each —
+        # ~20 small allocations per row. Now ONE concatenated buffer
+        # and ONE int64 cumsum serve the whole Arrow batch; each
+        # doc's 64 block sums come from fancy-indexing the shared
+        # prefix-sum at bounds off_i + (j*L_i)//64 — the identical
+        # integers ((a+b)-prefix differencing is associative), so
+        # signatures are bit-identical to the per-doc form.
         weights = 1 << np.arange(16, dtype=np.int64)
+        j = np.arange(65, dtype=np.int64)
         for pdf in batches:
             if not len(pdf):
                 continue
-            ids, qcols = [], ([], [], [], [])
-            for doc, blob in zip(pdf["doc_id"], pdf["media"]):
-                b = np.frombuffer(bytes(blob), np.uint8).astype(np.int64)
-                bounds = (np.arange(65) * b.size) // 64
-                csum = np.concatenate(([0], np.cumsum(b)))
-                bsums = csum[bounds[1:]] - csum[bounds[:-1]]
-                bits = (64 * bsums) > csum[-1]
-                for q in range(4):
-                    qcols[q].append(
-                        int((bits[q * 16 : (q + 1) * 16] * weights).sum())
-                    )
-                ids.append(doc)
-            yield pd.DataFrame(
-                {
-                    "doc_id": ids,
-                    "q0": qcols[0],
-                    "q1": qcols[1],
-                    "q2": qcols[2],
-                    "q3": qcols[3],
-                }
+            blobs = [
+                np.frombuffer(bytes(b), np.uint8) for b in pdf["media"]
+            ]
+            lens = np.fromiter(
+                (b.size for b in blobs), np.int64, len(blobs)
             )
+            csum = np.empty(int(lens.sum()) + 1, np.int64)
+            csum[0] = 0
+            np.cumsum(np.concatenate(blobs), dtype=np.int64, out=csum[1:])
+            offs = np.concatenate(([0], np.cumsum(lens)))
+            bounds = offs[:-1, None] + (j[None, :] * lens[:, None]) // 64
+            bvals = csum[bounds]  # (n, 65) shared-prefix-sum reads
+            bsums = bvals[:, 1:] - bvals[:, :-1]
+            totals = bvals[:, -1] - bvals[:, 0]
+            bits = (64 * bsums) > totals[:, None]
+            out = {"doc_id": pdf["doc_id"].to_numpy()}
+            for q in range(4):
+                out[f"q{q}"] = bits[:, q * 16 : (q + 1) * 16] @ weights
+            yield pd.DataFrame(out)
 
     # eager checkpoint: both sides of the quarter self-join consume
     # the signature table (the simhash lesson — without the boundary
