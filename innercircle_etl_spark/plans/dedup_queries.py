@@ -830,17 +830,29 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus and the 16-plane projection is the expensive expression
     # — compute once, pinned (cache+count left the blocks evictable;
     # the round-4 ngram lesson).
-    bkt = corpus.withColumn(
-        "bucket", V.sign_bucket(F.col("v"), planes)
-    ).localCheckpoint(eager=True)
+    # The norm rides in the pin: folded once per vector at checkpoint
+    # time, so the within-bucket verify join pays one dot per pair
+    # instead of refolding both sides' norms per pair (guide §2.2).
+    # Same per-pair expression tree → cos stays bit-identical.
+    bkt = (
+        corpus.withColumn("bucket", V.sign_bucket(F.col("v"), planes))
+        .withColumn("nv", V.norm(F.col("v")))
+        .localCheckpoint(eager=True)
+    )
     a = bkt.select(
-        "bucket", F.col("vec_id").alias("vec_a"), F.col("v").alias("va")
+        "bucket",
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"),
+        F.col("nv").alias("na"),
     )
     b = bkt.select(
-        "bucket", F.col("vec_id").alias("vec_b"), F.col("v").alias("vb")
+        "bucket",
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("nv").alias("nb"),
     )
     cand = a.join(b, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
-    cos = V.cosine(F.col("va"), F.col("vb"))
+    cos = V.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         cand.select("vec_a", "vec_b", cos.alias("cos"))
         .filter(F.col("cos") >= 0.99)
@@ -1042,7 +1054,15 @@ def _multiprobe_pairs(
     emb = load(spark, sf_dir, "embeddings")
     corpus = _emb_multiprobe_corpus(emb)
 
-    keyed = _margin_keyed(corpus, n_planes).cache()
+    # The norm rides in the cache (folded once per vector), so the
+    # pair verify pays one dot per candidate instead of refolding
+    # both sides' norms per pair (guide §2.2) — same per-pair
+    # expression tree, cos bit-identical.
+    keyed = (
+        _margin_keyed(corpus, n_planes)
+        .withColumn("nv", V.norm(F.col("v")))
+        .cache()
+    )
     keyed.count()  # eager: probe + exact sides share this cache
 
     probes = _margin_probes(keyed, n_planes)
@@ -1058,15 +1078,26 @@ def _multiprobe_pairs(
         )
         .distinct()
     )
-    va = keyed.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
-    vb = keyed.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    va = keyed.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"),
+        F.col("nv").alias("na"),
+    )
+    vb = keyed.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("nv").alias("nb"),
+    )
     return (
         cand.join(va, "vec_a")
         .join(vb, "vec_b")
         .select(
             "vec_a",
             "vec_b",
-            V.cosine(F.col("va"), F.col("vb")).alias("cos"),
+            (
+                V.dot(F.col("va"), F.col("vb"))
+                / (F.col("na") * F.col("nb"))
+            ).alias("cos"),
         )
         .filter(F.col("cos") >= 0.99)
     )
@@ -1681,31 +1712,40 @@ def semantic_clusters_from(corpus: DataFrame, cent: DataFrame) -> DataFrame:
     """Shared semantic-dedup plan with the codebook as a PARAMETER
     (the ivf_topk convention): broadcast-argmax assignment, per-cell
     canonical election, compare-to-exemplar audit manifest."""
-    sim = V.cosine(F.col("v"), F.col("cv"))
+    # Norms fold once per side before every fan-out below (guide
+    # §2.2: the codebook cross join would refold the vector norm per
+    # centroid, and the exemplar audit would refold the canonical's
+    # norm per member). Same per-pair expression tree → every ccos /
+    # canon_cos bit-identical; the norm rides in the assign pin.
+    spread = corpus.repartition(
+        corpus.sparkSession.sparkContext.defaultParallelism, "vec_id"
+    ).withColumn("nv", V.norm(F.col("v")))
+    sim = V.dot(F.col("v"), F.col("cv")) / (F.col("nv") * F.col("ncv"))
     # map-side partial-aggregated argmax (round 8, the ivf_topk
     # rewrite): the window form shuffled the |corpus| x |codebook|
     # cross product WITH vector payloads and ran its cosines on the
     # tiny scan's 1-2 splits (sf1 spot sweep: 57 s; now ~8 s).
     # max(struct(ccos, -cid, v)) reproduces (ccos DESC, cid ASC)
     # exactly — cid is unique, so the v payload never compares.
-    spread = corpus.repartition(
-        corpus.sparkSession.sparkContext.defaultParallelism, "vec_id"
-    )
-    crossed = spread.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "v", "cid", sim.alias("ccos")
-    )
+    crossed = spread.crossJoin(
+        F.broadcast(cent.withColumn("ncv", V.norm(F.col("cv"))))
+    ).select("vec_id", "v", "nv", "cid", sim.alias("ccos"))
     assign = (
         crossed.groupBy("vec_id")
         .agg(
             F.max(
                 F.struct(
-                    F.col("ccos"), (-F.col("cid")).alias("ncid"), F.col("v")
+                    F.col("ccos"),
+                    (-F.col("cid")).alias("ncid"),
+                    F.col("v"),
+                    F.col("nv"),
                 )
             ).alias("m")
         )
         .select(
             "vec_id",
             F.col("m.v").alias("v"),
+            F.col("m.nv").alias("nv"),
             (-F.col("m.ncid")).alias("cid"),
         )
         .localCheckpoint(eager=True)  # three consumers below
@@ -1716,6 +1756,7 @@ def semantic_clusters_from(corpus: DataFrame, cent: DataFrame) -> DataFrame:
             assign.select(
                 F.col("vec_id").alias("canon_id"),
                 F.col("v").alias("canon_v"),
+                F.col("nv").alias("canon_nv"),
             ),
             "canon_id",
         )
@@ -1726,7 +1767,10 @@ def semantic_clusters_from(corpus: DataFrame, cent: DataFrame) -> DataFrame:
         .select(
             "cid",
             "canon_id",
-            V.cosine(F.col("v"), F.col("canon_v")).alias("canon_cos"),
+            (
+                V.dot(F.col("v"), F.col("canon_v"))
+                / (F.col("nv") * F.col("canon_nv"))
+            ).alias("canon_cos"),
         )
     )
     # per-cell audit frame: population, redundant count at the
@@ -2427,14 +2471,30 @@ def decon_semantic_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("pid").alias("train_id"), "eval_id")
         .distinct()
     )
-    tv = tk.select(F.col("vec_id").alias("train_id"), F.col("v").alias("tv"))
+    # Norms fold once per side before the verify join (guide §2.2)
+    # — same per-pair expression tree, cos bit-identical.
+    tv = tk.select(
+        F.col("vec_id").alias("train_id"),
+        F.col("v").alias("tv"),
+        V.norm(F.col("v")).alias("ntv"),
+    )
     return (
         cand.join(tv, "train_id")
-        .join(F.broadcast(ek.select("eval_id", "evv")), "eval_id")
+        .join(
+            F.broadcast(
+                ek.select(
+                    "eval_id", "evv", V.norm(F.col("evv")).alias("nev")
+                )
+            ),
+            "eval_id",
+        )
         .select(
             "train_id",
             "eval_id",
-            V.cosine(F.col("tv"), F.col("evv")).alias("cos"),
+            (
+                V.dot(F.col("tv"), F.col("evv"))
+                / (F.col("ntv") * F.col("nev"))
+            ).alias("cos"),
         )
         .filter(F.col("cos") >= 0.99)
     )

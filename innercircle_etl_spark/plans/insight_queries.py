@@ -172,7 +172,10 @@ def ep5_shadow_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 7.06 — the fused form wins ~32% even with a warm page cache
     # here because it also deletes two exchanges, not just two
     # scans. SPARK_GRAFT_FUSED_SCAN=0 restores the lazy 2-scan form.
-    fact = _fact(spark, sf_dir)
+    # okey is ep6's column — this cascade never touches it, so keep
+    # it out of the repartition exchange and the pinned blocks
+    # (guide §2.1: shuffle/persist only the columns the DAG reads).
+    fact = _fact(spark, sf_dir).drop("okey")
     if os.environ.get("SPARK_GRAFT_FUSED_SCAN", "1") != "0":
         fact = fact.repartition(F.col("coll")).persist(
             StorageLevel.MEMORY_AND_DISK

@@ -63,12 +63,22 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("vq")
     )
+    # Norms fold once per side BEFORE the |q|-way fan-out join;
+    # V.cosine in the select would refold each corpus vector's norm
+    # once per query (guide §2.2). Same ops per pair → bit-identical.
     scored = (
-        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        e.withColumn("nv", V.norm(F.col("v")))
+        .join(
+            F.broadcast(q.withColumn("nq", V.norm(F.col("vq")))),
+            F.col("vec_id") != F.col("query_id"),
+        )
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            V.cosine(F.col("vq"), F.col("v")).alias("cos"),
+            (
+                V.dot(F.col("vq"), F.col("v"))
+                / (F.col("nq") * F.col("nv"))
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -169,9 +179,12 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("vq"),
         F.col("bucket").alias("qbucket"),
     )
+    # Norms fold once per side before the same-bucket fan-out join
+    # (guide §2.2) — same per-pair expression tree, bit-identical.
     scored = (
-        b.join(
-            F.broadcast(q),
+        b.withColumn("nv", V.norm(F.col("v")))
+        .join(
+            F.broadcast(q.withColumn("nq", V.norm(F.col("vq")))),
             (F.col("bucket") == F.col("qbucket"))
             & (F.col("vec_id") != F.col("query_id")),
         )
@@ -179,7 +192,10 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             "bucket",
-            V.cosine(F.col("vq"), F.col("v")).alias("cos"),
+            (
+                V.dot(F.col("vq"), F.col("v"))
+                / (F.col("nq") * F.col("nv"))
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -278,10 +294,16 @@ def ivf_topk(
     v payload never participates in the comparison."""
     spread = e.repartition(
         e.sparkSession.sparkContext.defaultParallelism, "vec_id"
-    )
-    sim = V.cosine(F.col("v"), F.col("cv"))
-    crossed = spread.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "v", "cid", sim.alias("ccos")
+    ).withColumn("nv", V.norm(F.col("v")))
+    # Norms fold once per side before every fan-out join below
+    # (guide §2.2: V.cosine inline would refold the corpus vector's
+    # norm once per centroid / per probe). Same per-pair expression
+    # tree (dot, the two sqrt folds, multiply order) → every ccos and
+    # cos is bit-identical to the inline form.
+    centn = F.broadcast(cent.withColumn("ncv", V.norm(F.col("cv"))))
+    sim = V.dot(F.col("v"), F.col("cv")) / (F.col("nv") * F.col("ncv"))
+    crossed = spread.crossJoin(centn).select(
+        "vec_id", "v", "nv", "cid", sim.alias("ccos")
     )
     assign = (
         crossed.groupBy("vec_id")
@@ -291,18 +313,25 @@ def ivf_topk(
                     F.col("ccos"),
                     (-F.col("cid")).alias("ncid"),
                     F.col("v"),
+                    F.col("nv"),
                 )
             ).alias("m")
         )
-        .select("vec_id", F.col("m.v").alias("v"), (-F.col("m.ncid")).alias("cid"))
+        .select(
+            "vec_id",
+            F.col("m.v").alias("v"),
+            F.col("m.nv").alias("nv"),
+            (-F.col("m.ncid")).alias("cid"),
+        )
     )
     # the nprobe nearest cells per QUERY: |queries| x |codebook| is
     # dimension-sized, so the rank window is fine HERE — it never
     # touches the corpus-sized side
     qcrossed = (
         e.filter(F.col("vec_id") < _N_QUERIES)
-        .crossJoin(F.broadcast(cent))
-        .select("vec_id", "v", "cid", sim.alias("ccos"))
+        .withColumn("nv", V.norm(F.col("v")))
+        .crossJoin(centn)
+        .select("vec_id", "v", "nv", "cid", sim.alias("ccos"))
     )
     w_probe = Window.partitionBy("vec_id").orderBy(
         F.col("ccos").desc(), F.col("cid").asc()
@@ -313,6 +342,7 @@ def ivf_topk(
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("v").alias("vq"),
+            F.col("nv").alias("nq"),
             F.col("cid").alias("pcid"),
         )
     )
@@ -326,7 +356,10 @@ def ivf_topk(
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            V.cosine(F.col("vq"), F.col("v")).alias("cos"),
+            (
+                V.dot(F.col("vq"), F.col("v"))
+                / (F.col("nq") * F.col("nv"))
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -849,11 +882,14 @@ def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         proj = V.dot(F.col("v"), warr)
         term = F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
         bucket = term if bucket is None else bucket + term
-    b = e.withColumn("bucket", bucket.cast("int"))
+    b = e.withColumn("bucket", bucket.cast("int")).withColumn(
+        "nv", V.norm(F.col("v"))
+    )
 
     q = b.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("vq"),
+        F.col("nv").alias("nq"),
         F.col("bucket").alias("qbucket"),
     )
     flips = spark.range(_N_PLANES + 1).select(
@@ -862,10 +898,13 @@ def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = q.crossJoin(F.broadcast(flips)).select(
         "query_id",
         "vq",
+        "nq",
         F.when(F.col("p") == _N_PLANES, F.col("qbucket"))
         .otherwise(F.expr("qbucket ^ shiftleft(1, p)"))
         .alias("pbucket"),
     )
+    # Norms fold once per side before the probe fan-out join (guide
+    # §2.2) — same per-pair expression tree, bit-identical.
     scored = (
         b.join(
             F.broadcast(probes),
@@ -875,7 +914,10 @@ def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            V.cosine(F.col("vq"), F.col("v")).alias("cos"),
+            (
+                V.dot(F.col("vq"), F.col("v"))
+                / (F.col("nq") * F.col("nv"))
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -1111,30 +1153,46 @@ def ep9_vector_index_pipeline(
     # near-dup candidates via 16-plane sign buckets (the
     # dedup_embedding_cosine machinery; lossless for scalar copies)
     planes = V.hyperplane_weights(16, _DIM_EMB)
-    bkt = corpus.withColumn(
-        "bucket", V.sign_bucket(F.col("v"), planes)
-    ).localCheckpoint(eager=True)
+    # The norm rides in the pin (folded once per vector); every
+    # cosine below is dot/(na*nb) over precomputed per-side norms —
+    # same per-pair expression tree, bit-identical (guide §2.2).
+    bkt = (
+        corpus.withColumn("bucket", V.sign_bucket(F.col("v"), planes))
+        .withColumn("nv", V.norm(F.col("v")))
+        .localCheckpoint(eager=True)
+    )
     a = bkt.select(
-        "bucket", F.col("vec_id").alias("keep_id"), F.col("v").alias("va")
+        "bucket",
+        F.col("vec_id").alias("keep_id"),
+        F.col("v").alias("va"),
+        F.col("nv").alias("na"),
     )
     b = bkt.select(
-        "bucket", F.col("vec_id").alias("drop_id"), F.col("v").alias("vb")
+        "bucket",
+        F.col("vec_id").alias("drop_id"),
+        F.col("v").alias("vb"),
+        F.col("nv").alias("nb"),
     )
     drops = (
         a.join(b, "bucket")
         .filter(F.col("keep_id") < F.col("drop_id"))
-        .filter(V.cosine(F.col("va"), F.col("vb")) >= 0.99)
+        .filter(
+            V.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+            >= 0.99
+        )
         .select("drop_id")
         .distinct()
     )
-    survivors = bkt.select("vec_id", "v").join(
+    survivors = bkt.select("vec_id", "v", "nv").join(
         drops.withColumnRenamed("drop_id", "vec_id"), "vec_id", "left_anti"
     )
 
     cent = survivors.filter(F.col("vec_id") % CODEBOOK_MOD == 0).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+        F.col("vec_id").alias("cid"),
+        F.col("v").alias("cv"),
+        F.col("nv").alias("ncv"),
     )
-    sim = V.cosine(F.col("v"), F.col("cv"))
+    sim = V.dot(F.col("v"), F.col("cv")) / (F.col("nv") * F.col("ncv"))
     # map-side partial-aggregated argmax (round 8, the ivf_topk
     # rewrite) — no window over the corpus x codebook pair set; the
     # survivors side spreads to session parallelism first (the
@@ -1289,9 +1347,13 @@ def ep10_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # independent of this exchange.
     spread = emb.repartition(
         spark.sparkContext.defaultParallelism, "doc_id", "chunk_idx"
-    )
+    ).withColumn("nv", V.norm(F.col("v")))
+    # Norms fold once per side before the |q|-way fan-out (guide
+    # §2.2) — same per-pair expression tree, bit-identical.
     scored = (
-        spread.crossJoin(F.broadcast(q))  # query side is the sampled dim
+        spread.crossJoin(
+            F.broadcast(q.withColumn("nq", V.norm(F.col("vq"))))
+        )  # query side is the sampled dim
         .filter(
             ~(
                 (F.col("q_doc") == F.col("doc_id"))
@@ -1303,7 +1365,10 @@ def ep10_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_chunk",
             F.col("doc_id").alias("m_doc"),
             F.col("chunk_idx").alias("m_chunk"),
-            V.cosine(F.col("vq"), F.col("v")).alias("cos"),
+            (
+                V.dot(F.col("vq"), F.col("v"))
+                / (F.col("nq") * F.col("nv"))
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("q_doc", "q_chunk").orderBy(
@@ -1465,9 +1530,11 @@ def rag_ann_topk(
     # built from the pre-repartition frame)
     spread = b.repartition(
         spark.sparkContext.defaultParallelism, "doc_id", "chunk_idx"
-    )
+    ).withColumn("nv", V.norm(F.col("v")))
+    # Norms fold once per side before the same-bucket fan-out join
+    # (guide §2.2) — same per-pair expression tree, bit-identical.
     scored = spread.join(
-        F.broadcast(q),
+        F.broadcast(q.withColumn("nq", V.norm(F.col("vq")))),
         (F.col("bucket") == F.col("qbucket"))
         & ~(
             (F.col("q_doc") == F.col("doc_id"))
@@ -1478,7 +1545,9 @@ def rag_ann_topk(
         "q_chunk",
         F.col("doc_id").alias("m_doc"),
         F.col("chunk_idx").alias("m_chunk"),
-        V.cosine(F.col("vq"), F.col("v")).alias("cos"),
+        (
+            V.dot(F.col("vq"), F.col("v")) / (F.col("nq") * F.col("nv"))
+        ).alias("cos"),
     )
     w = Window.partitionBy("q_doc", "q_chunk").orderBy(
         F.col("cos").desc(), F.col("m_doc").asc(), F.col("m_chunk").asc()
@@ -1758,14 +1827,18 @@ def _hn_score_exact(e: DataFrame, anchors: DataFrame) -> DataFrame:
     """(anchor_id, cand_id, is_neg, cos): the FULL corpus scored
     against one broadcast anchor batch — a corpus pass PER BATCH,
     which is exactly the cost the IVF candidate path amortizes
-    away."""
-    return e.join(
-        F.broadcast(anchors), F.col("vec_id") != F.col("anchor_id")
+    away. Norms fold once per side before the |anchors|-way fan-out
+    (guide §2.2) — same per-pair expression tree, bit-identical."""
+    return e.withColumn("nv", V.norm(F.col("v"))).join(
+        F.broadcast(anchors.withColumn("na", V.norm(F.col("va")))),
+        F.col("vec_id") != F.col("anchor_id"),
     ).select(
         "anchor_id",
         F.col("vec_id").alias("cand_id"),
         (F.col("label") != F.col("anchor_label")).alias("is_neg"),
-        V.cosine(F.col("va"), F.col("v")).alias("cos"),
+        (
+            V.dot(F.col("va"), F.col("v")) / (F.col("na") * F.col("nv"))
+        ).alias("cos"),
     )
 
 
@@ -1792,13 +1865,20 @@ def _ivf_assign(
     cid is unique, so fields after ncid never participate."""
     spread = df.repartition(
         df.sparkSession.sparkContext.defaultParallelism, *key_cols
-    )
-    crossed = spread.crossJoin(F.broadcast(cent)).select(
+    ).withColumn("nv", V.norm(F.col("v")))
+    # Corpus-vector norm folds once BEFORE the |codebook|-way cross
+    # join; centroid norms fold once per centroid (guide §2.2). Same
+    # per-pair ops → ccos (and thus every assignment) bit-identical.
+    crossed = spread.crossJoin(
+        F.broadcast(cent.withColumn("ncv", V.norm(F.col("cv"))))
+    ).select(
         *key_cols,
         *payload_cols,
         "v",
         "cid",
-        V.cosine(F.col("v"), F.col("cv")).alias("ccos"),
+        (
+            V.dot(F.col("v"), F.col("cv")) / (F.col("nv") * F.col("ncv"))
+        ).alias("ccos"),
     )
     return (
         crossed.groupBy(*key_cols)
@@ -2018,15 +2098,19 @@ def _hn_score_ann(
         probes = _ivf_probes(
             anchors, cent, "anchor_id", ("anchor_label", "va")
         )
-    return assign.join(
-        F.broadcast(probes),
+    # Norms fold once per side before the probed-cell fan-out join
+    # (guide §2.2) — same per-pair expression tree, bit-identical.
+    return assign.withColumn("nv", V.norm(F.col("v"))).join(
+        F.broadcast(probes.withColumn("na", V.norm(F.col("va")))),
         (F.col("cid") == F.col("pcid"))
         & (F.col("vec_id") != F.col("anchor_id")),
     ).select(
         "anchor_id",
         F.col("vec_id").alias("cand_id"),
         (F.col("label") != F.col("anchor_label")).alias("is_neg"),
-        V.cosine(F.col("va"), F.col("v")).alias("cos"),
+        (
+            V.dot(F.col("va"), F.col("v")) / (F.col("na") * F.col("nv"))
+        ).alias("cos"),
     )
 
 
@@ -3408,16 +3492,26 @@ def _ep13_anchors(emb: DataFrame) -> DataFrame:
 def _ep13_scored_exact(emb: DataFrame, anchors: DataFrame) -> DataFrame:
     """(a_doc, c_doc, c_chunk, is_neg, cos): every non-anchor chunk
     scored against the broadcast anchor batch — the exact (recall
-    baseline) candidate set."""
-    return emb.join(
-        F.broadcast(anchors),
+    baseline) candidate set.
+
+    cos = dot/(norm(va)*norm(v)) with BOTH norms computed on their
+    input side BEFORE the |anchors|-way fan-out join (guide §2.2:
+    shrink per-row work before a multiplying operator) — V.cosine
+    inside the select would refold each chunk's norm once per anchor.
+    Same expression tree per pair (dot, the two sqrt folds, the
+    multiply order), so scores stay bit-identical to the oracle."""
+    return emb.withColumn("nv", V.norm(F.col("v"))).join(
+        F.broadcast(anchors.withColumn("na", V.norm(F.col("va")))),
         ~((F.col("doc_id") == F.col("a_doc")) & (F.col("chunk_idx") == 0)),
     ).select(
         "a_doc",
         F.col("doc_id").alias("c_doc"),
         F.col("chunk_idx").alias("c_chunk"),
         (F.col("doc_id") != F.col("a_doc")).alias("is_neg"),
-        V.cosine(F.col("va"), F.col("v")).alias("cos"),
+        (
+            V.dot(F.col("va"), F.col("v"))
+            / (F.col("na") * F.col("nv"))
+        ).alias("cos"),
     )
 
 
