@@ -178,16 +178,20 @@ def tok_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     word via the fenced-string replace (left-to-right greedy —
     reference semantics; see module doc).
 
-    Distribution/scale: the merge argmax is a broadcast 1-row
-    ``min(struct(-cnt, a, b))`` aggregate — no driver collect, no
-    window over the pair space — and merge application is a
-    broadcast nested-loop of that 1 row against the vocabulary-
-    bounded word table. Each iteration is eagerly localCheckpointed
-    (the Lloyd/label-propagation lineage discipline: 5 unrolled
-    replace-joins would otherwise compound into one plan) and the
-    PREVIOUS iteration's pinned blocks are released as soon as the
-    new one materializes (round-8 advice: intra-query pins must not
-    accumulate). The output unions the 5 pinned 1-row merge frames.
+    Distribution/scale: the merge argmax is a distributed
+    ``min(struct(-cnt, a, b))`` aggregate — no window over the pair
+    space — whose single result row is collected to the driver
+    (bounded: exactly 1 row per step; the previous broadcast-join
+    form collected the same row internally and then re-shipped it to
+    every task). The collected pair is inlined as LITERALS into the
+    next iteration's fenced-string replace, so merge application is
+    a pure narrow projection over the vocabulary-bounded word table:
+    no per-step broadcast exchange, no per-step localCheckpoint of
+    the word table (the replace chain over the ONE pinned base table
+    is recomputed per step — O(vocab x step) map work, cheaper than
+    materializing the table 5 times; r16 optimization, guide §2.4).
+    The output unions 5 constant-folded literal frames, so the
+    iterative lineage never re-enters the output plan.
 
     Oracle: the same loop unrolled as 5 CTE layers —
     exact BIGINT counts and the shared left-to-right replace make
@@ -207,37 +211,51 @@ def _bpe_train(
     keep_words: bool = False,
 ):
     """Shared BPE training loop (see tok_bpe_merges for semantics):
-    returns ``(merge_rows, total_rows, words)`` — per-step pinned
-    1-row frames, plus the final (sym_str, wf) word table when
-    ``keep_words`` (pinned; callers own its release), else None
-    (released here). ``total_rows`` is populated only when
-    ``with_totals`` (one extra vocabulary-bounded aggregate per
-    step); either flag makes the loop apply the final merge too,
-    which the merges-only path skips as dead work;
-    total_rows[0] is the pre-merge (character-level) token count
-    with a NULL merged symbol."""
-    def _new_pins(before: set) -> dict:
-        return {
-            i: j
-            for i, j in pinned_rdd_ids(spark).items()
-            if i not in before
-        }
+    returns ``(merge_rows, total_rows, words)`` — per-step 1-row
+    LITERAL merge frames (constant-folded; no lineage), plus the
+    final (sym_str, wf) word table when ``keep_words`` (pinned;
+    callers own its release), else None. ``total_rows`` is populated
+    only when ``with_totals`` (one extra vocabulary-bounded aggregate
+    per step, eagerly pinned — totals depend on the base word pin,
+    which this function releases before returning); either flag makes
+    the loop apply the final merge too, which the merges-only path
+    skips as dead work; total_rows[0] is the pre-merge
+    (character-level) token count with a NULL merged symbol.
 
+    r16 optimization (guide §2.4 / §1.2 "remove passes"): the
+    per-step argmax row is COLLECTED (1 bounded row — the old
+    broadcast join collected the same row on the driver and then
+    re-shipped it) and inlined as literals, so the per-step word
+    table is a lazy narrow replace-chain over the ONE pinned base
+    instead of 5 separately checkpointed tables: per step this drops
+    one full-table materialization job and one broadcast exchange,
+    and recomputing k replace layers costs O(vocab x k) map work.
+    Outputs are bit-identical: same BIGINT counts, same
+    (count DESC, a, b) tiebreak, same fenced replace semantics
+    (a NULL argmax on a degenerate corpus still nulls the pattern —
+    F.lit(None) rides through concat/replace exactly like the old
+    null join columns)."""
     def _tokens() -> F.Column:
         return F.sum(
             F.col("wf")
             * F.size(F.split(F.expr("btrim(sym_str, '|')"), r"\|\|"))
         ).alias("corpus_tokens")
 
+    def _s(v):  # typed literal: None must stay a STRING null
+        return F.lit(v).cast("string")
+
     snap = set(pinned_rdd_ids(spark))
-    words = (
+    base = (
         word_freqs(spark, sf_dir)
         .select(
             F.regexp_replace("word", "(.)", "|$1|").alias("sym_str"), "wf"
         )
         .localCheckpoint(eager=True)
     )
-    word_pins = _new_pins(snap)
+    word_pins = {
+        i: j for i, j in pinned_rdd_ids(spark).items() if i not in snap
+    }
+    words = base
     merge_rows = []
     total_rows = []
     if with_totals:
@@ -272,8 +290,9 @@ def _bpe_train(
             .agg(F.sum("wf").alias("cnt"))
         )
         # distributed argmax with the oracle's exact tiebreak:
-        # min(struct(-cnt, a, b)) == (cnt DESC, a ASC, b ASC) LIMIT 1
-        best = (
+        # min(struct(-cnt, a, b)) == (cnt DESC, a ASC, b ASC) LIMIT 1;
+        # exactly one bounded row crosses to the driver per step
+        row = (
             counts.agg(
                 F.min(
                     F.struct(
@@ -286,50 +305,48 @@ def _bpe_train(
                 F.col("m.b").alias("b"),
                 (-F.col("m.nc")).alias("cnt"),
             )
-            .localCheckpoint(eager=True)  # 1 row; feeds output AND apply
+            .collect()[0]
         )
+        a_s, b_s, cnt_v = row["a"], row["b"], row["cnt"]
         merge_rows.append(
-            best.select(
+            spark.range(1).select(
                 F.lit(step).cast("int").alias("step"),
-                F.col("a").alias("pair_a"),
-                F.col("b").alias("pair_b"),
-                F.concat("a", "b").alias("merged"),
-                F.col("cnt").alias("pair_count"),
+                _s(a_s).alias("pair_a"),
+                _s(b_s).alias("pair_b"),
+                F.concat(_s(a_s), _s(b_s)).alias("merged"),
+                F.lit(cnt_v).cast("long").alias("pair_count"),
             )
         )
         if step == n_merges and not (with_totals or keep_words):
             break  # the last apply would be dead work
-        snap = set(pinned_rdd_ids(spark))
-        new_words = words.crossJoin(F.broadcast(best)).select(
-            F.expr(
-                "replace(sym_str, '|' || a || '||' || b || '|',"
-                " '|' || a || b || '|')"
+        words = words.select(
+            F.replace(
+                F.col("sym_str"),
+                F.concat(
+                    F.lit("|"), _s(a_s), F.lit("||"), _s(b_s), F.lit("|")
+                ),
+                F.concat(F.lit("|"), _s(a_s), _s(b_s), F.lit("|")),
             ).alias("sym_str"),
             "wf",
-        ).localCheckpoint(eager=True)
-        new_word_pins = _new_pins(snap)
-        # the new checkpoint is materialized and `best` is pinned
-        # separately: the prior word table's blocks are dead weight
-        # now (the pinned 1-row merge frames are never in word_pins —
-        # each snapshot is taken right before its own checkpoint)
-        release_pins(word_pins.values())
-        word_pins = new_word_pins
-        words = new_words
+        )
         if with_totals:
             total_rows.append(
                 words.agg(_tokens())
-                .crossJoin(F.broadcast(best))
                 .select(
                     F.lit(step).cast("int").alias("step"),
-                    F.concat("a", "b").alias("merged"),
+                    F.concat(_s(a_s), _s(b_s)).alias("merged"),
                     F.col("corpus_tokens"),
                 )
                 .localCheckpoint(eager=True)
             )
     if keep_words:
-        return merge_rows, total_rows, words
-    # the outputs depend only on the pinned 1-row frames — the final
-    # word table can be released before the caller materializes them
+        # pin the final table once (callers own its release), then
+        # drop the base — the replace chain is no longer needed
+        final_words = words.localCheckpoint(eager=True)
+        release_pins(word_pins.values())
+        return merge_rows, total_rows, final_words
+    # merge rows are literals and totals are pinned — the base word
+    # table can be released before the caller materializes them
     release_pins(word_pins.values())
     return merge_rows, total_rows, None
 

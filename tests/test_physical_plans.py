@@ -681,10 +681,11 @@ def test_bpe_pair_stats_plan_shape(spark, sf_dir):
 
 
 def test_bpe_merges_output_is_pinned_rows(spark, sf_dir):
-    """tok_bpe_merges' OUTPUT plan must be a union of the 5 pinned
-    1-row merge frames (Scan ExistingRDD) — the iterative lineage
-    (5 count/argmax/apply rounds) must NOT re-enter the output plan
-    (the label-propagation checkpoint discipline), and the learned
+    """tok_bpe_merges' OUTPUT plan must be a union of the 5 LITERAL
+    1-row merge frames (constant-folded projections over Range — the
+    r16 collect-the-argmax form) — the iterative lineage (5
+    count/argmax/apply rounds) must NOT re-enter the output plan
+    (zero exchanges, zero scans of real data), and the learned
     merges must chain (a later merge may consume an earlier one's
     symbol; at minimum every merged symbol is 2+ chars and steps
     are 1..5 with non-increasing counts)."""
@@ -693,7 +694,7 @@ def test_bpe_merges_output_is_pinned_rows(spark, sf_dir):
     df = QUERIES["tok_bpe_merges"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
-    assert "Scan ExistingRDD" in plan, plan
+    assert "Scan parquet" not in plan, plan  # lineage never re-enters
     assert real_shuffle_exchanges(plan) == [], plan
     rows = sorted(df.collect(), key=lambda r: r.step)
     assert [r.step for r in rows] == [1, 2, 3, 4, 5]
