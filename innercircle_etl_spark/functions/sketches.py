@@ -128,16 +128,23 @@ def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     exploded = df.select(F.col(id_col), toks).select(
         id_col, word_hash32(F.col("__tok")).alias("__h")
     )
-    bit_votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("__h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
-        ).alias(f"__b{b}")
+    # per-bit vote = 2*sum(bit) - n (exact integer identity for
+    # sum(+1/-1 per bit)): plain bit sums drop the 32 per-row CASE
+    # branches of the naive +-1 form — same partial-agg width
+    # (32 longs + 1 count), bit-identical majority (vote > 0 iff
+    # 2*sum_b > n). r16 optimization, guide §1.2 per-task work.
+    bit_sums = [
+        F.sum(F.shiftright(F.col("__h"), b).bitwiseAND(1)).alias(f"__b{b}")
         for b in range(32)
     ]
-    voted = exploded.groupBy(id_col).agg(*bit_votes)
+    voted = exploded.groupBy(id_col).agg(
+        *bit_sums, F.count(F.lit(1)).alias("__n")
+    )
     sim = None
     for b in range(32):
-        term = F.when(F.col(f"__b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        term = F.when(
+            2 * F.col(f"__b{b}") > F.col("__n"), F.lit(1 << b)
+        ).otherwise(F.lit(0))
         sim = term if sim is None else sim + term
     return voted.select(id_col, sim.cast("long").alias("simhash"))
 
