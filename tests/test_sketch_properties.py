@@ -85,3 +85,53 @@ def test_multiprobe_recovers_what_single_bucket_misses(spark, sf_dir):
     }
     for v in plants:
         assert (v - 100000, v) in found, (v, buckets[v], buckets[v - 100000])
+
+
+def test_simhash_bit_sum_matches_plus_minus_vote(spark):
+    """The r16 simhash rewrite rests on one identity: the per-bit
+    sum of +1/-1 votes equals 2*sum(bit) - n, so majority (vote > 0)
+    is exactly 2*sum_b > n. Pin it by computing the sketch both ways
+    on a small adversarial corpus (ties, single-token docs, repeated
+    tokens) and requiring bit-identical signatures."""
+    from innercircle_etl_spark.functions import sketches as SK
+
+    rows = [
+        (1, "a"),                       # single token
+        (2, "a a a a"),                 # repeats (weighted votes)
+        (3, "a b"),                     # even count -> exact ties
+        (4, "x y z w v u t s"),         # wider mix, even count
+        (5, "q q r"),                   # odd with multiplicity
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    new = {
+        r["doc_id"]: r["simhash"]
+        for r in SK.simhash32(df, "doc_id", "text").collect()
+    }
+
+    # reference: the pre-r16 +-1 vote form, inlined verbatim
+    exploded = df.select(
+        "doc_id",
+        F.explode(F.split(F.col("text"), " ")).alias("__tok"),
+    ).select("doc_id", SK.word_hash32(F.col("__tok")).alias("__h"))
+    votes = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col("__h"), b).bitwiseAND(1) == 1, 1
+            ).otherwise(-1)
+        ).alias(f"__b{b}")
+        for b in range(32)
+    ]
+    voted = exploded.groupBy("doc_id").agg(*votes)
+    sim = None
+    for b in range(32):
+        term = F.when(F.col(f"__b{b}") > 0, F.lit(1 << b)).otherwise(
+            F.lit(0)
+        )
+        sim = term if sim is None else sim + term
+    old = {
+        r["doc_id"]: r["simhash"]
+        for r in voted.select(
+            "doc_id", sim.cast("long").alias("simhash")
+        ).collect()
+    }
+    assert new == old
