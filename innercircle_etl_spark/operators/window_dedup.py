@@ -53,6 +53,44 @@ def latest_per_key(
     return _rank_filter(df, keys, order, 1)
 
 
+def latest_per_key_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    tiebreakers: Sequence[str] = (),
+) -> DataFrame:
+    """``latest_per_key`` as a ``max_by`` AGGREGATE (the module-doc
+    form): keeps the same row per key group as the window form
+    PROVIDED (order_col, *tiebreakers) is unique within each group
+    (the callers pass a row-unique tiebreaker chain, so the greatest
+    order-struct is exactly the window's rank-1 row) and none of the
+    order columns is null in a group's winning row's comparison
+    (max_by skips null-ordering rows).
+
+    Why it exists (guide §2.3 'aggregate before you shuffle'): the
+    window form shuffles EVERY row and sorts each partition; the
+    aggregate form partially collapses per key on the map side, so
+    the exchange carries ~|keys| rows instead of |rows| and the sort
+    disappears. At a dup factor of d the shuffle shrinks ~d× — the
+    win grows with corpus size, while the window form's sort cost
+    does too. Column order and types are preserved (struct
+    round-trip)."""
+    order_struct = F.struct(
+        F.col(order_col), *[F.col(t) for t in tiebreakers]
+    )
+    others = [c for c in df.columns if c not in keys]
+    row = F.max_by(
+        F.struct(*[F.col(c) for c in others]), order_struct
+    ).alias("__row")
+    out = df.groupBy(*[F.col(k) for k in keys]).agg(row)
+    return out.select(
+        *[
+            F.col(c) if c in keys else F.col(f"__row.{c}").alias(c)
+            for c in df.columns
+        ]
+    )
+
+
 def first_per_key(
     df: DataFrame,
     keys: Sequence[str],

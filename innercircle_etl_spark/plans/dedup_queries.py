@@ -39,6 +39,7 @@ from innercircle_etl_spark.plans.planting import (
 )
 from innercircle_etl_spark.plans.registry import (
     load,
+    pin_concurrently,
     pinned_rdd_ids,
     register,
     release_pins,
@@ -1834,31 +1835,46 @@ WHERE CAST(len(list_intersect(sn.sh, si.sh)) AS DOUBLE)
 """
 
 
+def minhash_prep(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Shingle + hash one side of an incremental-minhash probe:
+    (doc_id, sh, h1, h2) for docs with >= 3 tokens. UNPINNED — the
+    caller pins it (each side feeds banding AND its verify join, so
+    a pin is always wanted; leaving it to the caller lets
+    independent sides pin as concurrent jobs, guide §2.6)."""
+    corpus = df.filter(
+        F.size(F.split(F.col("text"), " ")) >= 3
+    ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    toks = F.split(F.col("text"), " ")
+    sh = corpus.select("doc_id", SK.word_shingles(toks, 3).alias("sh"))
+    h1, h2 = SK.shingle_hashes(F.col("sh"))
+    return sh.select("doc_id", "sh", h1.alias("h1"), h2.alias("h2"))
+
+
 def incremental_minhash_pairs(
-    spark: SparkSession, idx_docs: DataFrame, batch_docs: DataFrame
+    spark: SparkSession,
+    idx_docs: DataFrame,
+    batch_docs: DataFrame,
+    idx_prepped: DataFrame | None = None,
 ) -> DataFrame:
     """Shared builder: batch-vs-index banded-minhash near-dup pairs
     (new_doc, canon_doc, jaccard >= 0.8) for arbitrary (doc_id,
     text) frames — the parameterized body of
     dedup_incremental_minhash, reused by ep11_ingest_dedup (the
     semantic_clusters_from discipline: one source for both the
-    registered query and the composite)."""
+    registered query and the composite).
 
-    def prep(df: DataFrame) -> DataFrame:
-        corpus = df.filter(
-            F.size(F.split(F.col("text"), " ")) >= 3
-        ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
-        toks = F.split(F.col("text"), " ")
-        sh = corpus.select(
-            "doc_id", SK.word_shingles(toks, 3).alias("sh")
+    ``idx_prepped``: an already-PINNED ``minhash_prep`` of the index
+    side, for callers that overlapped that build with earlier
+    stages (ep11); when None both sides are prepped here and pinned
+    as concurrent jobs — they share no lineage, so serializing the
+    two pins only added a barrier (guide §2.6)."""
+    if idx_prepped is None:
+        h_idx, h_new = pin_concurrently(
+            minhash_prep(spark, idx_docs), minhash_prep(spark, batch_docs)
         )
-        h1, h2 = SK.shingle_hashes(F.col("sh"))
-        # checkpoint: each side feeds banding AND its verify join
-        return sh.select(
-            "doc_id", "sh", h1.alias("h1"), h2.alias("h2")
-        ).localCheckpoint(eager=True)
-
-    h_idx, h_new = prep(idx_docs), prep(batch_docs)
+    else:
+        h_idx = idx_prepped
+        h_new = minhash_prep(spark, batch_docs).localCheckpoint(eager=True)
 
     def bands(h: DataFrame, id_alias: str) -> DataFrame:
         sigs = SK.minhash_from_hashes(
@@ -2261,10 +2277,19 @@ def ep11_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-hashing the text), so the index side is scanned once here
     # instead of five times (guide §2.4: the f1/f2 broadcasts used
     # to re-run the idx union+distinct per build).
-    imd5 = (
-        idx.select(F.md5("text").alias("i_m"))
-        .distinct()
-        .localCheckpoint(eager=True)
+    #
+    # All THREE index-side tables the cascade ever needs — the md5
+    # set (stage 1), the minhash prep (stage 2's probe target) and
+    # the token LM (stage 3's scorer) — depend only on `idx`, never
+    # on each other or on any batch stage, so they pin as ONE
+    # concurrent job group instead of three serial barriers spread
+    # across the cascade (guide §2.6; in production these ARE the
+    # persisted index artifacts, refreshed together).
+    itoks = idx.select(F.explode(F.split("text", " ")).alias("term"))
+    imd5, lm, h_idx = pin_concurrently(
+        idx.select(F.md5("text").alias("i_m")).distinct(),
+        itoks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt")),
+        minhash_prep(spark, idx),
     )
     fpos = (
         imd5.select(_bloom_pos_of_md5("i_m", 1).alias("pos"))
@@ -2297,9 +2322,10 @@ def ep11_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s1 = batch.join(exact, "doc_id", "anti")
 
-    # -- stage 2: banded minhash probe of the corpus index
+    # -- stage 2: banded minhash probe of the corpus index (its
+    # index side was prepped in the stage-1 concurrent group)
     near = (
-        incremental_minhash_pairs(spark, idx, s1)
+        incremental_minhash_pairs(spark, idx, s1, idx_prepped=h_idx)
         .select(F.col("new_doc").alias("doc_id"))
         .distinct()
         .localCheckpoint(eager=True)
@@ -2307,20 +2333,14 @@ def ep11_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     s2 = s1.join(near, "doc_id", "anti")
 
     # -- stage 3: corpus-LM rarity cull (OOV -> max surprisal).
-    # The LM is built ONCE and pinned (vocab-bounded); the token
-    # total and the corpus mean are vocab-sized aggregates over the
-    # pinned table — the mean via the exact-BIGINT identity
+    # The LM was built ONCE in the stage-1 pin group (vocab-bounded);
+    # the token total and the corpus mean are vocab-sized aggregates
+    # over the pinned table — the mean via the exact-BIGINT identity
     # sum_docs(rarity_sum) = sum_t(cnt * ((n*1000) div cnt)) and
     # sum_docs(n_tokens) = sum_t(cnt) (every index token joins its
     # LM row exactly once), so the per-doc index scoring pass that
     # existed only to feed the mean is gone entirely (guide §2.4;
     # it was a full idx explode + join + doc shuffle per run).
-    itoks = idx.select(F.explode(F.split("text", " ")).alias("term"))
-    lm = (
-        itoks.groupBy("term")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .localCheckpoint(eager=True)
-    )
     nn = lm.agg(F.sum("cnt").alias("n"))
     imean = lm.crossJoin(F.broadcast(nn)).agg(
         F.expr("sum(cnt * ((n * 1000) div cnt)) div sum(cnt)").alias(

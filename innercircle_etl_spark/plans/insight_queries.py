@@ -29,6 +29,7 @@ from innercircle_etl_spark.plans.registry import (
     duck_davg,
     duck_dsum,
     load,
+    pin_concurrently,
     register,
     widen,
 )
@@ -191,13 +192,6 @@ def ep5_shadow_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dimension-sized result; a lazy cache left the two consumers
     # racing to fill it (measured: lazy+ckpt 3.07s vs cache 3.49s
     # min at sf0.1)
-    floor_daily = percentile_disc(
-        fact, ["coll", "ev_date"], "price", 0.2, out_col="floor_price"
-    ).localCheckpoint(eager=True)
-    latest_floor = latest_per_key(floor_daily, ["coll"], "ev_date").select(
-        "coll", F.col("floor_price").alias("latest_price")
-    )
-
     cutoff = F.lit(_ENTRY_CUTOFF).cast("date")
     # buy and sell legs differ only in their flag filter and the
     # price>0 guard, so ONE insider-filtered scan + ONE shuffle on
@@ -208,7 +202,15 @@ def ep5_shadow_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fused legs frame feeds both as-of sides — eager localCheckpoint
     # pins it (insider-day-grain, dimension-sized) so the two
     # consumers neither race nor recompute the lineitem pass.
-    legs = (
+    #
+    # floor_daily and legs both derive ONLY from the pinned fact (+
+    # the insiders broadcast) and never from each other, so the two
+    # pins run as ONE concurrent job group instead of two serial
+    # barriers over the same persisted blocks (guide §2.6).
+    floor_daily, legs = pin_concurrently(
+        percentile_disc(
+            fact, ["coll", "ev_date"], "price", 0.2, out_col="floor_price"
+        ),
         fact.filter(F.col("ev_date") >= cutoff)
         .join(F.broadcast(insiders), "wallet")
         .groupBy(
@@ -222,8 +224,10 @@ def ep5_shadow_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(F.col("price") > 0, F.col("price"))
             ).alias("min_pos_price"),
             F.min("price").alias("min_price"),
-        )
-        .localCheckpoint(eager=True)
+        ),
+    )
+    latest_floor = latest_per_key(floor_daily, ["coll"], "ev_date").select(
+        "coll", F.col("floor_price").alias("latest_price")
     )
     buys = (
         legs.filter(~F.col("is_sell") & F.col("min_pos_price").isNotNull())

@@ -168,6 +168,33 @@ def duck_davg(expr: str) -> str:
     return f"(CAST(SUM(CAST({expr} AS DECIMAL(38,6))) AS DOUBLE) / COUNT({expr}))"
 
 
+def pin_concurrently(*dfs: DataFrame) -> list[DataFrame]:
+    """Eagerly ``localCheckpoint`` several INDEPENDENT DataFrames as
+    concurrent Spark jobs and return the pinned frames in argument
+    order (guide §2.6: actions are only sequential because driver
+    code calls them sequentially). A cascade that pins N bounded
+    intermediates pays N serial job barriers when each pin is built
+    inline; when the pins share no lineage the jobs can back-fill
+    each other's stragglers instead. Pure scheduling — each frame's
+    content is exactly what the same pin produced serially.
+
+    Callers must only pass frames with NO data dependency on each
+    other (a dependent frame would still compute correctly — Spark
+    jobs are self-contained — but would re-run the dependency's
+    lineage instead of reading its pin, the exact waste pinning
+    exists to avoid)."""
+    if len(dfs) == 1:
+        return [dfs[0].localCheckpoint(eager=True)]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(dfs)) as pool:
+        futs = [
+            pool.submit(lambda d=d: d.localCheckpoint(eager=True))
+            for d in dfs
+        ]
+        return [f.result() for f in futs]
+
+
 def pinned_rdd_ids(spark: SparkSession) -> dict:
     """id -> java RDD handle for every persisted RDD — the only
     handle PySpark exposes to a localCheckpoint's blocks. Used by

@@ -7,7 +7,7 @@ from pyspark.sql import functions as F
 
 from innercircle_etl_spark.operators.window_dedup import (
     first_per_key,
-    latest_per_key,
+    latest_per_key_agg,
     top_n_per_group,
 )
 from innercircle_etl_spark.plans.registry import dsum, load, register
@@ -31,11 +31,18 @@ def w1_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1: latest-row-per-key dedup — the reference's ownership
     snapshot / latest-contract idiom (update_etl.py:129-140,
     :491-507, schema.sql:392-408). Tiebreakers pinned for
-    determinism."""
+    determinism.
+
+    Aggregate (max_by) form: (l_shipdate, l_orderkey, l_linenumber)
+    is row-unique (orderkey+linenumber is the table key), so the
+    greatest order-struct IS the window form's rank-1 row, and the
+    partial aggregation collapses each key's ~dup-factor rows on the
+    map side before the exchange (guide §2.3) instead of shuffling
+    and sorting every row."""
     li = load(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice"
     )
-    return latest_per_key(
+    return latest_per_key_agg(
         li, ["l_partkey"], "l_shipdate", tiebreakers=["l_orderkey", "l_linenumber"]
     )
 
