@@ -53,6 +53,29 @@ def latest_per_key(
     return _rank_filter(df, keys, order, 1)
 
 
+def _extremum_per_key_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    tiebreakers: Sequence[str],
+    extremum,
+) -> DataFrame:
+    order_struct = F.struct(
+        F.col(order_col), *[F.col(t) for t in tiebreakers]
+    )
+    others = [c for c in df.columns if c not in keys]
+    row = extremum(
+        F.struct(*[F.col(c) for c in others]), order_struct
+    ).alias("__row")
+    out = df.groupBy(*[F.col(k) for k in keys]).agg(row)
+    return out.select(
+        *[
+            F.col(c) if c in keys else F.col(f"__row.{c}").alias(c)
+            for c in df.columns
+        ]
+    )
+
+
 def latest_per_key_agg(
     df: DataFrame,
     keys: Sequence[str],
@@ -75,19 +98,22 @@ def latest_per_key_agg(
     win grows with corpus size, while the window form's sort cost
     does too. Column order and types are preserved (struct
     round-trip)."""
-    order_struct = F.struct(
-        F.col(order_col), *[F.col(t) for t in tiebreakers]
+    return _extremum_per_key_agg(
+        df, keys, order_col, tiebreakers, F.max_by
     )
-    others = [c for c in df.columns if c not in keys]
-    row = F.max_by(
-        F.struct(*[F.col(c) for c in others]), order_struct
-    ).alias("__row")
-    out = df.groupBy(*[F.col(k) for k in keys]).agg(row)
-    return out.select(
-        *[
-            F.col(c) if c in keys else F.col(f"__row.{c}").alias(c)
-            for c in df.columns
-        ]
+
+
+def first_per_key_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    tiebreakers: Sequence[str] = (),
+) -> DataFrame:
+    """``first_per_key`` as a ``min_by`` aggregate — the W2 twin of
+    ``latest_per_key_agg``; same uniqueness/non-null precondition,
+    same map-side-collapse rationale."""
+    return _extremum_per_key_agg(
+        df, keys, order_col, tiebreakers, F.min_by
     )
 
 

@@ -6,7 +6,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from innercircle_etl_spark.operators.asof import asof_join
-from innercircle_etl_spark.operators.window_dedup import latest_per_key
+from innercircle_etl_spark.operators.window_dedup import latest_per_key_agg
 from innercircle_etl_spark.plans.registry import (
     dsum,
     duck_dsum,
@@ -270,8 +270,13 @@ def j9_join_to_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     update_etl.py:717-731; create_shadow_trade.sql:62-75). The
     deduped side shrinks to |keys| rows → broadcast join."""
     cust = load(spark, sf_dir, "customer")
-    orders = load(spark, sf_dir, "orders")
-    latest = latest_per_key(
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    # max_by aggregate form (o_orderkey unique => identical kept row,
+    # guide §2.3): the broadcast side is built from a partial-agg
+    # collapse of ~|keys| rows, not a full shuffle+sort of orders.
+    latest = latest_per_key_agg(
         orders, ["o_custkey"], "o_orderdate", tiebreakers=["o_orderkey"]
     )
     return cust.join(

@@ -6,7 +6,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from innercircle_etl_spark.operators.window_dedup import (
-    first_per_key,
+    first_per_key_agg,
     latest_per_key_agg,
     top_n_per_group,
 )
@@ -65,9 +65,17 @@ def w1_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def w2_first_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W2: first-row-per-key — first acquisition
-    (update_etl.py:430-437, first_acquisition.sql:16-22)."""
-    orders = load(spark, sf_dir, "orders")
-    out = first_per_key(
+    (update_etl.py:430-437, first_acquisition.sql:16-22).
+
+    min_by aggregate form (o_orderkey is unique, so the smallest
+    order-struct IS the window's rank-1 row): map-side partial
+    collapse before the exchange instead of shuffling every order
+    row into a window sort (guide §2.3); the 4-column pre-select
+    keeps the partial-agg structs narrow."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    out = first_per_key_agg(
         orders, ["o_custkey"], "o_orderdate", tiebreakers=["o_orderkey"]
     )
     return out.select(

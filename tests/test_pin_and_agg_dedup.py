@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from innercircle_etl_spark.operators.window_dedup import (
+    first_per_key,
+    first_per_key_agg,
     latest_per_key,
     latest_per_key_agg,
 )
@@ -41,6 +43,24 @@ def test_latest_per_key_agg_matches_window_form(spark):
     # column order + types preserved (nullability may widen through
     # the struct round-trip; the driver's schema gate compares names
     # and types, not nullability)
+    assert [(f.name, f.dataType) for f in agg.schema] == [
+        (f.name, f.dataType) for f in win.schema
+    ]
+    assert _rows(agg, "k") == _rows(win, "k")
+
+
+def test_first_per_key_agg_matches_window_form(spark):
+    df = (
+        spark.range(500)
+        .select(
+            (F.col("id") % 40).alias("k"),
+            (F.col("id") % 7).alias("ts"),
+            F.col("id").alias("seq"),
+            (F.col("id") * 3 % 101).alias("payload"),
+        )
+    )
+    win = first_per_key(df, ["k"], "ts", tiebreakers=["seq"])
+    agg = first_per_key_agg(df, ["k"], "ts", tiebreakers=["seq"])
     assert [(f.name, f.dataType) for f in agg.schema] == [
         (f.name, f.dataType) for f in win.schema
     ]
