@@ -60,77 +60,89 @@ def entry(spark: SparkSession) -> DataFrame:
 # not listed (or not yet registered) keep registration order at the
 # end — the list is advisory, never a filter.
 _PRIORITY = [
-    # ================= ROUND-16 WINDOW: standing freshness rotation
-    # (round-10 verdict item 1). 202 registered queries; after round
-    # 15 the newest-green histogram is r12x50 / r13x50 / r14x50 /
-    # r15x50 (recomputed from CORRECTNESS_r01..r15 at round-16
-    # start — matches the r15 verdict). This window, exactly as the
-    # r15 verdict item 1 prescribes: positions 1-2 = the two
-    # round-15 registrations that are locally oracle-proven but have
-    # no driver row yet (their FIRST driver proof), positions 3-50 =
-    # the 48 alphabetically-first r12-stale rows. The two remaining
-    # r12 rows (text_token_stats, x12_salted_agg) head the round-17
-    # pool; after this round no registry row's newest DRIVER green
-    # is older than r12 and only those two r12 rows remain.
-    # ---- 1-2: first driver proof for the r15 registrations ----
-    "dedup_embedding_multiprobe_scaled",
-    "ann_index_versioned_compact",
-    # ---- 3-50: the r12 block (alphabetical) ----
-    "ann_hard_negatives",
-    "ann_hard_negatives_persisted",
-    "ann_index_incremental_update",
-    "ann_ivf_fixed_k",
-    "decon_semantic_embeddings",
-    "dedup_bloom_incremental",
-    "dedup_cluster_canonical",
-    "dedup_embedding_multiprobe",
-    "dedup_minhash_lsh",
-    "dedup_minhash_recall",
-    "dedup_ngram_jaccard",
-    "dedup_semantic_clusters",
-    "dedup_semantic_fixed_k",
-    "dedup_shingle_containment",
-    "dedup_substring_spans",
-    "ep10_rag_retrieval",
-    "ep10_rag_retrieval_ann",
-    "ep11_ingest_dedup",
-    "ep13_contrastive_pairs_persisted",
-    "ep7_posts",
-    "ep8_corpus_pipeline",
-    "ep9_vector_index_pipeline",
-    "f1_string_funcs",
-    "f2_datetime_funcs",
-    "f3_math_decay",
-    "f5_array_access",
-    "f6_json_extract",
-    "i4_file_stream_exactly_once",
-    "j12_interval_bucket_join",
-    "j2_left_enrich",
-    "j4_left_anti",
-    "j5_left_semi",
-    "j6_double_anti",
-    "p1_project_arithmetic",
-    "p4_p5_inlist_like",
-    "p6_p7_membership",
-    "p8_p9_p10_null_blacklist",
-    "s2_s3_csv_roundtrip",
-    "s6_json_source",
-    "s8_rest_source",
-    "s9_rest_sink",
-    "t1_union_all_legs",
-    "t2_except",
-    "t3_intersect",
-    "text_bm25_search",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_quality_score",
-    # ---- rotation pool (advisory order; past the 50-slot window).
-    # Round-17 leads here: the two remaining r12 rows, then this
-    # round's registration (locally oracle-proven), then the r13
-    # block (alphabetical) ----
+    # ================= ROUND-17 WINDOW (r16 verdict item 1 verbatim).
+    # 203 registered queries; after round 16 the newest-green
+    # histogram is r12x2 / r13x50 / r14x50 / r15x50 / r16x50 plus
+    # the never-proven round-16 registration (recomputed from
+    # CORRECTNESS_r01..r16 at round-17 start). Positions 1-23 =
+    # the queries round 16 RESTRUCTURED whose new forms have no
+    # driver-oracle row yet (locally exact-diff-proven 203/203, but
+    # the CORRECTNESS artifact is the contract), plus the first
+    # driver proof for dedup_ngram_jaccard_w7 and the two remaining
+    # r12-stale rows. Positions 24-50 = the 27 alphabetically-first
+    # r13-stale rows. After this round every restructured form has a
+    # driver row and nothing is staler than r13 (14 r13 rows remain;
+    # they head the round-18 pool below).
+    # ---- 1-21: driver proof for the r16-restructured forms ----
+    "w1_latest_per_key",
+    "w2_first_per_key",
+    "j9_join_to_latest",
+    "j11_pairs_jaccard",
+    "tok_bpe_merges",
+    "tok_bpe_compression",
+    "tok_apply_vocab",
+    "dedup_simhash",
+    "ep3_roi_cascade",
+    "ep5_shadow_trade",
+    "ep12_training_mix",
+    "ep13_contrastive_pairs",
+    "ep14_multimodal_pairs",
+    "mm_dedup_phash",
+    "samp_dsir_importance",
+    "text_lm_rarity_filter",
+    "dedup_incremental_minhash",
+    "dedup_embedding_cosine",
+    "ann_cosine_topk",
+    "ann_lsh_bucketed",
+    "dedup_ngram_jaccard_w7",
+    # ---- 22-23: the last two r12-stale rows ----
     "text_token_stats",
     "x12_salted_agg",
-    "dedup_ngram_jaccard_w7",
+    # ---- 24-50: the r13 block (alphabetical) ----
+    "a12_rollup",
+    "a13_grouped_pandas_stats",
+    "a14_grouped_agg_udf",
+    "a1_count_distinct",
+    "a1b_approx_distinct",
+    "ann_hard_negatives_cellpart",
+    "ann_index_cellpart_compact",
+    "ann_index_cellpart_update",
+    "ann_index_stream_update",
+    "ann_index_versioned_update",
+    "f4_case_coalesce",
+    "i13_stream_cdc_apply",
+    "i1_highwatermark_increment",
+    "i3_streaming_snapshot",
+    "i3b_stateful_snapshot",
+    "i5_scd_flag_flip",
+    "i6_watermark_window",
+    "i7_stream_dedup",
+    "i8_session_window",
+    "i9_stream_static_join",
+    "p2_p3_time_range",
+    "q3_outlier_zscores",
+    "s10_watermark",
+    "s11_schema_evolution",
+    "samp_bottomk_fixed",
+    "samp_temperature_mix",
+    "samp_unimax",
+    # ---- rotation pool (advisory order; past the 50-slot window).
+    # Round-18 leads here: the 14 remaining r13-stale rows
+    # (alphabetical), then the r14 block ----
+    "seq_funnel_states",
+    "tok_bpe_pair_stats",
+    "u10_incremental_agg",
+    "u11_dynamic_partition_overwrite",
+    "u12_cdc_apply",
+    "u2_merge_update",
+    "u3_partition_delete_reload",
+    "u4_truncate_rebuild",
+    "u5_conditional_flag",
+    "u6_date_gaps",
+    "u9_scd2_ranges",
+    "w12_sessionize",
+    "w3_topn_per_group",
+    "w4_global_rank",
 ]
 
 
