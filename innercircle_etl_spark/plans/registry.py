@@ -187,12 +187,34 @@ def pin_concurrently(*dfs: DataFrame) -> list[DataFrame]:
         return [dfs[0].localCheckpoint(eager=True)]
     from concurrent.futures import ThreadPoolExecutor
 
+    spark = dfs[0].sparkSession
+    # Snapshot the persisted-RDD ids so a failed group can release
+    # exactly the pins IT created (a sibling pin that already
+    # materialized would otherwise leak its blocks past the repo's
+    # release_pins discipline — the caller never sees the handles).
+    # Queries run one-at-a-time per session here, so ids appearing
+    # during this call belong to this group.
+    before = set(pinned_rdd_ids(spark))
     with ThreadPoolExecutor(max_workers=len(dfs)) as pool:
         futs = [
             pool.submit(lambda d=d: d.localCheckpoint(eager=True))
             for d in dfs
         ]
-        return [f.result() for f in futs]
+        out, first_err = [], None
+        for f in futs:
+            try:
+                out.append(f.result())
+            except Exception as e:  # noqa: BLE001 — re-raised below
+                if first_err is None:
+                    first_err = e
+        if first_err is not None:
+            release_pins(
+                j
+                for rid, j in pinned_rdd_ids(spark).items()
+                if rid not in before
+            )
+            raise first_err
+        return out
 
 
 def pinned_rdd_ids(spark: SparkSession) -> dict:

@@ -67,6 +67,61 @@ def test_first_per_key_agg_matches_window_form(spark):
     assert _rows(agg, "k") == _rows(win, "k")
 
 
+def test_agg_forms_match_window_forms_with_null_order_fields(spark):
+    # Round-17 (verdict item 6 / advice item 2): the ordering expr is
+    # a STRUCT, which is never NULL even when its fields are — so
+    # max_by/min_by never skip a row; null order fields compare
+    # lowest, which coincides with the window form's default
+    # desc-nulls-last / asc-nulls-first placement. Pin that equality
+    # over every null shape a caller could feed: null order values,
+    # all-null groups, null tiebreak fields.
+    rows = [
+        (1, 10, 1, "a"), (1, None, 2, "b"),   # null ord among non-null
+        (2, None, 1, "c"), (2, None, 2, "d"),  # all-null ord group
+        (3, 5, None, "e"), (3, 5, 7, "f"),     # null tiebreak field
+        (4, 1, 1, "g"),                        # singleton group
+    ]
+    df = spark.createDataFrame(rows, "k int, o int, tb int, p string")
+    for w_form, a_form in (
+        (latest_per_key, latest_per_key_agg),
+        (first_per_key, first_per_key_agg),
+    ):
+        win = w_form(df, ["k"], "o", tiebreakers=["tb"])
+        agg = a_form(df, ["k"], "o", tiebreakers=["tb"])
+        assert _rows(agg, "k") == _rows(win, "k")
+
+
+def test_agg_form_handles_dotted_column_names(spark):
+    # Advice item 3: non-key columns are re-extracted from the
+    # aggregate struct with getField, so names containing dots must
+    # round-trip (dotted F.col paths would throw UNRESOLVED_COLUMN).
+    df = (
+        spark.range(20)
+        .select(
+            (F.col("id") % 4).alias("k"),
+            F.col("id").alias("ts"),
+            (F.col("id") * 7 % 11).alias("pay.load"),
+        )
+    )
+    agg = latest_per_key_agg(df, ["k"], "ts")
+    assert agg.columns == ["k", "ts", "pay.load"]
+    win = latest_per_key(df, ["k"], "ts")
+    assert _rows(agg, "k") == _rows(win, "k")
+
+
+def test_agg_form_input_named_row_does_not_collide(spark):
+    # collision-checked temp name: a column literally named __row
+    df = spark.range(10).select(
+        (F.col("id") % 3).alias("k"),
+        F.col("id").alias("ts"),
+        (F.col("id") + 100).alias("__row"),
+    )
+    agg = latest_per_key_agg(df, ["k"], "ts")
+    win = latest_per_key(df, ["k"], "ts")
+    assert agg.columns == ["k", "ts", "__row"]
+    assert _rows(agg, "k") == _rows(win, "k")
+
+
 def test_latest_per_key_agg_plan_has_partial_aggregation(spark):
     df = spark.range(100).select(
         (F.col("id") % 5).alias("k"),
@@ -103,6 +158,25 @@ def test_pin_concurrently_matches_serial_pins(spark):
     for pinned in (pa, pb, pc):
         plan = pinned._jdf.queryExecution().optimizedPlan().toString()
         assert "ExistingRDD" in plan or "LogicalRDD" in plan
+
+
+def test_pin_concurrently_releases_siblings_on_failure(spark):
+    # Advice item 1: if one pin raises, siblings that already
+    # materialized must not leak pinned blocks (the caller never
+    # receives their handles to release them).
+    import pytest
+
+    from innercircle_etl_spark.plans.registry import pinned_rdd_ids
+
+    good = spark.range(100).select(F.col("id"), (F.col("id") * 2).alias("x"))
+    bad = spark.range(3).select(
+        F.expr("raise_error('pin boom')").alias("e")
+    )
+    before = set(pinned_rdd_ids(spark))
+    with pytest.raises(Exception, match="pin boom"):
+        pin_concurrently(good, bad)
+    leaked = set(pinned_rdd_ids(spark)) - before
+    assert not leaked, f"leaked pinned RDDs: {leaked}"
 
 
 def test_pin_concurrently_single_frame_fast_path(spark):
