@@ -53,6 +53,13 @@ def latest_per_key(
     return _rank_filter(df, keys, order, 1)
 
 
+def _qcol(name: str) -> Column:
+    """``F.col`` with the name backtick-quoted so dots (and literal
+    backticks, doubled per Spark's quoting rule) are taken verbatim
+    instead of parsed as struct-field paths."""
+    return F.col("`" + name.replace("`", "``") + "`")
+
+
 def _extremum_per_key_agg(
     df: DataFrame,
     keys: Sequence[str],
@@ -61,16 +68,24 @@ def _extremum_per_key_agg(
     extremum,
 ) -> DataFrame:
     order_struct = F.struct(
-        F.col(order_col), *[F.col(t) for t in tiebreakers]
+        _qcol(order_col), *[_qcol(t) for t in tiebreakers]
     )
     others = [c for c in df.columns if c not in keys]
+    # collision-checked temp name: an input column literally named
+    # __row would shadow the aggregate alias in the final select
+    tmp = "__row"
+    while tmp in df.columns:
+        tmp += "_"
     row = extremum(
-        F.struct(*[F.col(c) for c in others]), order_struct
-    ).alias("__row")
-    out = df.groupBy(*[F.col(k) for k in keys]).agg(row)
+        F.struct(*[_qcol(c).alias(c) for c in others]), order_struct
+    ).alias(tmp)
+    out = df.groupBy(*[_qcol(k) for k in keys]).agg(row)
+    # getField, not a dotted F.col path — column names containing
+    # dots/backticks would break string parsing (the window form
+    # handles any name, so this form must too)
     return out.select(
         *[
-            F.col(c) if c in keys else F.col(f"__row.{c}").alias(c)
+            _qcol(c) if c in keys else F.col(tmp).getField(c).alias(c)
             for c in df.columns
         ]
     )
@@ -86,9 +101,12 @@ def latest_per_key_agg(
     form): keeps the same row per key group as the window form
     PROVIDED (order_col, *tiebreakers) is unique within each group
     (the callers pass a row-unique tiebreaker chain, so the greatest
-    order-struct is exactly the window's rank-1 row) and none of the
-    order columns is null in a group's winning row's comparison
-    (max_by skips null-ordering rows).
+    order-struct is exactly the window's rank-1 row). NULLs in the
+    order columns are safe: the ordering expr is a struct, which is
+    never NULL even when its fields are, so max_by never skips a
+    row — null fields just compare lowest, which coincides with the
+    window form's default desc-nulls-last placement (pinned by
+    tests/test_pin_and_agg_dedup.py's null-order case).
 
     Why it exists (guide §2.3 'aggregate before you shuffle'): the
     window form shuffles EVERY row and sorts each partition; the
@@ -110,8 +128,10 @@ def first_per_key_agg(
     tiebreakers: Sequence[str] = (),
 ) -> DataFrame:
     """``first_per_key`` as a ``min_by`` aggregate — the W2 twin of
-    ``latest_per_key_agg``; same uniqueness/non-null precondition,
-    same map-side-collapse rationale."""
+    ``latest_per_key_agg``; same uniqueness precondition, same
+    map-side-collapse rationale (and the same null-field safety:
+    null order fields compare lowest = the window form's default
+    asc-nulls-first placement)."""
     return _extremum_per_key_agg(
         df, keys, order_col, tiebreakers, F.min_by
     )
