@@ -15,13 +15,14 @@ Changelog batch schema: k, ts_us, event_id, op ('U'|'D'), new_bal.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from innercircle_etl_spark.operators.atomic_swap import (
     recover_table,
     write_replace,
 )
+from innercircle_etl_spark.operators.window_dedup import latest_per_key_agg
 
 
 def versioned_cdc_merge(
@@ -29,19 +30,20 @@ def versioned_cdc_merge(
 ) -> DataFrame:
     """Pure-DataFrame merge of one changelog batch into a versioned
     snapshot; returns the new snapshot frame (same schema)."""
-    w = Window.partitionBy("k").orderBy(
-        F.col("ts_us").desc(), F.col("event_id").desc()
-    )
-    latest = (
-        batch.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "k",
-            F.col("ts_us").alias("c_ts"),
-            F.col("event_id").alias("c_eid"),
-            "op",
-            "new_bal",
-        )
+    # max_by aggregate form of the rank-1 window (guide §2.3): the
+    # (ts_us, event_id) chain is row-unique (event ids are unique),
+    # so the greatest order-struct IS the window form's rank-1 row,
+    # and the changelog collapses per key on the MAP side instead of
+    # shuffling and sorting every change row (round 17; w1/w2/j9's
+    # round-16 pattern).
+    latest = latest_per_key_agg(
+        batch, ["k"], "ts_us", tiebreakers=["event_id"]
+    ).select(
+        "k",
+        F.col("ts_us").alias("c_ts"),
+        F.col("event_id").alias("c_eid"),
+        "op",
+        "new_bal",
     )
     m = snapshot.join(latest, "k", "full_outer")
     newer = F.col("c_ts").isNotNull() & (

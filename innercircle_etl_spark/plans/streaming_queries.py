@@ -22,6 +22,7 @@ from innercircle_etl_spark.operators.atomic_swap import (
     recover_table,
     write_replace,
 )
+from innercircle_etl_spark.operators.window_dedup import latest_per_key_agg
 from innercircle_etl_spark.plans.registry import dsum, load, register
 from innercircle_etl_spark.streaming import (
     run_available_now,
@@ -185,12 +186,14 @@ def i3_streaming_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             current = sp.read.parquet(snap)
         except Exception:
             current = sp.createDataFrame([], delta.schema)
-        w = Window.partitionBy("user_id").orderBy(F.col("event_id").desc())
-        merged = (
-            current.unionByName(delta)
-            .withColumn("rnk", F.row_number().over(w))
-            .filter(F.col("rnk") == 1)
-            .drop("rnk")
+        # max_by aggregate form of the rank-1 window (guide §2.3,
+        # round 17): event_id is unique — ties can only be replayed
+        # identical rows — so the aggregate keeps exactly the
+        # window's rank-1 row while each micro-batch collapses per
+        # key on the MAP side instead of shuffling + sorting every
+        # snapshot∪delta row.
+        merged = latest_per_key_agg(
+            current.unionByName(delta), ["user_id"], "event_id"
         )
         # crash-safe swap: the shared rename protocol (the previous
         # rmtree-then-rename had a window where NO live snapshot
@@ -285,14 +288,11 @@ def i3b_stateful_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
 
     emitted = spark.read.parquet(sink)
-    w = Window.partitionBy("user_id").orderBy(
-        F.col("last_event_id").desc()
-    )
-    return (
-        emitted.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") == 1)
-        .drop("rnk")
-    )
+    # rank-1 → max_by aggregate (guide §2.3): update-mode re-emits of
+    # a key carry strictly newer last_event_id (ties are identical
+    # replayed rows), so the aggregate picks the window's rank-1 row
+    # with a map-side collapse instead of a full sort per partition.
+    return latest_per_key_agg(emitted, ["user_id"], "last_event_id")
 
 
 _I1_ORACLE = """
@@ -703,14 +703,8 @@ def i3c_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     emitted = spark.read.parquet(sink)
-    w = Window.partitionBy("user_id").orderBy(
-        F.col("last_event_id").desc()
-    )
-    return (
-        emitted.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") == 1)
-        .drop("rnk")
-    )
+    # same rank-1 → max_by aggregate as i3b (guide §2.3)
+    return latest_per_key_agg(emitted, ["user_id"], "last_event_id")
 
 
 if _twsip_available():  # pragma: no cover - protobuf broken here

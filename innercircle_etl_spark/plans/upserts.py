@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from innercircle_etl_spark.operators.window_dedup import latest_per_key_agg
+
 from innercircle_etl_spark.operators.upsert import (
     conditional_flag_update,
     date_gaps,
@@ -518,14 +520,14 @@ def u12_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("op"),
         F.col("value").alias("new_bal"),
     )
-    w = Window.partitionBy("k").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
-    )
-    latest = (
-        changelog.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("k", "op", "new_bal")
-    )
+    # max_by aggregate form of the rank-1 window (guide §2.3, round
+    # 17): (ts, event_id) is row-unique, so the aggregate keeps
+    # exactly the window's rank-1 row while the changelog collapses
+    # per key on the MAP side — the shuffle carries ~|keys| rows
+    # instead of every change row, and the per-partition sort is gone.
+    latest = latest_per_key_agg(
+        changelog, ["k"], "ts", tiebreakers=["event_id"]
+    ).select("k", "op", "new_bal")
     merged = cust.join(latest, "k", "full_outer")
     # Presence must come from an explicit flag, not a payload column:
     # a snapshot row whose bal is NULL would make bal.isNotNull()
