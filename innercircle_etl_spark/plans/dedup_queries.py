@@ -600,38 +600,54 @@ def ngram_jaccard_pairs(
         build, "doc_id long, n long, idx array<long>, bits array<long>"
     ).localCheckpoint(eager=True)
 
-    # prefix = the n - ceil(t*n) + 1 rarest grams, with positions.
-    # ceil(t*n) = (t_num*n + t_den - 1) div t_den — exact integers.
-    k = (
+    # PROBE prefix = the n - ceil(t*n) + 1 rarest grams, with
+    # positions. ceil(t*n) = (t_num*n + t_den - 1) div t_den — exact
+    # integers.
+    k_probe = (
         F.col("n")
         - F.expr(f"({t_num} * n + {t_den - 1}) div {t_den}")
         + 1
     )
-    prefix = sets.select(
-        "doc_id",
-        "n",
-        F.posexplode(F.slice("idx", 1, k)).alias("pos0", "rank"),
-    ).select(
-        "doc_id", "n", (F.col("pos0") + 1).alias("pos"), "rank"
+    # INDEX prefix (round 17 — AllPairs/PPJoin's asymmetric indexing
+    # prefix): when the index side is the SHORTER record of the pair
+    # (nb <= na), alpha = ceil(t/(1+t)*(na+nb)) >= ceil(2t/(1+t)*nb),
+    # so the shorter side only needs its first
+    # nb - ceil(2t/(1+t)*nb) + 1 rarest grams in the index. At t=0.9
+    # that is ~nb/19 entries vs the probe prefix's ~n/10 — the
+    # candidate join's index-side explode and the pairs it emits
+    # nearly halve. Lossless: a true pair's rarest common gram lies
+    # within the (n - alpha + 1)-prefix of BOTH docs, and both
+    # prefixes dominate that bound under the shorter-side-indexed
+    # orientation (pinned by the brute-force property test at three
+    # thresholds, including equal-length J=1 copies).
+    s = t_num + t_den
+    k_index = (
+        F.col("n")
+        - F.expr(f"(2 * {t_num} * n + {s - 1}) div {s}")
+        + 1
     )
-    a = prefix.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("n").alias("na"),
-        F.col("pos").alias("pa"),
-        "rank",
-    )
-    b = prefix.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("n").alias("nb"),
-        F.col("pos").alias("pb"),
-        "rank",
-    )
+
+    def _side(k_expr, id_col, n_col, pos_col):
+        return sets.select(
+            "doc_id",
+            "n",
+            F.posexplode(F.slice("idx", 1, k_expr)).alias(
+                "pos0", "rank"
+            ),
+        ).select(
+            F.col("doc_id").alias(id_col),
+            F.col("n").alias(n_col),
+            (F.col("pos0") + 1).alias(pos_col),
+            "rank",
+        )
+
+    a = _side(k_probe, "doc_a", "na", "pa")
+    b = _side(k_index, "doc_b", "nb", "pb")
     # PPJoin positional/length pruning (lossless): a true pair's
     # smallest common gram g has every other common gram after g in
     # both docs, so overlap <= 1 + min(na-pa, nb-pb); overlap must
     # reach alpha = ceil(t/(1+t)*(na+nb)) with t = t_num/t_den i.e.
     # ceil(t_num*(na+nb) / (t_num+t_den)).
-    s = t_num + t_den
     alpha = F.floor(
         (t_num * (F.col("na") + F.col("nb")) + (s - 1)) / s
     )
@@ -645,9 +661,18 @@ def ngram_jaccard_pairs(
     # at the 10x factor: the dropped exchange was 48M rows.
     cand = (
         a.join(b, ["rank"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        # exactly-one orientation per pair, with the INDEX side the
+        # shorter record (the asymmetric-prefix precondition); id
+        # breaks equal-length ties. nb <= na is implied, so only the
+        # lower length bound nb >= t*na remains to filter.
+        .filter(
+            (F.col("nb") < F.col("na"))
+            | (
+                (F.col("nb") == F.col("na"))
+                & (F.col("doc_b") < F.col("doc_a"))
+            )
+        )
         .filter(F.col("nb") * t_den >= F.col("na") * t_num)
-        .filter(F.col("na") * t_den >= F.col("nb") * t_num)
         .filter(
             1 + F.least(F.col("na") - F.col("pa"), F.col("nb") - F.col("pb"))
             >= alpha
@@ -715,7 +740,13 @@ def ngram_jaccard_pairs(
             / (F.col("na") + F.col("nb") - F.col("common")),
         )
         .filter(F.col("jaccard") >= t_num / t_den)
-        .select("doc_a", "doc_b", "jaccard")
+        # probe/index orientation is by (length, id); the declared
+        # output order is by id — canonicalize before the dedup
+        .select(
+            F.least("doc_a", "doc_b").alias("doc_a"),
+            F.greatest("doc_a", "doc_b").alias("doc_b"),
+            "jaccard",
+        )
         # dedup the multi-gram duplicates AFTER verify: survivor-
         # sized exchange (duplicates carry identical jaccard values,
         # so distinct on all three columns is exact)
