@@ -176,7 +176,18 @@ def ep5_shadow_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     # okey is ep6's column — this cascade never touches it, so keep
     # it out of the repartition exchange and the pinned blocks
     # (guide §2.1: shuffle/persist only the columns the DAG reads).
-    fact = _fact(spark, sf_dir).drop("okey")
+    # The cascade also only ever tests flag == 'R', so fold the flag
+    # STRING to a 1-byte is_sell boolean BEFORE the exchange (round
+    # 17, same §2.1 byte cut): NULL flags propagate identically
+    # (NULL == 'R' is NULL, which both leg filters drop, exactly as
+    # the string compares did).
+    fact = _fact(spark, sf_dir).select(
+        "wallet",
+        "coll",
+        "ev_date",
+        "price",
+        (F.col("flag") == "R").alias("is_sell"),
+    )
     if os.environ.get("SPARK_GRAFT_FUSED_SCAN", "1") != "0":
         fact = fact.repartition(F.col("coll")).persist(
             StorageLevel.MEMORY_AND_DISK
@@ -217,7 +228,7 @@ def ep5_shadow_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
             "wallet",
             "coll",
             "ev_date",
-            (F.col("flag") == "R").alias("is_sell"),
+            "is_sell",
         )
         .agg(
             F.min(
