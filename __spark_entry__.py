@@ -125,10 +125,18 @@ _PRIORITY = [
     "s11_schema_evolution",
     "samp_bottomk_fixed",
     "samp_temperature_mix",
-    "samp_unimax",
+    # ---- slot 50: u12_cdc_apply — restructured THIS round (rank-1
+    # window -> max_by aggregate), so its new form gets driver proof
+    # now instead of re-creating round 16's unproven-forms debt. It
+    # displaces the last r13 filler (samp_unimax), which heads the
+    # round-18 pool below. The other round-17 restructurings (i3,
+    # i3b, i13, ngram, ep5, w1/w2/j9 internals) were already in the
+    # window above.
+    "u12_cdc_apply",
     # ---- rotation pool (advisory order; past the 50-slot window).
-    # Round-18 leads here: the 14 remaining r13-stale rows
-    # (alphabetical), then the r14 block ----
+    # Round-18 leads here: samp_unimax (displaced above) plus the 13
+    # remaining r13-stale rows (alphabetical), then the r14 block ----
+    "samp_unimax",
     "seq_funnel_states",
     "tok_bpe_pair_stats",
     "u10_incremental_agg",
