@@ -141,7 +141,6 @@ _PRIORITY = [
     "tok_bpe_pair_stats",
     "u10_incremental_agg",
     "u11_dynamic_partition_overwrite",
-    "u12_cdc_apply",
     "u2_merge_update",
     "u3_partition_delete_reload",
     "u4_truncate_rebuild",
